@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and near-duplicate building blocks for the
+  * training-data-pipeline extension (BASELINE.json north star). All are
+  * composed from codegen'd built-ins — no UDFs — so they inline into
+  * whole-stage codegen and scale linearly with no shuffle of their own.
+  */
+object TextFunctions {
+
+  /** Character n-gram shingles, distinct. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Ratio of non-alphanumeric-non-space chars. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / length(text), 6)
+
+  /** Ratio of uppercase chars. */
+  def upperRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text), 6)
+
+  /** Count of common-English stopword hits (n-gram-heuristic language
+    * ID: a text with many English function words is English). */
+  def stopwordHits(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(the|and|of|to|in|is|for|with|on|at)\\b"), lit(0))).cast("long")
+
+  /** Heuristic language ID from stopword density. */
+  def langId(text: Column): Column = {
+    val density = round(stopwordHits(text).cast("double") / tokenCount(text), 6)
+    when(density > 0.08, "en").when(density > 0.03, "en_like").otherwise("other")
+  }
+
+  /** Quality score in [0,1]: length saturation × (1 − punct) × (1 − upper). */
+  def qualityScore(text: Column): Column =
+    round(least(lit(1.0), tokenCount(text).cast("double") / 200.0)
+      * (lit(1.0) - punctRatio(text)) * (lit(1.0) - upperRatio(text)), 6)
+
+  /** Content fingerprint of the normalized text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** MinHash signature: k minima over seeded xxhash64 of the shingles.
+    * Seeding via the (seed, shingle) two-argument hash keeps everything
+    * inside codegen. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleArr, sh => xxhash64(seed, sh))))
+
+  /** LSH band keys over a minhash signature: bands of `rows` hashes,
+    * each band hashed to one bucket key. Docs sharing any band key are
+    * near-dup candidates — the bucket join replaces the quadratic
+    * all-pairs comparison at scale. */
+  def bandKeys(signature: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => hash(b, slice(signature, b * rows + 1, lit(rows))))
+
+  /** Estimated Jaccard from two equal-length minhash signatures. */
+  def minhashSimilarity(sigA: Column, sigB: Column): Column =
+    round(aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sigA), 6)
+
+  /** 64-bit SimHash over whitespace tokens: per-bit vote of token
+    * hashes, packed into one long. Bit shifts by a lambda variable are
+    * SQL-only, hence the expr form. */
+  def simhash(textCol: String): Column = expr(s"""
+    aggregate(
+      zip_with(
+        aggregate(
+          split(lower(trim($textCol)), '\\\\s+'),
+          array_repeat(0L, 64),
+          (acc, tok) -> zip_with(acc,
+            transform(sequence(0, 63), i -> shiftright(xxhash64(tok), i) & 1),
+            (a, b) -> a + (b * 2 - 1))),
+        sequence(0, 63),
+        (v, i) -> if(v > 0, shiftleft(1L, i), 0L)),
+      0L, (acc, x) -> acc | x)""")
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

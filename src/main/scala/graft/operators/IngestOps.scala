@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Part-A ingestion operators of the reference, re-expressed as pure
+  * `DataFrame => DataFrame` functions (SURVEY.md §2 Part A).
+  *
+  * The reference implements these as imperative Python over `List[Dict]`
+  * batches (/root/reference/src/main.py, gcs_helper.py); here each is a
+  * declarative transformation so Catalyst can fuse, prune, and push them
+  * down. All are shuffle-free except [[dedupLatest]] (one shuffle on the
+  * dedup key — unavoidable, and at 100 TB it should ride an existing
+  * partitioning of the same key, which Spark reuses across stages).
+  */
+object IngestOps {
+
+  /** A22 — CNPJ normalization: strip `.`, `/`, `-`
+    * (/root/reference/src/main.py:22-23). */
+  def normalizeCnpj(c: Column): Column = regexp_replace(c, "[./-]", "")
+
+  /** A11 — deterministic partitioned path layout
+    * `CNPJ_{cnpj}/{endpoint}/[{yyyyMMdd}/]response_pg{page}.json`
+    * (/root/reference/src/main.py:25-31), as a column expression. */
+  def storagePath(cnpj: Column, endpoint: String, page: Column, dt: Column): Column = {
+    val datePart = when(dt.isNotNull, concat(date_format(dt, "yyyyMMdd"), lit("/")))
+      .otherwise(lit(""))
+    concat(lit("CNPJ_"), normalizeCnpj(cnpj), lit(s"/$endpoint/"), datePart,
+      lit("response_pg"), page.cast("string"), lit(".json"))
+  }
+
+  /** A9 — enrichment projection: append `gcs_uri`, `ingestion_timestamp`
+    * (batch-constant UTC), `source_system="VMHUB"`
+    * (/root/reference/src/main.py:33-40). Narrow, codegen'd, no shuffle. */
+  def enrich(df: DataFrame, gcsUri: Column): DataFrame =
+    df.withColumn("gcs_uri", gcsUri)
+      .withColumn("ingestion_timestamp",
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .withColumn("source_system", lit("VMHUB"))
+
+  /** A10 — success-only predicate (the reference's one row filter,
+    * pushed server-side via `somenteSucesso=true`,
+    * /root/reference/src/api/vmhub_client.py:113,126-131). Catalyst
+    * pushes this to the parquet scan. */
+  def successOnly(df: DataFrame, statusCol: String, successValue: String): DataFrame =
+    df.filter(col(statusCol) === successValue)
+
+  /** A16 — key-based latest-wins dedup, strictly stronger than the
+    * reference's truncate-reload (/root/reference/src/utils/
+    * bigquery_helper.py:120). Deterministic winner: greatest `orderCol`,
+    * ties broken by `tiebreak` (SURVEY.md §7.5 risk 3).
+    *
+    * Scale: one hash shuffle on `keys`; with AQE skewed keys are split
+    * automatically. Equivalent plan to `row_number()=1` but expressed as
+    * max_by-style aggregation would lose the full row; window form keeps
+    * whole-stage codegen for the filter.
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[String], orderCol: String, tiebreaks: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((orderCol +: tiebreaks).map(col(_).desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** A7/A8 — incremental watermark recovery: max landed partition date,
+    * formatted like the reference's blob-path segments
+    * (/root/reference/src/utils/gcs_helper.py:203-241). At scale this is
+    * a partition-listing metadata op, not a data scan; over a DataFrame
+    * it is a single partial-aggregated max (map-side combine, tiny
+    * shuffle). */
+  def watermark(df: DataFrame, dtCol: String): DataFrame =
+    df.agg(max(date_format(col(dtCol), "yyyyMMdd")).as("watermark"))
+
+  /** A6 — daily range enumeration: `sequence` + `explode` replaces the
+    * reference's generator of [00:00, 23:59.999999] windows
+    * (/root/reference/src/config/endpoints.py:19-34). We standardize on
+    * half-open [d, d+1) day windows (SURVEY.md §1.4). */
+  def dailyRanges(df: DataFrame, dtCol: String): DataFrame =
+    df.agg(min(to_date(col(dtCol))).as("lo"), max(to_date(col(dtCol))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .select(col("day"),
+        col("day").cast("timestamp").as("day_start"),
+        date_add(col("day"), 1).cast("timestamp").as("day_end"))
+
+  /** A24 — date scalar family used throughout the reference
+    * (strftime('%Y%m%d'), ISO-8601+Z, now-2y; /root/reference/src/main.py:
+    * 28,35,204). */
+  def dtCompact(c: Column): Column = date_format(c, "yyyyMMdd")
+  def dtIso(c: Column): Column    = date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+  def parseCompact(c: Column): Column = to_date(c, "yyyyMMdd")
+
+  /** A12 — NDJSON serialization of the full row (one JSON object per
+    * line; /root/reference/src/utils/gcs_helper.py:45-49). Spark's JSON
+    * sink IS newline-delimited; this exposes the per-row serialized form
+    * as a column for when the payload must travel inside another table. */
+  def toNdjson(df: DataFrame): DataFrame =
+    df.withColumn("json", to_json(struct(df.columns.map(col): _*)))
+
+  /** A11+A17 — partitioned sink: Hive-style `dt=yyyyMMdd` directories
+    * replace the reference's hand-built paths; sortWithinPartitions
+    * mirrors BigQuery clustering (bigquery_helper.py:88-92). Overwrite of
+    * matching partitions only (dynamic) replaces truncate-reload. */
+  def writePartitioned(df: DataFrame, path: String, dtCol: String, clusterCols: Seq[String]): Unit =
+    df.withColumn("dt", date_format(col(dtCol), "yyyyMMdd"))
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt")
+      .parquet(path)
+}

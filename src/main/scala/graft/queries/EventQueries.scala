@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form: tumbling windows, JSON access,
+  * sessionization. These are the batch equivalents of the Structured
+  * Streaming slice in [[graft.streaming.EventStreams]] — same
+  * transformations, so the streaming path is oracle-checked through its
+  * batch twin (SURVEY.md §5 strategy 4).
+  *
+  * Timestamp parity: events.ts is parquet TIMESTAMP(NANOS); both engines
+  * truncate to microseconds (Tables.events / CAST(ts AS TIMESTAMP)), and
+  * all duration math is integer microseconds (`unix_micros` ↔
+  * `epoch_us`) — never seconds, which would truncate differently.
+  */
+object EventQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // JSON scalar access on the props column (A13's embedded-JSON side).
+    QueryDef("scalar_json", Some("""
+      SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+      FROM events ORDER BY event_id""")) { (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))
+        .orderBy(col("event_id"))
+    },
+
+    // Tumbling 1h windows — batch twin of EventStreams.tumblingCounts.
+    QueryDef("stream_tumbling", Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // Sliding windows (1h window every 30min) — each event lands in 2.
+    QueryDef("stream_sliding", Some("""
+      WITH x AS (
+        SELECT value,
+               unnest([time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+                       time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE]) AS ws
+        FROM events)
+      SELECT ws AS window_start, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      FROM x GROUP BY ws ORDER BY ws""")) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("n"), col("total_value"))
+        .orderBy(col("window_start"))
+    },
+
+    // Sessionization: 30-min inactivity gap, exact µs arithmetic.
+    QueryDef("events_sessionize", Some("""
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      f AS (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+      g AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM f),
+      h AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+      SELECT user_id, session_id, count(*) AS n_events,
+             max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      FROM h GROUP BY user_id, session_id ORDER BY user_id, session_id""")) { (s, d) =>
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(wRun).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"),
+          dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // Daily activity rollup joined to the customer dimension.
+    QueryDef("events_daily_users", Some("""
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY day""")) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy(col("day"))
+    },
+  )
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.IngestOps
+import org.apache.spark.sql.functions._
+
+/** Part-A ingestion operators exposed as judged queries over the driver
+  * fixtures (SURVEY.md §2 Part A). Each query exercises the
+  * corresponding [[graft.operators.IngestOps]] function so the oracle
+  * check covers the operator itself, not a reimplementation.
+  */
+object IngestQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A6 — daily range enumeration via sequence+explode.
+    QueryDef("a06_daily_ranges", Some("""
+      WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+           d AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+      SELECT day, CAST(day AS TIMESTAMP) AS day_start, CAST(day + 1 AS TIMESTAMP) AS day_end
+      FROM d ORDER BY day""")) { (s, d) =>
+      IngestOps.dailyRanges(Tables.orders(s, d), "o_orderdate").orderBy(col("day"))
+    },
+
+    // A7/A8 — watermark recovery: max landed partition date.
+    QueryDef("a07_watermark", Some("""
+      SELECT max(strftime(o_orderdate, '%Y%m%d')) AS watermark FROM orders""")) { (s, d) =>
+      IngestOps.watermark(Tables.orders(s, d), "o_orderdate")
+    },
+
+    // A9+A11+A22 — enrichment projection over the deterministic
+    // partitioned path layout (ingestion_timestamp omitted here: it is
+    // batch-time-dependent by design, so not oracle-comparable).
+    QueryDef("a09_enrich", Some("""
+      SELECT o_orderkey,
+             'gs://vmhub-data/CNPJ_12345678000190/vendas/' || strftime(o_orderdate, '%Y%m%d')
+               || '/response_pg' || CAST(o_orderkey % 100 AS VARCHAR) || '.json' AS gcs_uri,
+             'VMHUB' AS source_system
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+      val path = IngestOps.storagePath(lit("12.345.678/0001-90"), "vendas",
+        col("o_orderkey") % 100, col("o_orderdate"))
+      IngestOps.enrich(Tables.orders(s, d), concat(lit("gs://vmhub-data/"), path))
+        .select(col("o_orderkey"), col("gcs_uri"), col("source_system"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // A10 — pushed-down row predicate (the somenteSucesso filter).
+    QueryDef("a10_filter", Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1997-01-01'
+      ORDER BY l_orderkey, l_linenumber""")) { (s, d) =>
+      IngestOps.successOnly(Tables.lineitem(s, d), "l_returnflag", "R")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // A16 — key-based latest-wins dedup with deterministic tiebreak.
+    QueryDef("a16_dedup", Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1 ORDER BY o_custkey""")) { (s, d) =>
+      IngestOps.dedupLatest(Tables.orders(s, d), Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // A22 — string normalization (CNPJ-style punctuation strip).
+    QueryDef("a22_normalize", Some("""
+      SELECT c_custkey, regexp_replace(c_name, '[./-]', '', 'g') AS name_norm,
+             '12345678000190' AS cnpj_norm
+      FROM customer ORDER BY c_custkey""")) { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"),
+        IngestOps.normalizeCnpj(col("c_name")).as("name_norm"),
+        IngestOps.normalizeCnpj(lit("12.345.678/0001-90")).as("cnpj_norm"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // A24 — date scalar family (format / parse / trunc / arithmetic).
+    QueryDef("a24_date_scalars", Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y%m%d') AS dt_compact,
+             strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS dt_iso,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(day(o_orderdate) AS BIGINT) AS dom,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             CAST(o_orderdate - INTERVAL 24 MONTH AS DATE) AS two_years_back,
+             CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+             CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS roundtrip
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        IngestOps.dtCompact(col("o_orderdate")).as("dt_compact"),
+        IngestOps.dtIso(col("o_orderdate")).as("dt_iso"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        add_months(col("o_orderdate"), -24).as("two_years_back"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since_epoch_start"),
+        IngestOps.parseCompact(IngestOps.dtCompact(col("o_orderdate"))).as("roundtrip"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // A12/A13 — NDJSON serialize/deserialize roundtrip. JSON key order
+    // and float formatting are engine-specific, so no oracle: the driver
+    // records a rows-only check; the unit test asserts the roundtrip.
+    QueryDef("a12_ndjson_roundtrip", None) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val schema = StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      IngestOps.toNdjson(o)
+        .select(from_json(col("json"), schema).as("r"))
+        .select(col("r.o_orderkey").as("o_orderkey"), col("r.o_orderstatus").as("o_orderstatus"),
+          col("r.o_totalprice").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+  )
+}

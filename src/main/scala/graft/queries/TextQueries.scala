@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over the `documents` fixture:
+  * stats, tokenization, language ID, quality scoring, fingerprinting,
+  * exact and near dedup (n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Scale shape: everything per-document is narrow/codegen'd; dedup
+  * candidate generation goes through bucket joins (fingerprint groupBy,
+  * LSH band explode+join) — never an all-pairs cross join.
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("doc_stats", Some("""
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+             round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6) AS upper_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+        punctRatio(col("text")).as("punct_ratio"),
+        upperRatio(col("text")).as("upper_ratio"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef("doc_tokens", Some("""
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        tokenCount(col("text")).as("n_ws_tokens"),
+        bpeishCount(col("text")).as("n_bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef("doc_lang_id", Some("""
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with|on|at)\b')) AS BIGINT) AS stop_hits,
+             CASE WHEN round(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with|on|at)\b')) AS DOUBLE)
+                        / len(string_split_regex(lower(trim(text)), '\s+')), 6) > 0.08 THEN 'en'
+                  WHEN round(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with|on|at)\b')) AS DOUBLE)
+                        / len(string_split_regex(lower(trim(text)), '\s+')), 6) > 0.03 THEN 'en_like'
+                  ELSE 'other' END AS lang_pred
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        stopwordHits(col("text")).as("stop_hits"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef("doc_quality", Some("""
+      SELECT doc_id,
+             round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 200.0)
+               * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6))
+               * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6) AS quality
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef("doc_fingerprint", Some("""
+      SELECT doc_id, md5(lower(trim(text))) AS fp, md5(substr(text, 1, 64)) AS fp_prefix
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        md5(substring(col("text"), 1, 64)).as("fp_prefix"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef("dedup_exact", Some("""
+      SELECT count(*) AS n_rows, count(DISTINCT md5(lower(trim(text)))) AS n_distinct,
+             count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dups
+      FROM documents""")) { (s, d) =>
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(fingerprint(col("text"))).as("n_distinct"),
+          (count(lit(1)) - countDistinct(fingerprint(col("text")))).as("n_dups"))
+    },
+
+    QueryDef("dedup_exact_classes", Some("""
+      SELECT fp, count(*) AS n_members, min(doc_id) AS canonical_id FROM
+        (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+      GROUP BY fp HAVING count(*) > 1 ORDER BY fp""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("canonical_id"))
+        .filter(col("n_members") > 1)
+        .orderBy(col("fp"))
+    },
+
+    // n-gram Jaccard between consecutive doc ids — exercises the shingle
+    // + set-intersection kernel with a deterministic, linear pair set.
+    QueryDef("dedup_ngram_jaccard", Some("""
+      WITH sh AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
+                      i -> substr(text, CAST(i AS INT), 3))) AS sh
+                  FROM documents)
+      SELECT a.doc_id AS doc_id,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_next
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY a.doc_id""")) { (s, d) =>
+      val sh = Tables.documents(s, d).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sh").as("sh2"))
+      sh.join(b, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(size(array_intersect(col("sh"), col("sh2"))).cast("double")
+            / size(array_union(col("sh"), col("sh2"))), 6).as("jaccard_next"))
+        .orderBy(col("doc_id"))
+    },
+
+    // MinHash + LSH banding: candidate pairs via band-bucket self-join
+    // (the 100 TB-safe shape: shuffle on band key, no cross join).
+    // Hash functions differ per engine → rows-only check; the unit test
+    // asserts recall against exact Jaccard on a labeled subset.
+    QueryDef("dedup_minhash_lsh", None) { (s, d) =>
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), minhashSignature(shingles(col("text"), 5), 32).as("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(bandKeys(col("sig"), 8, 4)).as(Seq("band", "bkey")))
+      val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), minhashSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .distinct()
+        .filter(col("est_jaccard") >= 0.25)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dup: 64-bit signature; candidates bucket on the top
+    // 16 bits, confirmed by Hamming distance. Rows-only (engine hash).
+    QueryDef("dedup_simhash", None) { (s, d) =>
+      val sig = Tables.documents(s, d).select(col("doc_id"), simhash("text").as("sh64"))
+      val withBucket = sig.withColumn("bucket", shiftright(col("sh64"), 48))
+      val a = withBucket.select(col("bucket"), col("doc_id").as("id_a"), col("sh64").as("h_a"))
+      val b = withBucket.select(col("bucket"), col("doc_id").as("id_b"), col("sh64").as("h_b"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), hamming(col("h_a"), col("h_b")).as("hamming_dist"))
+        .filter(col("hamming_dist") <= 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Multimodal metadata plumbing: opaque payload bytes + typed
+    // metadata columns (byte length, content hashes, bucket key).
+    QueryDef("multimodal_meta", Some("""
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+             sha256(text) AS sha256_hex, md5(text) AS md5_hex,
+             substr(sha256(text), 1, 8) AS content_bucket
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+        md5(col("text").cast("binary")).as("md5_hex"),
+        substring(sha2(col("text").cast("binary"), 256), 1, 8).as("content_bucket"))
+        .orderBy(col("doc_id"))
+    },
+  )
+}

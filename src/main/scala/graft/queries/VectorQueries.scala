@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over the `embeddings` fixture.
+  *
+  * `sim_cosine_topk` is the exact brute-force baseline: a small query
+  * set broadcast against all candidates (at 100 TB the candidate side
+  * streams; the query side stays broadcast — no shuffle). `sim_ann_lsh`
+  * is the scale path: random-hyperplane buckets turn the cross join
+  * into an equi-join on the bucket key.
+  *
+  * Parity: int64-quantized components (see VectorFunctions) make dot
+  * products exact integers in both engines; cosine then divides
+  * identical numbers.
+  */
+object VectorQueries {
+
+  private val oracleTopk = """
+    WITH v AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+               FROM embeddings),
+    n AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2 FROM v),
+    p AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+            CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS DOUBLE)
+              / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+          FROM n a JOIN n b ON b.vec_id != a.vec_id
+          WHERE a.vec_id < 5),
+    r AS (SELECT q_id, vec_id, cosine,
+            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+          FROM p)
+    SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+    FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("sim_cosine_topk", Some(oracleTopk)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", qdot(col("q"), col("q")))
+      val queries = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+      val pairs = v.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          cosineFromQ(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // Exact pairwise dot products on a deterministic sparse pair set
+    // (vec_id vs vec_id+1) — the integer-exact kernel itself.
+    QueryDef("sim_dot_consecutive", Some("""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings)
+      SELECT a.vec_id AS vec_id,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS BIGINT) AS qdot_next
+      FROM v a JOIN v b ON b.vec_id = a.vec_id + 1 ORDER BY a.vec_id""")) { (s, d) =>
+      val v = Tables.embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val b = v.select((col("vec_id") - 1).as("vec_id"), col("q").as("q2"))
+      v.join(b, Seq("vec_id"))
+        .select(col("vec_id"), qdot(col("q"), col("q2")).as("qdot_next"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ANN via random-hyperplane LSH: bucket equi-join then exact cosine
+    // within bucket. Approximate → rows-only check; the unit test
+    // measures recall against the brute-force baseline.
+    QueryDef("sim_ann_lsh", None) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", qdot(col("q"), col("q")))
+        .withColumn("bucket", lshBucket(col("q"), 8))
+      val queries = v.filter(col("vec_id") < 5)
+        .select(col("bucket"), col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+      val pairs = v.join(queries, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          cosineFromQ(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // Embedding-cosine near-duplicate detection: LSH buckets, pairs
+    // above a cosine threshold. Rows-only (bucketing is engine-hash).
+    QueryDef("dedup_embedding_cosine", None) { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", qdot(col("q"), col("q")))
+        .withColumn("bucket", lshBucket(col("q"), 6))
+      val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("q").as("q_a"), col("n2").as("n2_a"))
+      val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("q").as("q_b"), col("n2").as("n2_b"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", cosineFromQ(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
+        .filter(col("cosine") > 0.85)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Query-surface support: the registry type plus oracle-parity helpers.
+  *
+  * Parity strategy (SURVEY.md §7.5 risk 1): any aggregate over doubles is
+  * order-dependent in IEEE arithmetic and will hash-mismatch a DuckDB
+  * oracle. All money/measure sums therefore go through exact DECIMAL
+  * arithmetic — per-row cast to DECIMAL(18,2) (the fixtures carry 2dp
+  * values, so the cast is exact), exact decimal sum (order-independent),
+  * exact final cast. Averages divide the exact decimal sum by the count
+  * in double (two identical operands → identical IEEE result in both
+  * engines). Ratios/row-wise math stay double: same input → same output.
+  */
+package object queries {
+
+  /** One judged query: Spark implementation + optional DuckDB oracle.
+    * Queries without SQL-expressible semantics (LSH, minhash, …) leave
+    * `oracle` empty → the driver records a weaker rows-only check. */
+  final case class QueryDef(
+      name: String,
+      oracle: Option[String])(
+      val fn: (SparkSession, String) => DataFrame)
+
+  val dec2: DecimalType = DecimalType(18, 2)
+
+  /** Exact per-row money cast (2dp fixture values ⇒ lossless). */
+  def money(c: Column): Column = c.cast(dec2)
+
+  /** Exact, order-independent decimal sum, emitted at scale 2. */
+  def dsum(c: Column): Column = sum(money(c)).cast(dec2)
+
+  /** `sum(l_extendedprice * (1 - l_discount))` in exact decimals — the
+    * TPC-H revenue kernel. The result stays at scale 4 (the products'
+    * natural scale): a downscale to 2 would round, and Spark rounds
+    * half-up while DuckDB truncates — the one decimal behavior that
+    * differs between the engines. */
+  def revenue: Column =
+    sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+      .cast(DecimalType(38, 4))
+
+  /** SQL fragment of [[revenue]] for oracle strings. */
+  val revenueSql: String =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))"
+
+  /** avg(x) = exact-decimal sum / count, divided in double: both engines
+    * divide the same two values → identical IEEE doubles. */
+  def davg(c: Column): Column =
+    round(sum(money(c)).cast("double") / count(lit(1)), 6)
+
+  def davgSql(c: String): String =
+    s"round(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)"
+}

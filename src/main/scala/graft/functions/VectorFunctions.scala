@@ -35,15 +35,22 @@ object VectorFunctions {
     * whole thing stays in codegen. Bucket collisions preserve cosine
     * locality; at scale the bucket column becomes the shuffle key that
     * replaces the all-pairs cross join. */
-  def lshBucket(qvec: Column, planes: Int): Column = {
+  def lshBucket(qvec: Column, planes: Int, seed: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       // dot(v, plane_p) where plane_p[i] = ±1 from the hash parity
       val dot = aggregate(
         zip_with(qvec, sequence(lit(0), size(qvec) - 1),
-          (x, i) => when(xxhash64(lit(p), i).bitwiseAND(1) === 1, x).otherwise(-x)),
+          (x, i) => when(xxhash64(lit(seed * 1000 + p), i).bitwiseAND(1) === 1, x).otherwise(-x)),
         lit(0L), (acc, z) => acc + z)
       when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Multi-table LSH: `tables` independent bucket keys per vector
+    * (exploded into (table, bucket) rows). More tables → higher recall;
+    * candidates are deduped after the union of per-table matches. */
+  def lshBuckets(qvec: Column, planes: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("table"), lshBucket(qvec, planes, t).as("bucket"))): _*)
 }

@@ -125,15 +125,27 @@ object TextQueries {
     // Hash functions differ per engine → rows-only check; the unit test
     // asserts recall against exact Jaccard on a labeled subset.
     QueryDef("dedup_minhash_lsh", None) { (s, d) =>
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"), minhashSignature(shingles(col("text"), 5), 32).as("sig"))
-      val banded = sig.select(col("doc_id"), col("sig"),
+      // Codegen-friendly shape: explode shingles → one hash-aggregate
+      // with 32 min() columns (map-side partial agg), instead of
+      // interpreted per-row array lambdas. Candidate pairs are
+      // deduplicated BEFORE the signature comparison so each unique
+      // pair is scored exactly once.
+      val exploded = Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+      val minCols = (0 until 32).map(k => min(xxhash64(lit(k), col("sh"))).as(s"m$k"))
+      val sig = exploded.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
+      val banded = sig.select(col("doc_id"),
         posexplode(bandKeys(col("sig"), 8, 4)).as(Seq("band", "bkey")))
-      val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+        .join(banded.select(col("band"), col("bkey"), col("doc_id").as("id_b")), Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      cand
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"), minhashSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
-        .distinct()
         .filter(col("est_jaccard") >= 0.25)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -141,7 +153,18 @@ object TextQueries {
     // SimHash near-dup: 64-bit signature; candidates bucket on the top
     // 16 bits, confirmed by Hamming distance. Rows-only (engine hash).
     QueryDef("dedup_simhash", None) { (s, d) =>
-      val sig = Tables.documents(s, d).select(col("doc_id"), simhash("text").as("sh64"))
+      // Same codegen-friendly shape: explode tokens → 64 per-bit vote
+      // sums in one hash aggregate → pack to a long.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val voteCols = (0 until 64).map(i =>
+        sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i"))
+      val sig = toks.groupBy(col("doc_id"))
+        .agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+            .reduce(_ bitwiseOR _).as("sh64"))
       val withBucket = sig.withColumn("bucket", shiftright(col("sh64"), 48))
       val a = withBucket.select(col("bucket"), col("doc_id").as("id_a"), col("sh64").as("h_a"))
       val b = withBucket.select(col("bucket"), col("doc_id").as("id_b"), col("sh64").as("h_b"))

@@ -77,12 +77,21 @@ object VectorQueries {
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", qdot(col("q"), col("q")))
-        .withColumn("bucket", lshBucket(col("q"), 8))
-      val queries = v.filter(col("vec_id") < 5)
-        .select(col("bucket"), col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
-      val pairs = v.join(queries, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cosine",
-          cosineFromQ(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
+      // multi-table LSH: 2 tables × 4 planes; union of per-table bucket
+      // matches, deduped, then exact cosine re-rank — the standard
+      // recall/cost dial (more tables = higher recall, same join shape)
+      val banded = v.select(col("vec_id"), col("q"), col("n2"),
+        explode(lshBuckets(col("q"), 4, 2)).as("tb"))
+        .select(col("vec_id"), col("q"), col("n2"),
+          col("tb.table").as("t"), col("tb.bucket").as("b"))
+      val queries = banded.filter(col("vec_id") < 5)
+        .select(col("t"), col("b"), col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+      val cand = banded.join(queries, Seq("t", "b"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("q"), col("n2"), col("qq"), col("qn2"))
+        .dropDuplicates("q_id", "vec_id")
+      val pairs = cand.withColumn("cosine",
+        cosineFromQ(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
       pairs.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)

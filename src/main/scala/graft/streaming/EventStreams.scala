@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming slice (SURVEY.md §2.10 / §7.2 step 4): the
+  * reference's batch loop with sleeps (/root/reference/src/main.py:
+  * 86,243) is logically a micro-batch incremental stream — watermark =
+  * max landed date, resume from watermark. Here that becomes a real
+  * `readStream` pipeline with event-time watermarks.
+  *
+  * The transformations are shared with the batch queries in
+  * [[graft.queries.EventQueries]] (same window/agg shapes), so the
+  * DuckDB oracle checks the semantics through the batch twin while
+  * StreamingSpec drives the streaming execution itself.
+  *
+  * Scale config noted for 100 TB: RocksDB state store
+  * (`spark.sql.streaming.stateStore.providerClass`), watermark-bounded
+  * state, `maxFilesPerTrigger` for backpressure — all session config,
+  * not plan shape.
+  */
+object EventStreams {
+
+  /** events schema with ts as LongType nanos, as the file source reads
+    * it under nanosAsLong (see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events fixture directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)   // backpressure: bounded batches
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1h counts with a 1h watermark — streaming twin of the
+    * `stream_tumbling` batch query. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Session windows (30 min gap) via the built-in session_window —
+    * watermark-bounded state, the scalable form of sessionization. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Streaming dedup-by-key within the watermark horizon — the
+    * streaming form of A16 (latest-wins is batch; streams keep
+    * first-seen and drop replays). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming DataFrame to completion against the (finite)
+    * fixture directory and return the collected result as a batch DF —
+    * the test harness path: memory sink + processAllAvailable. */
+  def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

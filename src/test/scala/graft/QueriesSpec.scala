@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape checks over the whole judged surface at sf0.001. The
+  * value-level check is the DuckDB oracle (driver t2 / tools/compare.py);
+  * here we pin row expectations that the oracle can't see (rows-only
+  * queries) and that every query runs. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  // Queries whose correct result CAN be empty at this scale.
+  private val mayBeEmpty = Set("setop_except", "join_anti", "dedup_exact_classes",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine")
+
+  test("every declared query executes; non-empty unless provably empty") {
+    SparkEntry.allDefs.foreach { q =>
+      val df = q.fn(spark, sf)
+      val n = df.count()
+      withClue(s"${q.name}: ") {
+        assert(n >= 0)
+        if (!mayBeEmpty(q.name)) assert(n > 0, s"unexpectedly empty (${q.name})")
+      }
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle coverage: every oracleSql key is a declared query") {
+    val qnames = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
+    // every non-oracle query is intentionally approximate/engine-hashed
+    val rowsOnly = qnames -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.subsetOf(Set("agg_approx_distinct", "a12_ndjson_roundtrip",
+      "dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh", "dedup_embedding_cosine")))
+  }
+
+  test("query names are unique") {
+    val names = SparkEntry.allDefs.map(_.name)
+    assert(names.distinct.length === names.length)
+  }
+
+  test("sim_ann_lsh returns valid ranked neighbors consistent with exact top-k") {
+    import org.apache.spark.sql.Row
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall { case Row(_, _, rnk: Long, cos: Double) => rnk <= 5 && cos <= 1.000001 })
+    // recall vs brute force: every ANN hit must be a real vector pair
+    // with the same cosine as the exact query when both rank it top-5
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .map { case Row(q: Long, v: Long, _, c: Double) => (q, v) -> c }.toMap
+    val agree = ann.collect { case Row(q: Long, v: Long, _, c: Double)
+        if exact.contains((q, v)) => exact((q, v)) == c }
+    assert(agree.nonEmpty && agree.forall(identity))
+  }
+
+  test("agg_approx_distinct HLL is within 10% of exact") {
+    import org.apache.spark.sql.Row
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
+      .map { case Row(rf: String, a: Long, _) => rf -> a }.toMap
+    val exact = SparkEntry.queries("agg_distinct")(spark, sf).collect()
+      .map { case Row(rf: String, p: Long, _, _) => rf -> p }.toMap
+    exact.foreach { case (rf, e) =>
+      assert(math.abs(approx(rf) - e).toDouble / e < 0.10, s"flag $rf: ${approx(rf)} vs $e")
+    }
+  }
+}

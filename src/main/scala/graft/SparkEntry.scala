@@ -15,7 +15,7 @@ import graft.queries._
 object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
-    Flagship.defs ++ IngestQueries.defs ++ Relational.defs ++
+    Flagship.defs ++ IngestQueries.defs ++ Relational.defs ++ Relational2.defs ++
       EventQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,28 @@
+package graft.operators
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.Try
+
+/** A19 — inter-table orchestration: the reference fans out one worker
+  * per endpoint with per-future error isolation
+  * (/root/reference/src/main.py:330-352, ThreadPoolExecutor +
+  * as_completed). In Spark the data plane is already parallel; this
+  * replicates the *job-level* concurrency — submitting independent
+  * actions (e.g., per-table loads) so the scheduler can interleave
+  * their stages — with the same isolation: one failed table never
+  * aborts the others.
+  */
+object ParallelOps {
+
+  /** Run independent jobs concurrently; returns per-job outcomes in
+    * input order. `parallelism` mirrors the reference's max_workers=2. */
+  def runIsolated[T](jobs: Seq[() => T], parallelism: Int = 2): Seq[Try[T]] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = jobs.map(j => Future(Try(j())))
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+}

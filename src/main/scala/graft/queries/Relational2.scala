@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Udafs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational coverage batch: quantiles, ordered collect
+  * aggregates, pivot, navigation window functions, extended string
+  * scalars, and the custom-Aggregator (UDAF) surface.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  /** Exact integer cents from a 2dp double price. */
+  private def cents(c: String) = round(col(c) * 100, 0).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("agg_quantiles", Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.50)), 4).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
+          round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    QueryDef("agg_collect", Some("""
+      SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys, count(*) AS n
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""")) { (s, d) =>
+      // collect_list order is nondeterministic → array_sort pins it;
+      // at scale this is a plain hash agg with a per-group sort.
+      t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(array_sort(collect_list(col("o_orderkey"))).as("order_keys"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    },
+
+    QueryDef("pivot_status", Some("""
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))   // explicit values: no discovery job
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    QueryDef("win_navigation", Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+             first_value(o_orderkey) OVER w AS first_key,
+             last_value(o_orderkey) OVER w AS last_key,
+             nth_value(o_orderkey, 2) OVER w AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""")) { (s, d) =>
+      val wN = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(wN).cast("long").as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    QueryDef("scalar_string2", Some("""
+      SELECT p_partkey,
+             lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+             split_part(p_type, ' ', 1) AS type_head,
+             translate(p_brand, 'B#', 'b-') AS trans,
+             CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS lev,
+             left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+             repeat(p_brand, 2) AS rep
+      FROM part ORDER BY p_partkey""")) { (s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+        substring_index(col("p_type"), " ", 1).as("type_head"),
+        translate(col("p_brand"), "B#", "b-").as("trans"),
+        levenshtein(col("p_brand"), lit("Brand#1")).cast("long").as("lev"),
+        expr("left(p_name, 3)").as("l3"), expr("right(p_name, 3)").as("r3"),
+        repeat(col("p_brand"), 2).as("rep"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Custom typed Aggregators (UDAF surface): integer-exact, so the
+    // oracle can check the custom-agg path itself.
+    QueryDef("agg_udaf_cents", Some("""
+      SELECT o_orderstatus,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // count(*) AS mean_cents_floor
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+      val sumCents = udaf(Udafs.SumCents)
+      val meanCents = udaf(Udafs.MeanCentsFloor)
+      t(s, d, "orders")
+        .withColumn("cents", cents("o_totalprice"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sumCents(col("cents")).as("sum_cents"),
+          meanCents(col("cents")).as("mean_cents_floor"))
+        .orderBy(col("o_orderstatus"))
+    },
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.expressions.LongDotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension point: registers graft's native expressions as SQL
+  * functions. Install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  *
+  * (No analyzer/optimizer rules or planner strategies are needed for
+  * this engine — SURVEY.md §4 conclusion — so the extension surface is
+  * function registration only.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.qdotNativeDescriptor)
+  }
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val qdotNativeDescriptor: FunctionDescription = (
+    FunctionIdentifier("qdot_native"),
+    new ExpressionInfo(classOf[LongDotProduct].getName, "qdot_native"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "qdot_native(arrayA, arrayB) takes 2 arguments")
+      LongDotProduct(children.head, children(1))
+    })
+
+  /** Imperative registration for sessions built without extensions
+    * (e.g., the driver-owned Verify/Bench sessions). Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qdot_native",
+      (children: Seq[Expression]) => LongDotProduct(children.head, children(1)),
+      "built-in")
+}

@@ -20,8 +20,17 @@ object VectorFunctions {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000000, 0).cast("long"))
 
-  /** Exact int64 dot product of two quantized vectors. */
+  /** Exact int64 dot product of two quantized vectors — the native
+    * codegen'd expression (see [[graft.expressions.LongDotProduct]]). */
   def qdot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.LongDotProduct(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** The same kernel composed from built-in higher-order functions —
+    * kept as the portable fallback and the differential-test twin of
+    * the native expression. */
+  def qdotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
 
   /** Cosine similarity from quantized vectors (norms precomputed as

@@ -70,11 +70,16 @@ object IngestQueries {
     // A22 — string normalization (CNPJ-style punctuation strip).
     QueryDef("a22_normalize", Some("""
       SELECT c_custkey, regexp_replace(c_name, '[./-]', '', 'g') AS name_norm,
-             '12345678000190' AS cnpj_norm
+             '12345678000190' AS cnpj_norm,
+             replace('12.345.678/0001-90', '/', '%2F') AS cnpj_url
       FROM customer ORDER BY c_custkey""")) { (s, d) =>
       Tables.customer(s, d).select(col("c_custkey"),
         IngestOps.normalizeCnpj(col("c_name")).as("name_norm"),
-        IngestOps.normalizeCnpj(lit("12.345.678/0001-90")).as("cnpj_norm"))
+        IngestOps.normalizeCnpj(lit("12.345.678/0001-90")).as("cnpj_norm"),
+        // A23 — URL-encode (vmhub_client.py:120); '.' and '-' are
+        // unreserved so only '/' escapes for the CNPJ domain, which the
+        // oracle mirrors with replace()
+        url_encode(lit("12.345.678/0001-90")).as("cnpj_url"))
         .orderBy(col("c_custkey"))
     },
 

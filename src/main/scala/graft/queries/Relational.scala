@@ -196,6 +196,16 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    QueryDef("join_right", Some("""
+      SELECT c_custkey, c_name, o_orderkey
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey AND o_orderstatus = 'P'
+      ORDER BY c_custkey, o_orderkey NULLS FIRST""")) { (s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
     QueryDef("join_full", Some("""
       SELECT coalesce(c.k, s.k) AS nationkey,
              coalesce(c.n, 0) AS n_customers, coalesce(s.n, 0) AS n_suppliers

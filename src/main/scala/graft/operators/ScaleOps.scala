@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-path join utilities: bucketed co-located joins (shuffle
+  * elimination for repeated fact⋈fact joins) and key salting (skew
+  * mitigation beyond what AQE's skew-join split covers, e.g. a single
+  * hot key joined against a dimension).
+  */
+object ScaleOps {
+
+  /** Persist `df` as a bucketed+sorted table: subsequent equi-joins or
+    * aggregations on `keys` against a co-bucketed table run
+    * shuffle-free (SortMergeJoin with no Exchange). This is the batch
+    * analogue of the warehouse clustering the reference configures
+    * (bigquery_helper.py:88-92) — but it also removes the shuffle, not
+    * just improves pruning. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Salted equi-join for skewed left keys: the left side gets a random
+    * salt in [0, salt), the (small, broadcast-unfriendly but
+    * replicable) right side is exploded `salt` times, and the join key
+    * becomes (key, salt) — hot keys spread over `salt` reducers.
+    * Correct for inner/left joins on unique right keys. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      (rand(seed = 42) * salt).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Repartition by key with a capped partition count — the explicit
+    * form of sizing shuffles so partitions fit executor memory
+    * (brief: "size spark.sql.shuffle.partitions … at the target SF"). */
+  def repartitionByKey(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
+    df.repartition(numPartitions, keys: _*)
+}

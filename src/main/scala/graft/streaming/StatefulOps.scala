@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state (SURVEY.md §2 Part B incremental row):
+  * `flatMapGroupsWithState` per-key state machines and a
+  * `foreachBatch` idempotent sink — the streaming forms of the
+  * reference's watermark-resume + truncate-reload loop
+  * (/root/reference/src/main.py:195-267).
+  */
+object StatefulOps {
+
+  final case class EventIn(user_id: Long, event_id: Long, value: Double)
+  final case class UserState(nEvents: Long, total: Double)
+  final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double, high_activity: Boolean)
+
+  /** Per-user running aggregate with a high-activity flag once a user
+    * crosses `threshold` events — a custom state machine that windowed
+    * aggs can't express. State is per-key and O(1); at scale it lives
+    * in the (RocksDB) state store partitioned by user. */
+  def runningUserStats(events: Dataset[EventIn], threshold: Long): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (userId: Long, batch: Iterator[EventIn], state: GroupState[UserState]) => {
+          var st = state.getOption.getOrElse(UserState(0L, 0.0))
+          val out = batch.map { e =>
+            st = UserState(st.nEvents + 1, st.total + e.value)
+            UserUpdate(userId, st.nEvents, st.total, st.nEvents >= threshold)
+          }.toList
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Idempotent micro-batch sink: every batch is merged latest-wins on
+    * `keys` into the parquet target — replays of a batch (restart,
+    * reprocessing) converge to the same table, which is the correct
+    * generalization of the reference's truncate-reload (A16).
+    * `orderCol`+`tiebreaks` pick the deterministic winner exactly like
+    * the batch operator. */
+  def idempotentSink(stream: DataFrame, path: String, keys: Seq[String],
+      orderCol: String, tiebreaks: Seq[String]) =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Some(spark.read.parquet(path)).filter(_.columns.nonEmpty)
+          catch { case _: Throwable => None }
+        val all = existing.fold(batch)(e => e.unionByName(batch))
+        val merged = graft.operators.IngestOps.dedupLatest(all, keys, orderCol, tiebreaks)
+        // two-phase write: stage then swap, so a failed batch never
+        // truncates the target (overwrite-in-place would read+write the
+        // same files)
+        val stage = path + ".staging"
+        merged.write.mode("overwrite").parquet(stage)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(path)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(stage), dst)
+        ()
+    }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.ScaleOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed co-located join runs without a shuffle on the join key") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScaleOps.writeBucketed(Tables.orders(spark, TestSpark.sf0001), "orders_b", 4, Seq("o_orderkey"))
+      ScaleOps.writeBucketed(
+        Tables.lineitem(spark, TestSpark.sf0001)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "lineitem_b", 4, Seq("o_orderkey"))
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === 6000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("saltedJoin equals plain join (inner, unique right keys)") {
+    val left = Tables.orders(spark, TestSpark.sf0001).select(col("o_custkey"), col("o_totalprice"))
+    val right = Tables.customer(spark, TestSpark.sf0001).select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val plain = left.join(right, "o_custkey")
+    val salted = ScaleOps.saltedJoin(left, right, "o_custkey", salt = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum("o_totalprice")).head().getDouble(0) ===
+      plain.agg(sum("o_totalprice")).head().getDouble(0))
+  }
+
+  test("saltedJoin left-join keeps unmatched rows exactly once") {
+    val left = Seq((1L, "a"), (2L, "b"), (99L, "orphan")).toDF("k", "v")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    val out = ScaleOps.saltedJoin(left, right, "k", salt = 4, joinType = "left")
+    assert(out.count() === 3)
+    assert(out.filter(col("k") === 99 && col("w").isNull).count() === 1)
+  }
+
+  test("repartitionByKey produces the requested partitioning") {
+    val df = ScaleOps.repartitionByKey(Tables.orders(spark, TestSpark.sf0001), 8, col("o_custkey"))
+    assert(df.rdd.getNumPartitions === 8)
+  }
+}

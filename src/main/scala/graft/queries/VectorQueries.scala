@@ -99,6 +99,67 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    /** IVF (inverted-file) ANN: coarse quantizer = fixed centroid set
+      * (vec_id < 8 stands in for a k-means codebook — the partition
+      * assignment machinery is what matters at scale: one shuffle on
+      * cluster id, searches touch only probed clusters). Deterministic
+      * integer scoring makes even this ANN variant oracle-checkable.
+      */
+    QueryDef("sim_ann_ivf", Some("""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      n AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2 FROM v),
+      c AS (SELECT vec_id AS c_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8),
+      sim AS (SELECT a.vec_id, c.c_id,
+                CAST(list_sum(list_transform(list_zip(a.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
+                  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS csim
+              FROM n a, c),
+      asg AS (SELECT vec_id, c_id AS cluster FROM
+                (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn FROM sim)
+              WHERE rn = 1),
+      probes AS (SELECT vec_id AS q_id, c_id AS cluster FROM
+                (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn
+                 FROM sim WHERE vec_id < 5)
+              WHERE rn <= 2),
+      cand AS (SELECT p.q_id, a.vec_id FROM probes p JOIN asg a ON a.cluster = p.cluster
+               WHERE a.vec_id != p.q_id),
+      scored AS (SELECT cand.q_id, cand.vec_id,
+                CAST(list_sum(list_transform(list_zip(qa.q, vb.q), s -> s[1] * s[2])) AS DOUBLE)
+                  / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE))) AS cosine
+              FROM cand JOIN n qa ON qa.vec_id = cand.q_id JOIN n vb ON vb.vec_id = cand.vec_id),
+      r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+      SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", qdot(col("q"), col("q")))
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
+      val sim = v.crossJoin(broadcast(cents))
+        .withColumn("csim", cosineFromQ(qdot(col("q"), col("cq")), col("n2"), col("cn2")))
+      val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+      val asg = sim.withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("cluster"))
+      val probes = sim.filter(col("vec_id") < 5)
+        .withColumn("rn", row_number().over(wAsg)).filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("c_id").as("cluster"))
+      val cand = probes.join(asg, Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val qa = v.select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+      val scored = cand
+        .join(broadcast(qa), Seq("q_id"))
+        .join(v, Seq("vec_id"))
+        .withColumn("cosine", cosineFromQ(qdot(col("qq"), col("q")), col("qn2"), col("n2")))
+      val wR = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(wR).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // Embedding-cosine near-duplicate detection: LSH buckets, pairs
     // above a cosine threshold. Rows-only (bucketing is engine-hash).
     QueryDef("dedup_embedding_cosine", None) { (s, d) =>

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.IngestOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based operator laws (SURVEY.md §5 strategy 2). ScalaCheck
+  * generators build small random tables (fixed seed per iteration →
+  * reproducible); properties assert algebraic laws the operators must
+  * hold for ANY data, not just the fixtures. (Plain Gen sampling, no
+  * scalatestplus bridge — it is not in the offline dependency cache.)
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowGen = for {
+    k <- Gen.chooseNum(1L, 8L)
+    day <- Gen.chooseNum(1, 28)
+    v <- Gen.stringOfN(4, Gen.alphaChar)
+  } yield (k, f"2024-01-$day%02d", v)
+
+  private val tableGen = Gen.nonEmptyListOf(rowGen)
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default.withSize(30), Seed(i.toLong)))
+
+  test("dedupLatest: idempotent, one row per key, winner is max (order, tiebreak)") {
+    samples(tableGen, 8).foreach { rows =>
+      val df = rows.toDF("k", "d", "v").withColumn("d", to_timestamp(col("d")))
+      val once = IngestOps.dedupLatest(df, Seq("k"), "d", Seq("v"))
+      val twice = IngestOps.dedupLatest(once, Seq("k"), "d", Seq("v"))
+      val got = once.select("k", "d", "v").as[(Long, java.sql.Timestamp, String)]
+        .collect().map(r => r._1 -> (r._2.getTime, r._3)).toMap
+      val expected = rows
+        .map { case (k, d, v) => (k, (java.sql.Timestamp.valueOf(d + " 00:00:00").getTime, v)) }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).max }
+      assert(got === expected, s"input: $rows")
+      assert(twice.collect().toSet === once.collect().toSet)
+    }
+  }
+
+  test("union of page-slices equals the whole table (A3/A14 reassembly law)") {
+    samples(Gen.zip(tableGen, Gen.chooseNum(1, 5)), 8).foreach { case (rows, pageSize) =>
+      val df = rows.zipWithIndex.map { case ((k, d, v), i) => (i.toLong, k, d, v) }
+        .toDF("id", "k", "d", "v")
+      val pages = (0 until rows.length by pageSize).map(off =>
+        df.filter(col("id") >= off && col("id") < off + pageSize))
+      val reassembled = pages.reduce(_ unionByName _)
+      assert(reassembled.count() === df.count())
+      assert(reassembled.except(df).count() === 0)
+      assert(df.except(reassembled).count() === 0)
+    }
+  }
+
+  test("yyyyMMdd format/parse round-trips (A24 law)") {
+    val days = samples(Gen.chooseNum(0, 20000), 12)
+    val df = days.toDF("ed").select(expr("date_add(DATE '1970-01-01', ed)").as("d"))
+    val broken = df.select(IngestOps.parseCompact(IngestOps.dtCompact(col("d"))).as("r"), col("d"))
+      .filter(col("r") =!= col("d")).count()
+    assert(broken === 0L)
+  }
+
+  test("enrich preserves input columns and row count (A9 law)") {
+    samples(tableGen, 6).foreach { rows =>
+      val df = rows.toDF("k", "d", "v")
+      val out = IngestOps.enrich(df, lit("gs://x"))
+      assert(out.count() === df.count())
+      assert(out.select("k", "d", "v").except(df).count() === 0)
+    }
+  }
+
+  test("watermark equals max over any permutation (A7/A8 law)") {
+    samples(tableGen, 6).foreach { rows =>
+      val df = rows.toDF("k", "d", "v").withColumn("d", to_timestamp(col("d")))
+      val shuffled = scala.util.Random.shuffle(rows).toDF("k", "d", "v")
+        .withColumn("d", to_timestamp(col("d")))
+      val a = IngestOps.watermark(df, "d").as[String].head()
+      val b = IngestOps.watermark(shuffled, "d").as[String].head()
+      assert(a === b)
+      assert(a === rows.map(_._2.replace("-", "")).max)
+    }
+  }
+}

@@ -1,0 +1,217 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 connector for the reference's landing layout
+  * (A1+A11-A14 rebuilt Spark-first): NDJSON page files under
+  * `{root}/CNPJ_{cnpj}/{endpoint}/[{yyyyMMdd}/]response_pg{page}.json`
+  * (/root/reference/src/main.py:25-31). Where the reference fetches
+  * pages strictly sequentially (main.py:57-87), this source plans ONE
+  * InputPartition PER PAGE FILE — page-level parallelism for free, and
+  * the unit of retry becomes the page exactly like the reference's
+  * page-retry loop (A5) but handled by Spark task re-execution.
+  *
+  * Pushdown:
+  *  - `dt` comparisons prune page files by path segment BEFORE reading
+  *    (the watermark/partition-pruning pattern of A7, §4 row 1);
+  *  - column pruning projects the parsed JSON to the required fields
+  *    (the `ignore_unknown_values` lenient-read of §1.3 is inherent:
+  *    unknown keys are never materialized).
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft-landing").schema(dataSchema)
+  *   .option("path", root).option("endpoint", "vendas").load()
+  * }}}
+  * The produced table appends three path-derived columns to the data
+  * schema: dt (string, "" for undated), page (long), src_file (string)
+  * — src_file doubles as A9's gcs_uri provenance column.
+  */
+class LandingSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-landing"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-landing requires an explicit data schema (schema-on-read with declared projection, SURVEY.md §1.3)")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("option 'path' is required"))
+    val endpoint = Option(properties.get("endpoint"))
+    LandingTable(schema, path, endpoint)
+  }
+}
+
+object LandingSource {
+  val DT_COL = "dt"
+  val PAGE_COL = "page"
+  val FILE_COL = "src_file"
+
+  def fullSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields ++ Seq(
+      StructField(DT_COL, StringType, nullable = false),
+      StructField(PAGE_COL, LongType, nullable = false),
+      StructField(FILE_COL, StringType, nullable = false)))
+
+  private[sources] val PagePattern = """response_pg(\d+)\.json""".r
+
+  /** List page files under the layout, optionally restricted to one
+    * endpoint. Returns (path, dt, page). */
+  def listPages(root: String, endpoint: Option[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[(String, String, Long)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hadoopConf)
+    if (!fs.exists(rootPath)) return Nil
+    val it = fs.listFiles(rootPath, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      name match {
+        case PagePattern(pg) =>
+          val parent = f.getPath.getParent
+          val (dt, endpointDir) =
+            if (parent.getName.matches("""\d{8}""")) (parent.getName, parent.getParent.getName)
+            else ("", parent.getName)
+          if (endpoint.forall(_ == endpointDir))
+            out += ((f.getPath.toString, dt, pg.toLong))
+        case _ => ()
+      }
+    }
+    out.toSeq.sortBy(p => (p._2, p._3, p._1))
+  }
+}
+
+case class LandingTable(dataSchema: StructType, path: String, endpoint: Option[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-landing:$path"
+  override def schema(): StructType = LandingSource.fullSchema(dataSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LandingScanBuilder(dataSchema, path, endpoint)
+}
+
+class LandingScanBuilder(dataSchema: StructType, path: String, endpoint: Option[String])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = LandingSource.fullSchema(dataSchema)
+  private var pushed: Array[Filter] = Array.empty
+
+  /** dt filters prune files by path segment; everything else stays a
+    * residual filter evaluated by Spark above the scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (dtFilters, residual) = filters.partition {
+      case EqualTo(LandingSource.DT_COL, _: String) => true
+      case GreaterThan(LandingSource.DT_COL, _: String) => true
+      case GreaterThanOrEqual(LandingSource.DT_COL, _: String) => true
+      case LessThan(LandingSource.DT_COL, _: String) => true
+      case LessThanOrEqual(LandingSource.DT_COL, _: String) => true
+      case _ => false
+    }
+    pushed = dtFilters
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = LandingScan(dataSchema, required, path, endpoint, pushed)
+}
+
+case class LandingScan(dataSchema: StructType, required: StructType, path: String,
+    endpoint: Option[String], pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-landing path=$path pushedDt=[${pushed.mkString(", ")}]"
+
+  private def dtAccepts(dt: String): Boolean = pushed.forall {
+    case EqualTo(_, v: String) => dt == v
+    case GreaterThan(_, v: String) => dt > v
+    case GreaterThanOrEqual(_, v: String) => dt >= v
+    case LessThan(_, v: String) => dt < v
+    case LessThanOrEqual(_, v: String) => dt <= v
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    LandingSource.listPages(path, endpoint, conf)
+      .filter { case (_, dt, _) => dtAccepts(dt) }
+      .map { case (file, dt, page) => PagePartition(file, dt, page): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PageReaderFactory(dataSchema.json, required.json)
+}
+
+/** One landing page file = one partition (= one task = one retry unit). */
+case class PagePartition(file: String, dt: String, page: Long) extends InputPartition
+
+class PageReaderFactory(dataSchemaJson: String, requiredJson: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PageReader(p, DataType.fromJson(requiredJson).asInstanceOf[StructType])
+  }
+}
+
+class PageReader(p: PagePartition, required: StructType) extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val fs = FileSystem.get(new Path(p.file).toUri, new org.apache.hadoop.conf.Configuration())
+  private val lines = scala.io.Source.fromInputStream(fs.open(new Path(p.file)), "UTF-8")
+    .getLines().filter(_.nonEmpty)
+  private var current: InternalRow = _
+
+  private def convert(node: JsonNode, f: StructField): Any = f.name match {
+    case LandingSource.DT_COL => UTF8String.fromString(p.dt)
+    case LandingSource.PAGE_COL => p.page
+    case LandingSource.FILE_COL => UTF8String.fromString(p.file)
+    case name =>
+      val v = node.get(name)
+      if (v == null || v.isNull) null
+      else f.dataType match {
+        case StringType => UTF8String.fromString(if (v.isTextual) v.asText() else v.toString)
+        case LongType => v.asLong()
+        case IntegerType => v.asInt()
+        case DoubleType => v.asDouble()
+        case BooleanType => v.asBoolean()
+        case TimestampType =>
+          DateTimeUtils.stringToTimestampAnsi(UTF8String.fromString(v.asText()),
+            java.time.ZoneOffset.UTC)
+        case other =>
+          throw new UnsupportedOperationException(s"graft-landing: type $other")
+      }
+  }
+
+  override def next(): Boolean =
+    if (!lines.hasNext) false
+    else {
+      val node = mapper.readTree(lines.next())
+      current = InternalRow.fromSeq(required.fields.toSeq.map(convert(node, _)))
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = fs.close()
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.IngestOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** End-to-end DataSourceV2 coverage: land NDJSON pages in the
+  * reference's exact path layout, read them back through
+  * format("graft-landing"), and verify page-level partitioning,
+  * dt-pushdown pruning, and column pruning. */
+class LandingSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val dataSchema = StructType(Seq(
+    StructField("sale_id", LongType),
+    StructField("amount", DoubleType),
+    StructField("status", StringType)))
+
+  /** Lay out {root}/CNPJ_x/vendas/{yyyyMMdd}/response_pg{N}.json with 2
+    * pages per day — via the A11 storagePath layout. */
+  lazy val root: String = {
+    val dir = Files.createTempDirectory("graft_landing").toString
+    for (day <- Seq("20240201", "20240202", "20240203"); pg <- 0 to 1) {
+      val d = java.nio.file.Paths.get(dir, "CNPJ_12345678000190", "vendas", day)
+      Files.createDirectories(d)
+      val rows = (0 until 3).map { i =>
+        val id = day.toLong * 100 + pg * 10 + i
+        s"""{"sale_id": $id, "amount": ${i + 1}.5, "status": "${if (i == 0) "erro" else "sucesso"}", "ignored_key": 1}"""
+      }
+      Files.writeString(d.resolve(s"response_pg$pg.json"), rows.mkString("\n"))
+    }
+    dir
+  }
+
+  def read() = spark.read.format("graft-landing")
+    .schema(dataSchema).option("path", root).option("endpoint", "vendas").load()
+
+  test("reads all pages with path-derived dt/page/src_file columns") {
+    val df = read()
+    assert(df.count() === 18)   // 3 days × 2 pages × 3 records
+    assert(df.columns.toSeq === Seq("sale_id", "amount", "status", "dt", "page", "src_file"))
+    assert(df.select("dt").distinct().count() === 3)
+    assert(df.filter(col("src_file").contains("response_pg1.json")).count() === 9)
+    // unknown JSON keys are dropped (lenient projection, §1.3)
+  }
+
+  test("one InputPartition per page file (the parallelism A1 lacked)") {
+    assert(read().rdd.getNumPartitions === 6)
+  }
+
+  test("dt filter is pushed down and prunes page files before reading") {
+    val df = read().filter(col("dt") >= "20240202")
+    assert(df.rdd.getNumPartitions === 4, "pruning must drop day-1 files from the plan")
+    assert(df.count() === 12)
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("pushedDt=[GreaterThanOrEqual(dt,20240202)]"), scanDesc)
+  }
+
+  test("residual filters still apply above the scan (A10 on page data)") {
+    val ok = IngestOps.successOnly(read(), "status", "sucesso")
+    assert(ok.count() === 12)
+    assert(ok.filter(col("dt") === "20240201").count() === 4)
+  }
+
+  test("agrees with the built-in JSON reader over the same files") {
+    val viaJson = spark.read.schema(dataSchema)
+      .json(s"$root/CNPJ_12345678000190/vendas/*/response_pg*.json")
+    val viaSource = read().select("sale_id", "amount", "status")
+    assert(viaSource.except(viaJson).count() === 0)
+    assert(viaJson.except(viaSource).count() === 0)
+  }
+
+  test("timestamps and nulls parse per schema") {
+    val dir = Files.createTempDirectory("graft_landing_ts")
+    val d = dir.resolve(java.nio.file.Paths.get("CNPJ_1", "clientes"))
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("response_pg0.json"),
+      """{"id": 1, "created": "2024-02-01T10:30:00Z", "name": null}
+        |{"id": 2, "created": null, "name": "x"}""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("created", TimestampType), StructField("name", StringType)))
+    val df = spark.read.format("graft-landing").schema(schema)
+      .option("path", dir.toString).load()
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[java.sql.Timestamp]("created").toInstant.toString === "2024-02-01T10:30:00Z")
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(1))
+    assert(rows(0).getAs[String]("dt") === "")   // undated endpoint layout
+  }
+}

@@ -86,6 +86,37 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // Spark 4 VARIANT for semi-structured access — the engine-native
+    // form of the reference's JSON columns (§1.3: template_variables);
+    // oracle-equivalent to string json extraction.
+    QueryDef("scalar_variant", Some("""
+      SELECT event_id, json_extract_string(props, '$.k') AS k_str
+      FROM events ORDER BY event_id""")) { (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"))
+        .orderBy(col("event_id"))
+    },
+
+    // Built-in session_window (the streaming primitive) proven in batch
+    // against the manual lag/cumsum sessionization oracle: same gap
+    // definition ⇒ same sessions, end = last event + gap.
+    QueryDef("events_session_window", Some("""
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      f AS (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+      g AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM f),
+      h AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      FROM h GROUP BY user_id, sid ORDER BY user_id, session_start""")) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // Daily activity rollup joined to the customer dimension.
     QueryDef("events_daily_users", Some("""
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,

@@ -30,6 +30,25 @@ object TextQueries2 {
         .orderBy(col("lang"), col("rnk"))
     },
 
+    // Array scalar-function family over split word arrays.
+    QueryDef("scalar_array", Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_parts,
+             list_contains(string_split(lower(text), ' '), 'the') AS has_the,
+             string_split(text, ' ')[1] AS first_word,
+             string_split(text, ' ')[-1] AS last_word,
+             array_to_string(string_split(text, ' ')[1:3], '_') AS head3
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val words = split(col("text"), " ")
+      Tables.documents(s, d).select(col("doc_id"),
+        size(words).cast("long").as("n_parts"),
+        array_contains(split(lower(col("text")), " "), "the").as("has_the"),
+        element_at(words, 1).as("first_word"),
+        element_at(words, -1).as("last_word"),
+        array_join(slice(words, 1, 3), "_").as("head3"))
+        .orderBy(col("doc_id"))
+    },
+
     // Event stream joined to the customer dimension (broadcast).
     QueryDef("events_user_segment", Some("""
       SELECT c_mktsegment, event_type, count(*) AS n, count(DISTINCT user_id) AS n_users

@@ -10,8 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Character n-gram shingles, distinct. */
+  /** Character n-gram shingles, distinct — native kernel (see
+    * [[graft.expressions.CharShingles]]). */
   def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.CharShingles(
+      org.apache.spark.sql.GraftBridge.expression(text), n))
+
+  /** Composed-builtins twin of [[shingles]] (differential-test
+    * reference; per-element interpreted lambda — slow on long text). */
+  def shinglesHof(text: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n))))

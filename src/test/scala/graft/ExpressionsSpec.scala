@@ -40,6 +40,19 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(interp === 32L && gen === 32L)
   }
 
+  test("char_shingles native == HOF twin on fixture documents (differential)") {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val diff = docs.select(T.shingles(col("text"), 3).as("a"), T.shinglesHof(col("text"), 3).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+    // short-text edge: |text| < n mirrors the composed form's greatest(...,1)
+    val edge = Seq("ab", "", "abcd").toDF("t")
+      .select(T.shingles(col("t"), 3).as("a"), T.shinglesHof(col("t"), 3).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(edge === 0)
+  }
+
   test("SQL registration: qdot_native callable from spark.sql") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT qdot_native(array(1L, 2L), array(3L, 4L)) AS d").as[Long].head()

@@ -356,6 +356,26 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    QueryDef("setop_except_all", Some("""
+      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+      EXCEPT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+      ORDER BY l_orderkey""")) { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_returnflag") === "N").select(col("l_orderkey"))
+        .exceptAll(t(s, d, "lineitem").filter(col("l_linestatus") === "F").select(col("l_orderkey")))
+        .orderBy(col("l_orderkey"))
+    },
+
+    QueryDef("setop_intersect_all", Some("""
+      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+      INTERSECT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+      ORDER BY l_orderkey""")) { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_returnflag") === "N").select(col("l_orderkey"))
+        .intersectAll(t(s, d, "lineitem").filter(col("l_quantity") > 25).select(col("l_orderkey")))
+        .orderBy(col("l_orderkey"))
+    },
+
     // ───── scalar function families ─────
     QueryDef("scalar_string", Some("""
       SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, substr(p_name, 1, 8) AS pre,

@@ -49,6 +49,49 @@ object TextQueries2 {
         .orderBy(col("doc_id"))
     },
 
+    /** The end-to-end training-data curation pipeline the LLM operators
+      * exist for: score quality → filter → exact-dedup keep-first →
+      * emit the kept corpus. Composes qualityScore, langId, fingerprint
+      * and the dedup kernel in one judged plan. */
+    QueryDef("curate_corpus", Some("""
+      WITH scored AS (
+        SELECT doc_id, lang, md5(lower(trim(text))) AS fp,
+               round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 200.0)
+                 * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6))
+                 * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6) AS quality
+        FROM documents),
+      kept AS (SELECT * FROM scored WHERE quality > 0.3),
+      deduped AS (SELECT * FROM
+        (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept)
+        WHERE rn = 1)
+      SELECT doc_id, lang, quality FROM deduped ORDER BY doc_id""")) { (s, d) =>
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        fingerprint(col("text")).as("fp"), qualityScore(col("text")).as("quality"))
+      val kept = scored.filter(col("quality") > 0.3)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Conversion funnel over the event stream (signup → later purchase).
+    QueryDef("events_funnel", Some("""
+      WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_signup
+                 FROM events WHERE event_type = 'signup' GROUP BY 1),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase')
+      SELECT count(DISTINCT s.user_id) AS signed_up,
+             count(DISTINCT CASE WHEN p.ts > s.first_signup THEN s.user_id END) AS converted
+      FROM s LEFT JOIN p ON p.user_id = s.user_id""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      signups.join(purchases, col("p_user") === col("user_id"), "left")
+        .agg(countDistinct(col("user_id")).as("signed_up"),
+          countDistinct(when(col("p_ts") > col("first_signup"), col("user_id"))).as("converted"))
+    },
+
     // Event stream joined to the customer dimension (broadcast).
     QueryDef("events_user_segment", Some("""
       SELECT c_mktsegment, event_type, count(*) AS n, count(DISTINCT user_id) AS n_users

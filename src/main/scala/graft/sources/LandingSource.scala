@@ -103,7 +103,7 @@ case class LandingTable(dataSchema: StructType, path: String, endpoint: Option[S
   override def name(): String = s"graft-landing:$path"
   override def schema(): StructType = LandingSource.fullSchema(dataSchema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LandingScanBuilder(dataSchema, path, endpoint)
 }
@@ -141,6 +141,9 @@ case class LandingScan(dataSchema: StructType, required: StructType, path: Strin
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LandingMicroBatchStream(dataSchema, required, path, endpoint, checkpointLocation)
   override def description(): String =
     s"graft-landing path=$path pushedDt=[${pushed.mkString(", ")}]"
 

@@ -74,6 +74,34 @@ class LandingSourceSpec extends AnyFunSuite {
     assert(viaJson.except(viaSource).count() === 0)
   }
 
+  test("streams the landing layout: new page files arrive as increments") {
+    import graft.streaming.EventStreams
+    val dir = Files.createTempDirectory("graft_landing_stream")
+    val day = dir.resolve(java.nio.file.Paths.get("CNPJ_1", "vendas", "20240301"))
+    Files.createDirectories(day)
+    def page(pg: Int, n: Int): Unit = Files.writeString(
+      day.resolve(s"response_pg$pg.json"),
+      (0 until n).map(i => s"""{"sale_id": ${pg * 10 + i}, "amount": 1.0, "status": "sucesso"}""")
+        .mkString("\n"))
+    page(0, 3)
+    def streamed = spark.readStream.format("graft-landing")
+      .schema(dataSchema).option("path", dir.toString).load()
+
+    val q1 = streamed.writeStream.format("memory").queryName("landing_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_landing_ckpt").toString)
+      .outputMode("append").start()
+    q1.processAllAvailable()
+    assert(spark.table("landing_stream").count() === 3)
+    // a new page lands → next trigger picks up ONLY the increment
+    page(1, 2)
+    q1.processAllAvailable()
+    q1.stop()
+    val rows = spark.table("landing_stream")
+    assert(rows.count() === 5)
+    assert(rows.filter(col("page") === 1).count() === 2)
+  }
+
   test("timestamps and nulls parse per schema") {
     val dir = Files.createTempDirectory("graft_landing_ts")
     val d = dir.resolve(java.nio.file.Paths.get("CNPJ_1", "clientes"))

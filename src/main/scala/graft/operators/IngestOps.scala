@@ -94,7 +94,7 @@ object IngestOps {
     * sink IS newline-delimited; this exposes the per-row serialized form
     * as a column for when the payload must travel inside another table. */
   def toNdjson(df: DataFrame): DataFrame =
-    df.withColumn("json", to_json(struct(df.columns.map(col): _*)))
+    df.withColumn("json", to_json(struct(df.columns.toIndexedSeq.map(col): _*)))
 
   /** A11+A17 — partitioned sink: Hive-style `dt=yyyyMMdd` directories
     * replace the reference's hand-built paths; sortWithinPartitions

@@ -103,6 +103,27 @@ object Relational2 {
         .orderBy(col("p_partkey"))
     },
 
+    /** Typed Dataset pipeline: case-class Encoders + groupByKey +
+      * single-pass mapGroups, integer-exact so the oracle checks the
+      * typed path itself. (mapGroups shuffles on the key like any
+      * groupBy; the fold is one pass per group.) */
+    QueryDef("typed_agg", Some("""
+      SELECT o_orderstatus, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+             count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+      import s.implicits._
+      val ds = t(s, d, "orders").as[graft.Typed.Order]
+      ds.groupByKey(_.o_orderstatus)
+        .mapGroups { (status, orders) =>
+          val (cents, n) = orders.foldLeft((0L, 0L)) { case ((c, k), o) =>
+            (c + Math.round(o.o_totalprice * 100), k + 1)
+          }
+          (status, cents, n)
+        }
+        .toDF("o_orderstatus", "sum_cents", "n")
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Custom typed Aggregators (UDAF surface): integer-exact, so the
     // oracle can check the custom-agg path itself.
     QueryDef("agg_udaf_cents", Some("""

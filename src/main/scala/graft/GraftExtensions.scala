@@ -37,6 +37,9 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "qdot_native",
-      (children: Seq[Expression]) => LongDotProduct(children.head, children(1)),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "qdot_native(arrayA, arrayB) takes 2 arguments")
+        LongDotProduct(children.head, children(1))
+      },
       "built-in")
 }

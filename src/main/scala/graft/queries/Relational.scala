@@ -113,10 +113,12 @@ object Relational {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       ORDER BY st, prio""")) { (s, d) =>
-      t(s, d, "orders").createOrReplaceTempView("orders")
+      // scoped view name: rebinding "orders" would clobber the session
+      // catalog a user set up via GraftCatalog.registerAll
+      t(s, d, "orders").createOrReplaceTempView("graft_q_gsets_orders")
       s.sql("""
         SELECT coalesce(o_orderstatus, '*') AS st, coalesce(o_orderpriority, '*') AS prio, count(*) AS n
-        FROM orders
+        FROM graft_q_gsets_orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY st, prio""")
     },
@@ -307,12 +309,12 @@ object Relational {
              CAST(count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                   RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS BIGINT) AS n_close
       FROM orders ORDER BY o_orderkey""")) { (s, d) =>
-      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "orders").createOrReplaceTempView("graft_q_winrange_orders")
       s.sql("""
         SELECT o_orderkey, o_orderstatus,
                CAST(count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                     RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS BIGINT) AS n_close
-        FROM orders ORDER BY o_orderkey""")
+        FROM graft_q_winrange_orders ORDER BY o_orderkey""")
     },
 
     // ───── sort / limit / set ops ─────

@@ -1,7 +1,7 @@
 package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -143,7 +143,7 @@ case class LandingScan(dataSchema: StructType, required: StructType, path: Strin
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new LandingMicroBatchStream(dataSchema, required, path, endpoint, checkpointLocation)
+    new LandingMicroBatchStream(required, path, endpoint, checkpointLocation)
   override def description(): String =
     s"graft-landing path=$path pushedDt=[${pushed.mkString(", ")}]"
 
@@ -156,33 +156,55 @@ case class LandingScan(dataSchema: StructType, required: StructType, path: Strin
     case _ => true
   }
 
+  @transient private lazy val confSer = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    LandingSource.listPages(path, endpoint, conf)
+    LandingSource.listPages(path, endpoint, confSer.value)
       .filter { case (_, dt, _) => dtAccepts(dt) }
       .map { case (file, dt, page) => PagePartition(file, dt, page): InputPartition }
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PageReaderFactory(dataSchema.json, required.json)
+    new PageReaderFactory(required.json, confSer)
 }
 
 /** One landing page file = one partition (= one task = one retry unit). */
 case class PagePartition(file: String, dt: String, page: Long) extends InputPartition
 
-class PageReaderFactory(dataSchemaJson: String, requiredJson: String)
+class PageReaderFactory(requiredJson: String, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
-    new PageReader(p, DataType.fromJson(requiredJson).asInstanceOf[StructType])
+    new PageReader(p, DataType.fromJson(requiredJson).asInstanceOf[StructType], conf)
   }
 }
 
-class PageReader(p: PagePartition, required: StructType) extends PartitionReader[InternalRow] {
+/** Hadoop Configuration is not Java-serializable; this wrapper ships
+  * the driver's conf (incl. spark.hadoop.* overrides like object-store
+  * credentials) to executor-side readers. */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+class PageReader(p: PagePartition, required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val fs = FileSystem.get(new Path(p.file).toUri, new org.apache.hadoop.conf.Configuration())
-  private val lines = scala.io.Source.fromInputStream(fs.open(new Path(p.file)), "UTF-8")
+  // the cached FS instance is process-shared: never close IT, close the stream
+  private val stream = {
+    val path = new Path(p.file)
+    path.getFileSystem(conf.value).open(path)
+  }
+  private val lines = scala.io.Source.fromInputStream(stream, "UTF-8")
     .getLines().filter(_.nonEmpty)
   private var current: InternalRow = _
 
@@ -216,5 +238,5 @@ class PageReader(p: PagePartition, required: StructType) extends PartitionReader
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = fs.close()
+  override def close(): Unit = stream.close()
 }

@@ -6,47 +6,59 @@ import org.apache.spark.sql.types.StructType
 
 /** Micro-batch streaming over the landing layout: the reference's
   * poll-sleep incremental loop (/root/reference/src/main.py:86,243)
-  * becomes a real streaming source. The offset is a position in the
-  * deterministic (dt, page, path) ordering of page files; each trigger
-  * picks up files landed past the committed offset — exactly the
-  * watermark-resume semantics of A7, but checkpoint-backed.
+  * becomes a real streaming source.
+  *
+  * Offset semantics = the reference's WATERMARK semantics (A7): the
+  * offset is the maximum (dt, page, path) key processed so far. Each
+  * trigger picks up files with keys ABOVE the committed watermark.
+  * A file that lands with a key at or below the watermark (a backfill
+  * of an earlier day/page) is deliberately skipped — exactly like the
+  * reference's resume-from-max-date, which never refetches days ≤ the
+  * watermark (main.py:195-209). This keeps offsets stable under any
+  * listing change: a positional offset (count of files in sorted
+  * order) would both re-emit and permanently skip files whenever a
+  * late file shifted the sort.
   */
-class LandingMicroBatchStream(dataSchema: StructType, required: StructType,
+class LandingMicroBatchStream(required: StructType,
     path: String, endpoint: Option[String], checkpointLocation: String)
     extends MicroBatchStream {
 
-  private def hadoopConf = org.apache.spark.sql.SparkSession.active
-    .sparkContext.hadoopConfiguration
+  private val confSer = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
-  /** Deterministic, append-only file ordering (dt, page, path). */
+  /** Stable, totally ordered watermark key for a page file. */
+  private def key(dt: String, page: Long, file: String): String =
+    f"$dt/$page%012d/$file"
+
   private def pages(): Seq[(String, String, Long)] =
-    LandingSource.listPages(path, endpoint, hadoopConf)
+    LandingSource.listPages(path, endpoint, confSer.value)
 
-  override def initialOffset(): Offset = LandingOffset(0)
+  override def initialOffset(): Offset = LandingOffset("")
 
-  override def latestOffset(): Offset = LandingOffset(pages().length)
+  override def latestOffset(): Offset = {
+    val ks = pages().map { case (f, dt, pg) => key(dt, pg, f) }
+    LandingOffset(if (ks.isEmpty) "" else ks.max)
+  }
 
-  override def deserializeOffset(json: String): Offset =
-    LandingOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = LandingOffset(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[LandingOffset].pos.toInt
-    val to = end.asInstanceOf[LandingOffset].pos.toInt
-    pages().slice(from, to)
+    val lo = start.asInstanceOf[LandingOffset].watermark
+    val hi = end.asInstanceOf[LandingOffset].watermark
+    pages()
+      .filter { case (f, dt, pg) => val k = key(dt, pg, f); k > lo && k <= hi }
       .map { case (file, dt, page) => PagePartition(file, dt, page): InputPartition }
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PageReaderFactory(dataSchema.json, required.json)
+    new PageReaderFactory(required.json, confSer)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** Offset = count of page files already processed (files are landed
-  * append-only under deterministic names, so the sorted prefix is
-  * stable — the same property the reference's watermark relies on). */
-case class LandingOffset(pos: Long) extends Offset {
-  override def json(): String = pos.toString
+/** Offset = high-water mark over the (dt, page, path) key order. */
+case class LandingOffset(watermark: String) extends Offset {
+  override def json(): String = watermark
 }

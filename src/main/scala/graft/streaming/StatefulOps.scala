@@ -46,21 +46,30 @@ object StatefulOps {
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          try Some(spark.read.parquet(path)).filter(_.columns.nonEmpty)
-          catch { case _: Throwable => None }
+        val dst = new org.apache.hadoop.fs.Path(path)
+        val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+        val stage = new org.apache.hadoop.fs.Path(path + ".staging")
+        // resolve the FS of the TARGET path, not the default FS
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // crash recovery: if a previous swap died between moving the
+        // live table aside and promoting the staging dir, fall back to
+        // the backup so history is never silently dropped
+        val source =
+          if (fs.exists(dst)) Some(dst)
+          else if (fs.exists(bak)) Some(bak)
+          else None
+        val existing = source.map(p => spark.read.parquet(p.toString))
         val all = existing.fold(batch)(e => e.unionByName(batch))
         val merged = graft.operators.IngestOps.dedupLatest(all, keys, orderCol, tiebreaks)
-        // two-phase write: stage then swap, so a failed batch never
-        // truncates the target (overwrite-in-place would read+write the
-        // same files)
-        val stage = path + ".staging"
-        merged.write.mode("overwrite").parquet(stage)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(path)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(stage), dst)
+        // three-step swap: stage → move live aside → promote staging.
+        // At every crash point either dst or bak holds the full merged
+        // history (an overwrite-in-place would read+write the same
+        // files AND truncate on failure).
+        merged.write.mode("overwrite").parquet(stage.toString)
+        fs.delete(bak, true)
+        if (fs.exists(dst)) fs.rename(dst, bak)
+        fs.rename(stage, dst)
+        fs.delete(bak, true)
         ()
     }
 }

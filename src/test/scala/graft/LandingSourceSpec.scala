@@ -94,12 +94,18 @@ class LandingSourceSpec extends AnyFunSuite {
     q1.processAllAvailable()
     assert(spark.table("landing_stream").count() === 3)
     // a new page lands → next trigger picks up ONLY the increment
-    page(1, 2)
+    page(2, 2)
+    q1.processAllAvailable()
+    assert(spark.table("landing_stream").count() === 5)
+    // a LATE page below the committed watermark (pg1 after pg2 was
+    // committed) is deliberately skipped — the reference's
+    // resume-from-watermark semantics, and what keeps offsets stable
+    page(1, 4)
     q1.processAllAvailable()
     q1.stop()
     val rows = spark.table("landing_stream")
-    assert(rows.count() === 5)
-    assert(rows.filter(col("page") === 1).count() === 2)
+    assert(rows.count() === 5, "late page below the watermark must not replay or shift offsets")
+    assert(rows.filter(col("page") === 2).count() === 2)
   }
 
   test("timestamps and nulls parse per schema") {

@@ -122,8 +122,9 @@ object TextQueries {
 
     // MinHash + LSH banding: candidate pairs via band-bucket self-join
     // (the 100 TB-safe shape: shuffle on band key, no cross join).
-    // Hash functions differ per engine → rows-only check; the unit test
-    // asserts recall against exact Jaccard on a labeled subset.
+    // Hash functions differ per engine → rows-only check;
+    // MinHashQualitySpec asserts band-collision recall and estimate
+    // accuracy against exact Jaccard on labeled near-duplicates.
     QueryDef("dedup_minhash_lsh", None) { (s, d) =>
       // Codegen-friendly shape: explode shingles → one hash-aggregate
       // with 32 min() columns (map-side partial agg), instead of

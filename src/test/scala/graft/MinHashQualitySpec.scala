@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality bounds for the approximate near-dup pipeline on labeled
+  * synthetic docs: near-duplicates must collide in at least one LSH
+  * band and their MinHash estimate must track exact Jaccard;
+  * unrelated docs must score low. */
+class MinHashQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while the rain " +
+    "falls softly on the quiet village roofs and the river runs down to the sea"
+  private val nearDup = base.replace("quiet village", "sleepy town")   // small edit
+  private val unrelated = "completely different content about spark catalyst " +
+    "optimizer rules partition pruning and whole stage code generation internals"
+
+  private lazy val rows = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+    .toDF("doc_id", "text")
+    .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+    .withColumn("sig", minhashSignature(col("sh"), 32))
+    .withColumn("bands", bandKeys(col("sig"), 8, 4))
+    .collect()
+    .map(r => r.getLong(0) -> (r.getSeq[String](1).toSet,
+      r.getSeq[Long](2), r.getSeq[Int](3)))
+    .toMap
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size
+
+  private def estSim(a: Seq[Long], b: Seq[Long]): Double =
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+
+  test("near-duplicates collide in at least one band and estimate tracks exact Jaccard") {
+    val (shA, sigA, bandsA) = rows(1L)
+    val (shB, sigB, bandsB) = rows(2L)
+    val exact = jaccard(shA, shB)
+    assert(exact > 0.7, s"fixture sanity: near-dup pair should be similar, got $exact")
+    assert(bandsA.zip(bandsB).exists { case (x, y) => x == y },
+      "near-dup pair must share an LSH band bucket")
+    val est = estSim(sigA, sigB)
+    assert(math.abs(est - exact) < 0.25, s"est $est vs exact $exact")
+  }
+
+  test("unrelated docs score low and (typically) do not collide") {
+    val (shA, sigA, _) = rows(1L)
+    val (shC, sigC, _) = rows(3L)
+    val exact = jaccard(shA, shC)
+    assert(exact < 0.15)
+    assert(estSim(sigA, sigC) < 0.3)
+  }
+
+  test("the full dedup_minhash_lsh query surfaces constructed near-dups") {
+    // run the same pipeline shape as the judged query over a temp
+    // parquet table to prove the end-to-end candidate generation
+    val dir = java.nio.file.Files.createTempDirectory("graft_minhash").toString
+    Seq((1L, base, "en", "src", base.length.toLong),
+      (2L, nearDup, "en", "src", nearDup.length.toLong),
+      (3L, unrelated, "en", "src", unrelated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dedup_minhash_lsh")(spark, dir).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"pair (1,2) not found in ${out.toSeq}")
+    assert(!out.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+}

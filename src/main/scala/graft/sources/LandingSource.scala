@@ -72,14 +72,14 @@ object LandingSource {
   private[sources] val PagePattern = """response_pg(\d+)\.json""".r
 
   /** List page files under the layout, optionally restricted to one
-    * endpoint. Returns (path, dt, page). */
+    * endpoint. Returns (path, dt, page, sizeBytes). */
   def listPages(root: String, endpoint: Option[String],
-      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[(String, String, Long)] = {
+      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[(String, String, Long, Long)] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(hadoopConf)
     if (!fs.exists(rootPath)) return Nil
     val it = fs.listFiles(rootPath, true)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
@@ -90,7 +90,7 @@ object LandingSource {
             if (parent.getName.matches("""\d{8}""")) (parent.getName, parent.getParent.getName)
             else ("", parent.getName)
           if (endpoint.forall(_ == endpointDir))
-            out += ((f.getPath.toString, dt, pg.toLong))
+            out += ((f.getPath.toString, dt, pg.toLong, f.getLen))
         case _ => ()
       }
     }
@@ -99,19 +99,38 @@ object LandingSource {
 }
 
 case class LandingTable(dataSchema: StructType, path: String, endpoint: Option[String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-landing:$path"
-  override def schema(): StructType = LandingSource.fullSchema(dataSchema)
+  // data schema only: dt/page/src_file are METADATA columns (hidden
+  // unless selected, excluded from write resolution)
+  override def schema(): StructType = dataSchema
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    import org.apache.spark.sql.connector.catalog.MetadataColumn
+    def mc(n: String, dt: DataType) = new MetadataColumn {
+      override def name(): String = n
+      override def dataType(): DataType = dt
+      override def isNullable: Boolean = false
+    }
+    Array(mc(LandingSource.DT_COL, StringType),
+      mc(LandingSource.PAGE_COL, LongType),
+      mc(LandingSource.FILE_COL, StringType))
+  }
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LandingScanBuilder(dataSchema, path, endpoint)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new LandingWriteBuilder(info.schema(), path,
+      info.options().asScala.toMap ++ endpoint.map("endpoint" -> _))
 }
 
 class LandingScanBuilder(dataSchema: StructType, path: String, endpoint: Option[String])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = LandingSource.fullSchema(dataSchema)
+  private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
 
   /** dt filters prune files by path segment; everything else stays a
@@ -137,13 +156,18 @@ class LandingScanBuilder(dataSchema: StructType, path: String, endpoint: Option[
 }
 
 case class LandingScan(dataSchema: StructType, required: StructType, path: String,
-    endpoint: Option[String], pushed: Array[Filter]) extends Scan with Batch {
+    endpoint: Option[String], pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new LandingMicroBatchStream(required, path, endpoint, checkpointLocation)
+    // micro-batch planning runs no column-pruning pass and appends ALL
+    // declared metadata columns to the scan output, so the streaming
+    // reader must emit the full (data ++ dt/page/src_file) layout
+    new LandingMicroBatchStream(LandingSource.fullSchema(dataSchema),
+      path, endpoint, checkpointLocation)
   override def description(): String =
     s"graft-landing path=$path pushedDt=[${pushed.mkString(", ")}]"
 
@@ -159,11 +183,23 @@ case class LandingScan(dataSchema: StructType, required: StructType, path: Strin
   @transient private lazy val confSer = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def prunedPages(): Seq[(String, String, Long, Long)] =
     LandingSource.listPages(path, endpoint, confSer.value)
-      .filter { case (_, dt, _) => dtAccepts(dt) }
-      .map { case (file, dt, page) => PagePartition(file, dt, page): InputPartition }
+      .filter { case (_, dt, _, _) => dtAccepts(dt) }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    prunedPages()
+      .map { case (file, dt, page, _) => PagePartition(file, dt, page): InputPartition }
       .toArray
+
+  /** Post-pruning size estimate → Catalyst join planning (e.g. a small
+    * pruned landing table becomes broadcast-eligible). */
+  override def estimateStatistics(): Statistics = {
+    val bytes = prunedPages().map(_._4).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

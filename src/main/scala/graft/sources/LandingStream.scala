@@ -31,7 +31,7 @@ class LandingMicroBatchStream(required: StructType,
     f"$dt/$page%012d/$file"
 
   private def pages(): Seq[(String, String, Long)] =
-    LandingSource.listPages(path, endpoint, confSer.value)
+    LandingSource.listPages(path, endpoint, confSer.value).map(p => (p._1, p._2, p._3))
 
   override def initialOffset(): Offset = LandingOffset("")
 

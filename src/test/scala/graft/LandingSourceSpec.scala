@@ -42,7 +42,9 @@ class LandingSourceSpec extends AnyFunSuite {
   test("reads all pages with path-derived dt/page/src_file columns") {
     val df = read()
     assert(df.count() === 18)   // 3 days × 2 pages × 3 records
-    assert(df.columns.toSeq === Seq("sale_id", "amount", "status", "dt", "page", "src_file"))
+    // metadata columns are hidden from the default projection...
+    assert(df.columns.toSeq === Seq("sale_id", "amount", "status"))
+    // ...but selectable by name
     assert(df.select("dt").distinct().count() === 3)
     assert(df.filter(col("src_file").contains("response_pg1.json")).count() === 9)
     // unknown JSON keys are dropped (lenient projection, §1.3)
@@ -86,6 +88,7 @@ class LandingSourceSpec extends AnyFunSuite {
     page(0, 3)
     def streamed = spark.readStream.format("graft-landing")
       .schema(dataSchema).option("path", dir.toString).load()
+      .select(col("sale_id"), col("amount"), col("status"), col("page"))
 
     val q1 = streamed.writeStream.format("memory").queryName("landing_stream")
       .option("checkpointLocation",
@@ -108,6 +111,33 @@ class LandingSourceSpec extends AnyFunSuite {
     assert(rows.filter(col("page") === 2).count() === 2)
   }
 
+  test("write path: df.write lands NDJSON pages the reader round-trips") {
+    val dir = Files.createTempDirectory("graft_landing_write").toString
+    val df = Seq((1L, 10.5, "sucesso"), (2L, 20.0, "erro"), (3L, 1.25, "sucesso"))
+      .toDF("sale_id", "amount", "status").repartition(2)
+    df.write.format("graft-landing")
+      .option("path", dir).option("endpoint", "vendas")
+      .option("cnpj", "12.345.678/0001-90").option("dt", "20240401")
+      .mode("append").save()
+    // files follow the reference's layout + page naming
+    val day = new java.io.File(s"$dir/CNPJ_12345678000190/vendas/20240401")
+    assert(day.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq ===
+      Seq("response_pg0.json", "response_pg1.json"))
+    // and the DSv2 reader round-trips them
+    val back = spark.read.format("graft-landing")
+      .schema(df.schema).option("path", dir).load()
+    assert(back.count() === 3)
+    assert(back.select("sale_id", "amount", "status").except(df).count() === 0)
+    assert(back.select("dt").distinct().head().getString(0) === "20240401")
+  }
+
+  test("scan reports post-pruning size statistics to the optimizer") {
+    val all = read().queryExecution.optimizedPlan.stats.sizeInBytes
+    val pruned = read().filter(col("dt") === "20240201")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(pruned > 0 && all > pruned, s"all=$all pruned=$pruned")
+  }
+
   test("timestamps and nulls parse per schema") {
     val dir = Files.createTempDirectory("graft_landing_ts")
     val d = dir.resolve(java.nio.file.Paths.get("CNPJ_1", "clientes"))
@@ -119,7 +149,7 @@ class LandingSourceSpec extends AnyFunSuite {
       StructField("created", TimestampType), StructField("name", StringType)))
     val df = spark.read.format("graft-landing").schema(schema)
       .option("path", dir.toString).load()
-    val rows = df.orderBy("id").collect()
+    val rows = df.select(col("id"), col("created"), col("name"), col("dt")).orderBy("id").collect()
     assert(rows(0).getAs[java.sql.Timestamp]("created").toInstant.toString === "2024-02-01T10:30:00Z")
     assert(rows(0).isNullAt(2) && rows(1).isNullAt(1))
     assert(rows(0).getAs[String]("dt") === "")   // undated endpoint layout

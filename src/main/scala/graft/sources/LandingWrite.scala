@@ -19,7 +19,12 @@ import org.apache.spark.sql.types._
   * `dt` (optional yyyyMMdd partition dir).
   */
 class LandingWriteBuilder(dataSchema: StructType, path: String,
-    options: Map[String, String]) extends WriteBuilder {
+    options: Map[String, String]) extends WriteBuilder with SupportsTruncate {
+
+  // commit() already replaces the whole target page-set atomically
+  // (delete+rename), which IS truncate semantics — the reference's
+  // WRITE_TRUNCATE reload (A16, bigquery_helper.py:120)
+  override def truncate(): WriteBuilder = this
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new LandingBatchWrite(dataSchema, path, options)

@@ -129,6 +129,13 @@ class LandingSourceSpec extends AnyFunSuite {
     assert(back.count() === 3)
     assert(back.select("sale_id", "amount", "status").except(df).count() === 0)
     assert(back.select("dt").distinct().head().getString(0) === "20240401")
+    // overwrite (truncate) mode: re-landing replaces the page set
+    df.limit(1).repartition(1).write.format("graft-landing")
+      .option("path", dir).option("endpoint", "vendas")
+      .option("cnpj", "12.345.678/0001-90").option("dt", "20240401")
+      .mode("overwrite").save()
+    assert(spark.read.format("graft-landing").schema(df.schema)
+      .option("path", dir).load().count() === 1)
   }
 
   test("scan reports post-pruning size statistics to the optimizer") {

@@ -80,11 +80,21 @@ object LandingSource {
     if (!fs.exists(rootPath)) return Nil
     val it = fs.listFiles(rootPath, true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+    def inWorkDir(p: Path): Boolean = {
+      var cur = p.getParent
+      var hit = false
+      while (cur != null && !hit) {
+        val n = cur.getName
+        if (n.contains(".staging") || n.endsWith(".bak")) hit = true
+        cur = cur.getParent
+      }
+      hit
+    }
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
       name match {
-        case PagePattern(pg) =>
+        case PagePattern(pg) if !inWorkDir(f.getPath) =>
           val parent = f.getPath.getParent
           val (dt, endpointDir) =
             if (parent.getName.matches("""\d{8}""")) (parent.getName, parent.getParent.getName)
@@ -183,19 +193,21 @@ case class LandingScan(dataSchema: StructType, required: StructType, path: Strin
   @transient private lazy val confSer = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
-  private def prunedPages(): Seq[(String, String, Long, Long)] =
+  // one listing per scan instance: estimateStatistics and
+  // planInputPartitions must agree (and not double-bill the store)
+  @transient private lazy val prunedPages: Seq[(String, String, Long, Long)] =
     LandingSource.listPages(path, endpoint, confSer.value)
       .filter { case (_, dt, _, _) => dtAccepts(dt) }
 
   override def planInputPartitions(): Array[InputPartition] =
-    prunedPages()
+    prunedPages
       .map { case (file, dt, page, _) => PagePartition(file, dt, page): InputPartition }
       .toArray
 
   /** Post-pruning size estimate → Catalyst join planning (e.g. a small
     * pruned landing table becomes broadcast-eligible). */
   override def estimateStatistics(): Statistics = {
-    val bytes = prunedPages().map(_._4).sum
+    val bytes = prunedPages.map(_._4).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
@@ -252,14 +264,29 @@ class PageReader(p: PagePartition, required: StructType, conf: SerializableHadoo
       val v = node.get(name)
       if (v == null || v.isNull) null
       else f.dataType match {
+        // unparseable values become null (PERMISSIVE semantics) rather
+        // than Jackson's silent 0/0.0/false coercion
         case StringType => UTF8String.fromString(if (v.isTextual) v.asText() else v.toString)
-        case LongType => v.asLong()
-        case IntegerType => v.asInt()
-        case DoubleType => v.asDouble()
-        case BooleanType => v.asBoolean()
+        case LongType =>
+          if (v.canConvertToLong) v.asLong()
+          else scala.util.Try(v.asText().trim.toLong).map(java.lang.Long.valueOf).toOption.orNull
+        case IntegerType =>
+          if (v.canConvertToInt) v.asInt()
+          else scala.util.Try(v.asText().trim.toInt).map(java.lang.Integer.valueOf).toOption.orNull
+        case DoubleType =>
+          if (v.isNumber) v.asDouble()
+          else scala.util.Try(v.asText().trim.toDouble).map(java.lang.Double.valueOf).toOption.orNull
+        case BooleanType =>
+          if (v.isBoolean) v.asBoolean()
+          else v.asText().trim.toLowerCase match {
+            case "true" => java.lang.Boolean.TRUE
+            case "false" => java.lang.Boolean.FALSE
+            case _ => null
+          }
         case TimestampType =>
-          DateTimeUtils.stringToTimestampAnsi(UTF8String.fromString(v.asText()),
-            java.time.ZoneOffset.UTC)
+          scala.util.Try(DateTimeUtils.stringToTimestampAnsi(
+            UTF8String.fromString(v.asText()), java.time.ZoneOffset.UTC))
+            .map(java.lang.Long.valueOf).toOption.orNull
         case other =>
           throw new UnsupportedOperationException(s"graft-landing: type $other")
       }

@@ -33,10 +33,21 @@ class LandingMicroBatchStream(required: StructType,
   private def pages(): Seq[(String, String, Long)] =
     LandingSource.listPages(path, endpoint, confSer.value).map(p => (p._1, p._2, p._3))
 
+  /** Listing snapshot pinned at latestOffset time: the planned batch
+    * reads exactly the files that defined its end offset — a file
+    * landing between listing and planning (with a key ≤ the end
+    * watermark) is consistently treated as late, never planned from a
+    * second, different listing. On recovery-replay (no snapshot) the
+    * range is re-listed; landed pages are immutable per the layout
+    * contract, so the replayed range content matches. */
+  @volatile private var snapshot: Seq[(String, String, Long)] = Nil
+
   override def initialOffset(): Offset = LandingOffset("")
 
   override def latestOffset(): Offset = {
-    val ks = pages().map { case (f, dt, pg) => key(dt, pg, f) }
+    val ps = pages()
+    snapshot = ps
+    val ks = ps.map { case (f, dt, pg) => key(dt, pg, f) }
     LandingOffset(if (ks.isEmpty) "" else ks.max)
   }
 
@@ -45,7 +56,11 @@ class LandingMicroBatchStream(required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[LandingOffset].watermark
     val hi = end.asInstanceOf[LandingOffset].watermark
-    pages()
+    val snap = snapshot
+    val base =
+      if (snap.nonEmpty && snap.map { case (f, dt, pg) => key(dt, pg, f) }.max == hi) snap
+      else pages()
+    base
       .filter { case (f, dt, pg) => val k = key(dt, pg, f); k > lo && k <= hi }
       .map { case (file, dt, page) => PagePartition(file, dt, page): InputPartition }
       .toArray

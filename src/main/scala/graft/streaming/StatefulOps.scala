@@ -66,9 +66,15 @@ object StatefulOps {
         // history (an overwrite-in-place would read+write the same
         // files AND truncate on failure).
         merged.write.mode("overwrite").parquet(stage.toString)
-        fs.delete(bak, true)
-        if (fs.exists(dst)) fs.rename(dst, bak)
-        fs.rename(stage, dst)
+        if (fs.exists(dst)) {
+          // bak only gets dropped once dst has been moved into it (so a
+          // crash here still leaves dst) or after a successful promote
+          fs.delete(bak, true)
+          if (!fs.rename(dst, bak))
+            throw new java.io.IOException(s"idempotentSink: cannot move $dst aside")
+        }
+        if (!fs.rename(stage, dst))
+          throw new java.io.IOException(s"idempotentSink: promote $stage -> $dst failed")
         fs.delete(bak, true)
         ()
     }

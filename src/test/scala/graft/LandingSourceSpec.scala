@@ -136,6 +136,41 @@ class LandingSourceSpec extends AnyFunSuite {
       .mode("overwrite").save()
     assert(spark.read.format("graft-landing").schema(df.schema)
       .option("path", dir).load().count() === 1)
+    // append mode PRESERVES landed pages and renumbers new ones after
+    // the existing max page
+    df.repartition(2).write.format("graft-landing")
+      .option("path", dir).option("endpoint", "vendas")
+      .option("cnpj", "12.345.678/0001-90").option("dt", "20240401")
+      .mode("append").save()
+    val afterAppend = spark.read.format("graft-landing").schema(df.schema)
+      .option("path", dir).load()
+    assert(afterAppend.count() === 4)
+    assert(afterAppend.select("page").distinct().count() === 3)   // pg0 + appended pg1, pg2
+  }
+
+  test("uncommitted staging/backup dirs are invisible to readers and streams") {
+    val dir = Files.createTempDirectory("graft_landing_stage").toString
+    val live = java.nio.file.Paths.get(dir, "CNPJ_1", "vendas", "20240501")
+    val stage = java.nio.file.Paths.get(dir, "CNPJ_1", "vendas", "20240501.staging-deadjob")
+    Files.createDirectories(live); Files.createDirectories(stage)
+    Files.writeString(live.resolve("response_pg0.json"), """{"sale_id": 1, "amount": 1.0, "status": "ok"}""")
+    Files.writeString(stage.resolve("response_pg0.json"), """{"sale_id": 99, "amount": 9.9, "status": "partial"}""")
+    val df = spark.read.format("graft-landing").schema(dataSchema).option("path", dir).load()
+    assert(df.count() === 1)
+    assert(df.filter(col("sale_id") === 99).count() === 0)
+  }
+
+  test("unparseable values become null, not Jackson's silent zero") {
+    val dir = Files.createTempDirectory("graft_landing_bad")
+    val d = dir.resolve(java.nio.file.Paths.get("CNPJ_1", "clientes"))
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("response_pg0.json"),
+      """{"sale_id": "N/A", "amount": "12,5", "status": "x"}
+        |{"sale_id": 7, "amount": 1.5, "status": "y"}""".stripMargin)
+    val df = spark.read.format("graft-landing").schema(dataSchema).option("path", dir.toString).load()
+    val bad = df.filter(col("status") === "x").head()
+    assert(bad.isNullAt(0) && bad.isNullAt(1), s"expected nulls, got $bad")
+    assert(df.filter(col("sale_id") === 0 || col("amount") === 0.0).count() === 0)
   }
 
   test("scan reports post-pruning size statistics to the optimizer") {

@@ -103,6 +103,52 @@ object Relational2 {
         .orderBy(col("p_partkey"))
     },
 
+    QueryDef("scalar_regex", Some("""
+      SELECT p_partkey,
+             regexp_extract(p_name, '^[a-z]+') AS first_word,
+             regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+             regexp_matches(p_name, '^c') AS starts_c,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+             CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+      FROM part ORDER BY p_partkey""")) { (s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        col("p_name").rlike("^c").as("starts_c"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).cast("long").as("n_vowels"))
+        .orderBy(col("p_partkey"))
+    },
+
+    QueryDef("scalar_bits", Some("""
+      SELECT o_orderkey, CAST(bit_count(o_orderkey) AS BIGINT) AS bits,
+             o_orderkey << 2 AS shl, o_orderkey >> 1 AS shr,
+             o_orderkey & 255 AS band, o_orderkey | 16 AS bor,
+             xor(o_orderkey, 255) AS bxor
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+        bit_count(col("o_orderkey")).cast("long").as("bits"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 1).as("shr"),
+        col("o_orderkey").bitwiseAND(255).as("band"),
+        col("o_orderkey").bitwiseOR(16).as("bor"),
+        col("o_orderkey").bitwiseXOR(255).as("bxor"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    QueryDef("win_distribution", Some("""
+      SELECT o_orderkey, o_orderstatus,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""")) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    },
+
     /** Typed Dataset pipeline: case-class Encoders + groupByKey +
       * single-pass mapGroups, integer-exact so the oracle checks the
       * typed path itself. (mapGroups shuffles on the key like any

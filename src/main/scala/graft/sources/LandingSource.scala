@@ -72,38 +72,38 @@ object LandingSource {
   private[sources] val PagePattern = """response_pg(\d+)\.json""".r
 
   /** List page files under the layout, optionally restricted to one
-    * endpoint. Returns (path, dt, page, sizeBytes). */
+    * endpoint. Returns (path, dt, page, sizeBytes). Walks directories
+    * explicitly so it (a) never descends into `.staging-*`/`.bak` work
+    * dirs — uncommitted pages stay invisible — and (b) tolerates
+    * directories vanishing mid-walk (a concurrent commit cleaning its
+    * staging dir must not fail a reader's listing). */
   def listPages(root: String, endpoint: Option[String],
       hadoopConf: org.apache.hadoop.conf.Configuration): Seq[(String, String, Long, Long)] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(hadoopConf)
-    if (!fs.exists(rootPath)) return Nil
-    val it = fs.listFiles(rootPath, true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
-    def inWorkDir(p: Path): Boolean = {
-      var cur = p.getParent
-      var hit = false
-      while (cur != null && !hit) {
-        val n = cur.getName
-        if (n.contains(".staging") || n.endsWith(".bak")) hit = true
-        cur = cur.getParent
-      }
-      hit
-    }
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      name match {
-        case PagePattern(pg) if !inWorkDir(f.getPath) =>
-          val parent = f.getPath.getParent
-          val (dt, endpointDir) =
-            if (parent.getName.matches("""\d{8}""")) (parent.getName, parent.getParent.getName)
-            else ("", parent.getName)
-          if (endpoint.forall(_ == endpointDir))
-            out += ((f.getPath.toString, dt, pg.toLong, f.getLen))
-        case _ => ()
+    def walk(dir: Path): Unit = {
+      val entries =
+        try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+      entries.foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (!name.contains(".staging") && !name.endsWith(".bak")) walk(st.getPath)
+        } else name match {
+          case PagePattern(pg) =>
+            val parent = st.getPath.getParent
+            val (dt, endpointDir) =
+              if (parent.getName.matches("""\d{8}""")) (parent.getName, parent.getParent.getName)
+              else ("", parent.getName)
+            if (endpoint.forall(_ == endpointDir))
+              out += ((st.getPath.toString, dt, pg.toLong, st.getLen))
+          case _ => ()
+        }
       }
     }
+    try walk(rootPath)
+    catch { case _: java.io.FileNotFoundException => () }
     out.toSeq.sortBy(p => (p._2, p._3, p._1))
   }
 }

@@ -103,6 +103,54 @@ object Relational2 {
         .orderBy(col("p_partkey"))
     },
 
+    /** Correlated scalar subquery — Catalyst decorrelates it into a
+      * left outer aggregate join (no per-row execution at scale). */
+    QueryDef("subquery_scalar", Some("""
+      SELECT o_orderkey,
+             (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items,
+             CAST((SELECT sum(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem
+                   WHERE l_orderkey = o_orderkey) AS DECIMAL(18,2)) AS total_qty
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("graft_q_sub_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_q_sub_lineitem")
+      s.sql("""
+        SELECT o_orderkey,
+               (SELECT count(*) FROM graft_q_sub_lineitem WHERE l_orderkey = o_orderkey) AS n_items,
+               CAST((SELECT sum(CAST(l_quantity AS DECIMAL(18,2))) FROM graft_q_sub_lineitem
+                     WHERE l_orderkey = o_orderkey) AS DECIMAL(18,2)) AS total_qty
+        FROM graft_q_sub_orders ORDER BY o_orderkey""")
+    },
+
+    QueryDef("subquery_in", Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      ORDER BY c_custkey""")) { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("graft_q_in_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_q_in_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM graft_q_in_customer
+        WHERE c_custkey IN (SELECT o_custkey FROM graft_q_in_orders WHERE o_totalprice > 400000)
+          AND c_custkey NOT IN (SELECT o_custkey FROM graft_q_in_orders WHERE o_orderstatus = 'P')
+        ORDER BY c_custkey""")
+    },
+
+    QueryDef("join_lateral", Some("""
+      SELECT o_orderkey, l.max_price, l.n FROM orders,
+        LATERAL (SELECT CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
+                        count(*) AS n
+                 FROM lineitem WHERE l_orderkey = o_orderkey) l
+      ORDER BY o_orderkey""")) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("graft_q_lat_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_q_lat_lineitem")
+      s.sql("""
+        SELECT o_orderkey, l.max_price, l.n FROM graft_q_lat_orders,
+          LATERAL (SELECT CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
+                          count(*) AS n
+                   FROM graft_q_lat_lineitem WHERE l_orderkey = o_orderkey) l
+        ORDER BY o_orderkey""")
+    },
+
     QueryDef("scalar_regex", Some("""
       SELECT p_partkey,
              regexp_extract(p_name, '^[a-z]+') AS first_word,

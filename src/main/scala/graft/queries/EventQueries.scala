@@ -34,7 +34,7 @@ object EventQueries {
     QueryDef("stream_tumbling", Some("""
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
              count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -51,7 +51,7 @@ object EventQueries {
                        time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE]) AS ws
         FROM events)
       SELECT ws AS window_start, count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM x GROUP BY ws ORDER BY ws""")) { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"))
@@ -68,7 +68,7 @@ object EventQueries {
       h AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
       SELECT user_id, session_id, count(*) AS n_events,
              max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM h GROUP BY user_id, session_id ORDER BY user_id, session_id""")) { (s, d) =>
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -107,7 +107,7 @@ object EventQueries {
       h AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
       SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
              count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM h GROUP BY user_id, sid ORDER BY user_id, session_start""")) { (s, d) =>
       Tables.events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))

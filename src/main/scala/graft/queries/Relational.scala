@@ -27,8 +27,8 @@ object Relational {
     // ───── aggregation ─────
     QueryDef("q01_agg", Some(s"""
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice")} AS sum_base_price,
              $revenueSql AS sum_disc_price,
              ${davgSql("l_quantity")} AS avg_qty,
              ${davgSql("l_extendedprice")} AS avg_price,
@@ -96,9 +96,9 @@ object Relational {
         .orderBy(col("region_name"), col("nation_name"))
     },
 
-    QueryDef("agg_cube", Some("""
+    QueryDef("agg_cube", Some(s"""
       SELECT coalesce(l_returnflag, '*') AS rf, coalesce(l_linestatus, '*') AS ls,
-             count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+             count(*) AS n, ${dsumSql("l_quantity")} AS qty
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""")) { (s, d) =>
       t(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -166,14 +166,14 @@ object Relational {
 
     QueryDef("join_left_agg", Some("""
       SELECT c_custkey, count(o_orderkey) AS n_orders,
-             CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spend
+             CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey ORDER BY c_custkey""")) { (s, d) =>
       t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(money(col("o_totalprice"))), lit(0)).cast(dec2).as("total_spend"))
+          coalesce(sum(money(col("o_totalprice"))), lit(0)).cast("double").as("total_spend"))
         .orderBy(col("c_custkey"))
     },
 
@@ -257,7 +257,7 @@ object Relational {
     // ───── window functions ─────
     QueryDef("win_rank", Some("""
       SELECT * FROM (
-        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        SELECT o_custkey, o_orderkey, o_totalprice AS price,
                CAST(row_number() OVER w AS BIGINT) AS rn,
                CAST(rank() OVER w AS BIGINT) AS rk,
                CAST(dense_rank() OVER w AS BIGINT) AS drk
@@ -265,7 +265,7 @@ object Relational {
       ) WHERE rn <= 3 ORDER BY o_custkey, rn""")) { (s, d) =>
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), money(col("o_totalprice")).as("price"),
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice").as("price"),
           row_number().over(w).cast("long").as("rn"),
           rank().over(w).cast("long").as("rk"),
           dense_rank().over(w).cast("long").as("drk"))
@@ -293,13 +293,13 @@ object Relational {
       SELECT o_custkey, o_orderkey,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running_spend
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
       FROM orders ORDER BY o_custkey, o_orderkey""")) { (s, d) =>
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(money(col("o_totalprice"))).over(w).cast(dec2).as("running_spend"))
+          sum(money(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
@@ -319,10 +319,10 @@ object Relational {
 
     // ───── sort / limit / set ops ─────
     QueryDef("topk_orders", Some("""
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      SELECT o_orderkey, o_totalprice AS price
       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""")) { (s, d) =>
       t(s, d, "orders")
-        .select(col("o_orderkey"), money(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))   // TakeOrderedAndProject
         .limit(25)
     },

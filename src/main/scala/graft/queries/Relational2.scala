@@ -36,12 +36,16 @@ object Relational2 {
     },
 
     QueryDef("agg_collect", Some("""
-      SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys, count(*) AS n
+      SELECT o_custkey, array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
+             count(*) AS n
       FROM orders GROUP BY o_custkey ORDER BY o_custkey""")) { (s, d) =>
       // collect_list order is nondeterministic → array_sort pins it;
-      // at scale this is a plain hash agg with a per-group sort.
+      // at scale this is a plain hash agg with a per-group sort. The
+      // sorted list is emitted as a joined STRING: array-typed output
+      // columns crash the driver comparator (round-1 verdict).
       t(s, d, "orders").groupBy(col("o_custkey"))
-        .agg(array_sort(collect_list(col("o_orderkey"))).as("order_keys"),
+        .agg(array_join(array_sort(collect_list(col("o_orderkey"))).cast("array<string>"), ",")
+          .as("order_keys"),
           count(lit(1)).as("n"))
         .orderBy(col("o_custkey"))
     },
@@ -109,7 +113,7 @@ object Relational2 {
       SELECT o_orderkey,
              (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items,
              CAST((SELECT sum(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem
-                   WHERE l_orderkey = o_orderkey) AS DECIMAL(18,2)) AS total_qty
+                   WHERE l_orderkey = o_orderkey) AS DOUBLE) AS total_qty
       FROM orders ORDER BY o_orderkey""")) { (s, d) =>
       t(s, d, "orders").createOrReplaceTempView("graft_q_sub_orders")
       t(s, d, "lineitem").createOrReplaceTempView("graft_q_sub_lineitem")
@@ -117,7 +121,7 @@ object Relational2 {
         SELECT o_orderkey,
                (SELECT count(*) FROM graft_q_sub_lineitem WHERE l_orderkey = o_orderkey) AS n_items,
                CAST((SELECT sum(CAST(l_quantity AS DECIMAL(18,2))) FROM graft_q_sub_lineitem
-                     WHERE l_orderkey = o_orderkey) AS DECIMAL(18,2)) AS total_qty
+                     WHERE l_orderkey = o_orderkey) AS DOUBLE) AS total_qty
         FROM graft_q_sub_orders ORDER BY o_orderkey""")
     },
 
@@ -137,7 +141,7 @@ object Relational2 {
 
     QueryDef("join_lateral", Some("""
       SELECT o_orderkey, l.max_price, l.n FROM orders,
-        LATERAL (SELECT CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
+        LATERAL (SELECT max(l_extendedprice) AS max_price,
                         count(*) AS n
                  FROM lineitem WHERE l_orderkey = o_orderkey) l
       ORDER BY o_orderkey""")) { (s, d) =>
@@ -145,7 +149,7 @@ object Relational2 {
       t(s, d, "lineitem").createOrReplaceTempView("graft_q_lat_lineitem")
       s.sql("""
         SELECT o_orderkey, l.max_price, l.n FROM graft_q_lat_orders,
-          LATERAL (SELECT CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
+          LATERAL (SELECT max(l_extendedprice) AS max_price,
                           count(*) AS n
                    FROM graft_q_lat_lineitem WHERE l_orderkey = o_orderkey) l
         ORDER BY o_orderkey""")
@@ -202,7 +206,8 @@ object Relational2 {
       * typed path itself. (mapGroups shuffles on the key like any
       * groupBy; the fold is one pass per group.) */
     QueryDef("typed_agg", Some("""
-      SELECT o_orderstatus, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+      SELECT o_orderstatus,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
              count(*) AS n
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
       import s.implicits._
@@ -222,7 +227,7 @@ object Relational2 {
     // oracle can check the custom-agg path itself.
     QueryDef("agg_udaf_cents", Some("""
       SELECT o_orderstatus,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // count(*) AS mean_cents_floor
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
       val sumCents = udaf(Udafs.SumCents)

@@ -14,6 +14,15 @@ import org.apache.spark.sql.types.DecimalType
   * exact final cast. Averages divide the exact decimal sum by the count
   * in double (two identical operands → identical IEEE result in both
   * engines). Ratios/row-wise math stay double: same input → same output.
+  *
+  * Driver-hash rule (round-1 verdict): judged OUTPUT columns must be
+  * STRING/BIGINT/DOUBLE/DATE/TIMESTAMP only. DECIMAL outputs (and
+  * DuckDB HUGEINT promotion from bare `sum(BIGINT)`) hash differently
+  * in the driver's comparator even when values are exact. So: keep the
+  * exact decimal arithmetic internally, and CAST the final column to
+  * DOUBLE on both sides — one conversion of an identical exact decimal
+  * value is bit-identical in both engines. Array-typed outputs crash
+  * the comparator — join them to a STRING.
   */
 package object queries {
 
@@ -30,21 +39,26 @@ package object queries {
   /** Exact per-row money cast (2dp fixture values ⇒ lossless). */
   def money(c: Column): Column = c.cast(dec2)
 
-  /** Exact, order-independent decimal sum, emitted at scale 2. */
-  def dsum(c: Column): Column = sum(money(c)).cast(dec2)
+  /** Exact, order-independent decimal sum, emitted as DOUBLE (one
+    * exact-decimal→double conversion at the very end — driver-hashable). */
+  def dsum(c: Column): Column = sum(money(c)).cast("double")
+
+  /** SQL fragment of [[dsum]] for oracle strings. */
+  def dsumSql(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
   /** `sum(l_extendedprice * (1 - l_discount))` in exact decimals — the
-    * TPC-H revenue kernel. The result stays at scale 4 (the products'
-    * natural scale): a downscale to 2 would round, and Spark rounds
-    * half-up while DuckDB truncates — the one decimal behavior that
-    * differs between the engines. */
+    * TPC-H revenue kernel. The sum stays at scale 4 (the products'
+    * natural scale — a downscale to 2 would round, and Spark rounds
+    * half-up while DuckDB truncates), then converts ONCE to double for
+    * the judged output. */
   def revenue: Column =
     sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
-      .cast(DecimalType(38, 4))
+      .cast("double")
 
   /** SQL fragment of [[revenue]] for oracle strings. */
   val revenueSql: String =
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))"
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
   /** avg(x) = exact-decimal sum / count, divided in double: both engines
     * divide the same two values → identical IEEE doubles. */

@@ -109,6 +109,62 @@ object IngestQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // A1+A11-A15 — the DSv2 landing connector under the oracle gate:
+    // fixture rows go OUT through the page-file sink (two dt batches)
+    // and come BACK through the paginated scan with a dt equality
+    // filter, which prunes the other batch's page files by path segment
+    // before any read (pushedDt in the scan description; the unread dt
+    // would otherwise corrupt the compare, so pruning is load-bearing).
+    // The oracle is plain SQL over the same fixture rows.
+    QueryDef("a01_landing_roundtrip", Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, '19970101' AS dt
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      ORDER BY o_orderkey""")) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val root = s"${sys.props("java.io.tmpdir")}/graft_q_a01_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      val cut = to_timestamp(lit("1997-01-01"))
+      def dump(dt: String, df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft-landing").mode("overwrite")
+          .option("path", root).option("endpoint", "vendas")
+          .option("cnpj", "12.345.678/0001-90").option("dt", dt).save()
+      dump("19960101", base.filter(col("o_orderdate") < cut))
+      dump("19970101", base.filter(col("o_orderdate") >= cut))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType), StructField("o_orderdate", TimestampNTZType)))
+      s.read.format("graft-landing").schema(schema)
+        .option("path", root).option("endpoint", "vendas").load()
+        .filter(col("dt") === "19970101")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("dt"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // A17 — partitioned+clustered sink under the oracle gate: write a
+    // fixture slice through writePartitioned (Hive-style dt= dirs +
+    // sortWithinPartitions clustering), read back with a dt range
+    // filter (partition-pruned scan: only matching dt= dirs are read),
+    // oracle-checked against the same fixture rows. dt is read back as
+    // the inferred partition-column int, cast to string for the judged
+    // output.
+    QueryDef("a17_clustered_sink", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, strftime(o_orderdate, '%Y%m%d') AS dt
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-04-01'
+      ORDER BY o_orderkey""")) { (s, d) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q_a17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      IngestOps.writePartitioned(recent, out, "o_orderdate", Seq("o_custkey"))
+      s.read.parquet(out)
+        .filter(col("dt") >= 19980401)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("dt").cast("string").as("dt"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // A12/A13 — NDJSON serialize/deserialize roundtrip. JSON key order
     // and float formatting are engine-specific, so no oracle: the driver
     // records a rows-only check; the unit test asserts the roundtrip.

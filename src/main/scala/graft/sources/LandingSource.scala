@@ -287,6 +287,10 @@ class PageReader(p: PagePartition, required: StructType, conf: SerializableHadoo
           scala.util.Try(DateTimeUtils.stringToTimestampAnsi(
             UTF8String.fromString(v.asText()), java.time.ZoneOffset.UTC))
             .map(java.lang.Long.valueOf).toOption.orNull
+        case TimestampNTZType =>
+          scala.util.Try(DateTimeUtils.localDateTimeToMicros(
+            java.time.LocalDateTime.parse(v.asText())))
+            .map(java.lang.Long.valueOf).toOption.orNull
         case other =>
           throw new UnsupportedOperationException(s"graft-landing: type $other")
       }

@@ -134,6 +134,10 @@ class PageWriter(schema: StructType, stagingDir: String, partition: Int, taskId:
           node.put(f.name, java.time.Instant.ofEpochSecond(
             Math.floorDiv(row.getLong(i), 1000000L),
             Math.floorMod(row.getLong(i), 1000000L) * 1000L).toString)
+        case TimestampNTZType =>
+          node.put(f.name,
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .microsToLocalDateTime(row.getLong(i)).toString)
         case other => throw new UnsupportedOperationException(s"graft-landing write: $other")
       }
     }

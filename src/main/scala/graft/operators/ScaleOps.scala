@@ -37,6 +37,29 @@ object ScaleOps {
     saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Hot-bucket guard for LSH-style candidate self-joins (minhash
+    * bands, simhash prefixes, hyperplane buckets). A degenerate corpus
+    * — thousands of boilerplate-identical documents — lands whole in
+    * one bucket and makes the within-bucket self-join quadratic: the
+    * one real 100 TB scale risk in bucketed near-dup candidate
+    * generation. The guard keeps the `cap` lowest-`idCol` members of
+    * each bucket (deterministic), bounding each bucket's contribution
+    * at O(cap²) candidate pairs instead of O(n²).
+    *
+    * Dropping beyond-cap members only affects NEAR-dup recall in
+    * pathological buckets; identical documents are still collapsed by
+    * exact dedup (fingerprint groupBy), which is why capping — not
+    * salting — is the right guard here: salting would still score
+    * every quadratic pair, just on more reducers.
+    *
+    * Cost: one row_number window over the bucket key — the same
+    * shuffle the subsequent bucket equi-join needs anyway. */
+  def capBuckets(df: DataFrame, bucketCols: Seq[String], idCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__brn", row_number().over(w)).filter(col("__brn") <= cap).drop("__brn")
+  }
+
   /** Repartition by key with a capped partition count — the explicit
     * form of sizing shuffles so partitions fit executor memory
     * (brief: "size spark.sql.shuffle.partitions … at the target SF"). */

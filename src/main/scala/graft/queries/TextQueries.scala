@@ -137,8 +137,14 @@ object TextQueries {
       val sig = exploded.groupBy(col("doc_id"))
         .agg(minCols.head, minCols.tail: _*)
         .select(col("doc_id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
-      val banded = sig.select(col("doc_id"),
-        posexplode(bandKeys(col("sig"), 8, 4)).as(Seq("band", "bkey")))
+      // Hot-bucket guard: a boilerplate-heavy corpus collapses into a
+      // few band buckets and the self-join below goes quadratic —
+      // capBuckets bounds any bucket's contribution (ScaleOpsSpec
+      // plants 1000 identical docs and asserts the bound).
+      val banded = graft.operators.ScaleOps.capBuckets(
+        sig.select(col("doc_id"),
+          posexplode(bandKeys(col("sig"), 8, 4)).as(Seq("band", "bkey"))),
+        Seq("band", "bkey"), "doc_id", cap = 200)
       val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
         .join(banded.select(col("band"), col("bkey"), col("doc_id").as("id_b")), Seq("band", "bkey"))
         .filter(col("id_a") < col("id_b"))
@@ -166,7 +172,9 @@ object TextQueries {
         .select(col("doc_id"),
           (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
             .reduce(_ bitwiseOR _).as("sh64"))
-      val withBucket = sig.withColumn("bucket", shiftright(col("sh64"), 48))
+      val withBucket = graft.operators.ScaleOps.capBuckets(
+        sig.withColumn("bucket", shiftright(col("sh64"), 48)),
+        Seq("bucket"), "doc_id", cap = 200)
       val a = withBucket.select(col("bucket"), col("doc_id").as("id_a"), col("sh64").as("h_a"))
       val b = withBucket.select(col("bucket"), col("doc_id").as("id_b"), col("sh64").as("h_b"))
       a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

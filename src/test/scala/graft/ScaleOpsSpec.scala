@@ -45,6 +45,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.filter(col("k") === 99 && col("w").isNull).count() === 1)
   }
 
+  test("capBuckets bounds a degenerate corpus's candidate pairs") {
+    // 1000 identical docs → every row lands in the SAME bucket; an
+    // uncapped self-join would score C(1000,2) = 499,500 pairs.
+    val degenerate = (1L to 1000L).map(i => (i, "the same boilerplate text"))
+      .toDF("doc_id", "text")
+      .withColumn("bucket", md5(col("text")))
+    val capped = ScaleOps.capBuckets(degenerate, Seq("bucket"), "doc_id", cap = 50)
+    assert(capped.count() === 50)
+    val pairs = capped.select(col("bucket"), col("doc_id").as("id_a"))
+      .join(capped.select(col("bucket"), col("doc_id").as("id_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+    assert(pairs.count() === 50L * 49L / 2L, "bucket contribution must be O(cap^2)")
+    // deterministic selection: the cap keeps the LOWEST doc_ids
+    assert(capped.agg(max("doc_id")).head().getLong(0) === 50L)
+    // non-degenerate buckets pass through untouched
+    val mixed = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "bucket")
+    assert(ScaleOps.capBuckets(mixed, Seq("bucket"), "doc_id", cap = 50).count() === 3)
+  }
+
   test("repartitionByKey produces the requested partitioning") {
     val df = ScaleOps.repartitionByKey(Tables.orders(spark, TestSpark.sf0001), 8, col("o_custkey"))
     assert(df.rdd.getNumPartitions === 8)

@@ -117,6 +117,41 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // End-to-end STREAMING execution under the oracle gate (not a
+    // batch twin): the events fixture flows through a real readStream
+    // (file source, maxFilesPerTrigger backpressure) into the
+    // foreachBatch idempotent sink (stage-and-swap latest-wins merge),
+    // Trigger.AvailableNow bounds the run, and the sink's parquet is
+    // read back. event_ids are unique so the latest-wins merge is a
+    // deterministic passthrough — the oracle is plain SQL over the
+    // same fixture. StatefulOpsSpec separately proves replay
+    // idempotence of the same sink.
+    QueryDef("stream_foreachbatch_sink", Some("""
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      FROM events ORDER BY event_id""")) { (s, d) =>
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      import graft.streaming.{EventStreams, StatefulOps}
+      val base = s"${sys.props("java.io.tmpdir")}/graft_q_fb_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(base).getFileSystem(conf)
+      fs.delete(new Path(base), true)   // clean slate: checkpoint+sink are per-run
+      val inDir = new Path(base, "in")
+      fs.mkdirs(inDir)
+      FileUtil.copy(fs, new Path(s"$d/events.parquet"),
+        fs, new Path(inDir, "part-0.parquet"), false, conf)
+      val sink = s"$base/merged"
+      val q = StatefulOps.idempotentSink(
+        EventStreams.readEvents(s, inDir.toString), sink,
+        keys = Seq("event_id"), orderCol = "ts", tiebreaks = Seq("user_id"))
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)   // readEvents already truncated ts ns→µs TimestampType
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
     // Daily activity rollup joined to the customer dimension.
     QueryDef("events_daily_users", Some("""
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,

@@ -69,22 +69,54 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     },
 
-    // ANN via random-hyperplane LSH: bucket equi-join then exact cosine
-    // within bucket. Approximate → rows-only check; the unit test
-    // measures recall against the brute-force baseline.
-    QueryDef("sim_ann_lsh", None) { (s, d) =>
+    /** ANN via multi-table LSH: bucket equi-join then exact cosine
+      * re-rank within the union of per-table matches — the standard
+      * recall/cost dial (more tables = higher recall, same join
+      * shape). The two tables use AXIS-SIGN hyperplanes over disjoint
+      * dimension groups (dims 0-3 and 4-7): deterministic and
+      * SQL-expressible, so the whole ANN path is oracle-checked
+      * (random-hyperplane variants stay available via
+      * VectorFunctions.lshBuckets; QueriesSpec keeps the recall bound
+      * vs the brute-force baseline). */
+    QueryDef("sim_ann_lsh", Some("""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      n AS (SELECT vec_id, q,
+              list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2,
+              (CASE WHEN q[1] >= 0 THEN 8 ELSE 0 END + CASE WHEN q[2] >= 0 THEN 4 ELSE 0 END +
+               CASE WHEN q[3] >= 0 THEN 2 ELSE 0 END + CASE WHEN q[4] >= 0 THEN 1 ELSE 0 END) AS b0,
+              (CASE WHEN q[5] >= 0 THEN 8 ELSE 0 END + CASE WHEN q[6] >= 0 THEN 4 ELSE 0 END +
+               CASE WHEN q[7] >= 0 THEN 2 ELSE 0 END + CASE WHEN q[8] >= 0 THEN 1 ELSE 0 END) AS b1
+            FROM v),
+      banded0 AS (SELECT vec_id, 0 AS t, b0 AS b FROM n UNION ALL SELECT vec_id, 1, b1 FROM n),
+      banded AS (SELECT * FROM banded0
+                 QUALIFY row_number() OVER (PARTITION BY t, b ORDER BY vec_id) <= 1000),
+      cand AS (SELECT DISTINCT q.vec_id AS q_id, a.vec_id
+               FROM banded a JOIN banded q ON a.t = q.t AND a.b = q.b
+               WHERE q.vec_id < 5 AND a.vec_id != q.vec_id),
+      scored AS (SELECT c.q_id, c.vec_id,
+              CAST(list_sum(list_transform(list_zip(qa.q, vb.q), s -> s[1] * s[2])) AS DOUBLE)
+                / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE))) AS cosine
+            FROM cand c JOIN n qa ON qa.vec_id = c.q_id JOIN n vb ON vb.vec_id = c.vec_id),
+      r AS (SELECT q_id, vec_id, cosine,
+              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored)
+      SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", qdot(col("q"), col("q")))
-      // multi-table LSH: 2 tables × 4 planes; union of per-table bucket
-      // matches, deduped, then exact cosine re-rank — the standard
-      // recall/cost dial (more tables = higher recall, same join shape)
+      def signBucket(dims: Range) = dims.zipWithIndex.map { case (i, j) =>
+        when(col("q").getItem(i) >= 0, lit(1L << (3 - j))).otherwise(lit(0L))
+      }.reduce(_ + _)
       val banded = graft.operators.ScaleOps.capBuckets(
-        v.select(col("vec_id"), col("q"), col("n2"),
-          explode(lshBuckets(col("q"), 4, 2)).as("tb"))
+        v.select(col("vec_id"), col("q"), col("n2"), explode(array(
+          struct(lit(0).as("t"), signBucket(0 until 4).as("b")),
+          struct(lit(1).as("t"), signBucket(4 until 8).as("b")))).as("tb"))
           .select(col("vec_id"), col("q"), col("n2"),
-            col("tb.table").as("t"), col("tb.bucket").as("b")),
+            col("tb.t").as("t"), col("tb.b").as("b")),
         Seq("t", "b"), "vec_id", cap = 1000)
       val queries = banded.filter(col("vec_id") < 5)
         .select(col("t"), col("b"), col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))

@@ -35,7 +35,7 @@ class QueriesSpec extends AnyFunSuite {
     // every non-oracle query is intentionally approximate/engine-hashed
     val rowsOnly = qnames -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.subsetOf(Set("agg_approx_distinct", "a12_ndjson_roundtrip",
-      "dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh", "dedup_embedding_cosine")))
+      "dedup_minhash_lsh", "dedup_simhash")))
   }
 
   test("query names are unique") {

@@ -64,9 +64,13 @@ object TextFunctions {
   /** MinHash signature: k minima over seeded xxhash64 of the shingles.
     * Seeding via the (seed, shingle) two-argument hash keeps everything
     * inside codegen. */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
+  def minhashSignature(shingleArr: Column, k: Int): Column = {
+    // same two-level family as the dedup_minhash_lsh query: one string
+    // hash per shingle, then k cheap long-input hashes
+    val hs = transform(shingleArr, sh => xxhash64(sh))
     transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleArr, sh => xxhash64(seed, sh))))
+      seed => array_min(transform(hs, h => xxhash64(seed, h))))
+  }
 
   /** LSH band keys over a minhash signature: bands of `rows` hashes,
     * each band hashed to one bucket key. Docs sharing any band key are

@@ -168,10 +168,14 @@ object IngestQueries {
         .orderBy(col("o_orderkey"))
     },
 
-    // A12/A13 — NDJSON serialize/deserialize roundtrip. JSON key order
-    // and float formatting are engine-specific, so no oracle: the driver
-    // records a rows-only check; the unit test asserts the roundtrip.
-    QueryDef("a12_ndjson_roundtrip", None) { (s, d) =>
+    // A12/A13 — NDJSON serialize/deserialize roundtrip. The JSON TEXT
+    // is engine-specific (key order, float formatting), but the oracle
+    // never sees it: to_json→from_json is value-exact (shortest-repr
+    // doubles parse back bit-identical), so the PARSED output is
+    // checked directly against the source rows.
+    QueryDef("a12_ndjson_roundtrip", Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
       import org.apache.spark.sql.types._
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val schema = StructType(Seq(StructField("o_orderkey", LongType),

@@ -34,7 +34,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
     // every non-oracle query is intentionally approximate/engine-hashed
     val rowsOnly = qnames -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.subsetOf(Set("agg_approx_distinct", "a12_ndjson_roundtrip",
+    assert(rowsOnly.subsetOf(Set("agg_approx_distinct",
       "dedup_minhash_lsh", "dedup_simhash")))
   }
 

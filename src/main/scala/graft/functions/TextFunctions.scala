@@ -65,8 +65,13 @@ object TextFunctions {
     * Seeding via the (seed, shingle) two-argument hash keeps everything
     * inside codegen. */
   def minhashSignature(shingleArr: Column, k: Int): Column = {
-    // same two-level family as the dedup_minhash_lsh query: one string
-    // hash per shingle, then k cheap long-input hashes
+    // same two-level hash family as the dedup_minhash_lsh query
+    // (xxhash64(seed, xxhash64(shingle))) so the quality spec's
+    // signatures match the judged pipeline's. NOTE: as a single nested
+    // HOF expression the inner string-hash pass is re-evaluated per
+    // seed (no loop-invariant hoisting in interpreted lambdas) — fine
+    // at spec scale; the hot path in TextQueries materializes the
+    // string hash once in a projection before the per-seed min-agg.
     val hs = transform(shingleArr, sh => xxhash64(sh))
     transform(sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(hs, h => xxhash64(seed, h))))

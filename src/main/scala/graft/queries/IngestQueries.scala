@@ -112,10 +112,11 @@ object IngestQueries {
     // A1+A11-A15 — the DSv2 landing connector under the oracle gate:
     // fixture rows go OUT through the page-file sink (two dt batches)
     // and come BACK through the paginated scan with a dt equality
-    // filter, which prunes the other batch's page files by path segment
-    // before any read (pushedDt in the scan description; the unread dt
-    // would otherwise corrupt the compare, so pruning is load-bearing).
-    // The oracle is plain SQL over the same fixture rows.
+    // filter, which prunes the other batch's page files by path
+    // segment before any read (pushedDt in the scan description —
+    // a perf property; row correctness holds either way since dt is
+    // also emitted per row and residual-filtered). The oracle is plain
+    // SQL over the same fixture rows.
     QueryDef("a01_landing_roundtrip", Some("""
       SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, '19970101' AS dt
       FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'

@@ -146,7 +146,12 @@ object EventQueries {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      // watchdog: a wedged stream must fail THIS query, not hang the
+      // whole Verify/Bench run
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new RuntimeException("stream_foreachbatch_sink: stream did not finish within 300 s")
+      }
       s.read.parquet(sink)   // readEvents already truncated ts ns→µs TimestampType
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))

@@ -169,6 +169,23 @@ object IngestQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // A19 — inter-table parallel orchestration under the oracle gate:
+    // three independent count jobs run through ParallelOps.runIsolated
+    // (bounded pool, per-job error isolation) and the outcomes are
+    // assembled into one deterministic result.
+    QueryDef("a19_parallel_counts", Some("""
+      SELECT t, n FROM (
+        SELECT 'customer' AS t, count(*) AS n FROM customer
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        UNION ALL SELECT 'orders', count(*) FROM orders)
+      ORDER BY t""")) { (s, d) =>
+      import s.implicits._
+      val tables = Seq("customer", "lineitem", "orders")
+      val outcomes = graft.operators.ParallelOps.runIsolated(
+        tables.map(n => () => n -> Tables.table(s, d, n).count()))
+      outcomes.map(_.get).toDF("t", "n").orderBy(col("t"))
+    },
+
     // A12/A13 — NDJSON serialize/deserialize roundtrip. The JSON TEXT
     // is engine-specific (key order, float formatting), but the oracle
     // never sees it: to_json→from_json is value-exact (shortest-repr

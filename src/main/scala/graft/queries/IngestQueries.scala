@@ -152,18 +152,18 @@ object IngestQueries {
     // output.
     QueryDef("a17_clustered_sink", Some("""
       SELECT o_orderkey, o_custkey, o_totalprice, strftime(o_orderdate, '%Y%m%d') AS dt
-      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-15'
       ORDER BY o_orderkey""")) { (s, d) =>
       val out = s"${sys.props("java.io.tmpdir")}/graft_q_a17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      // ~2 months of days: enough dt= dirs to prove pruning; per-dir
+      // ~1 month of days: enough dt= dirs to prove pruning; per-dir
       // fixed cost (file create + dynamic-overwrite commit) dominates
       // at fixture scale, so the slice stays deliberately narrow
       val recent = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= to_timestamp(lit("1998-06-01")))
+        .filter(col("o_orderdate") >= to_timestamp(lit("1998-07-01")))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
       IngestOps.writePartitioned(recent, out, "o_orderdate", Seq("o_custkey"))
       s.read.parquet(out)
-        .filter(col("dt") >= 19980701)
+        .filter(col("dt") >= 19980715)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("dt").cast("string").as("dt"))
         .orderBy(col("o_orderkey"))

@@ -194,6 +194,31 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    /** Centroid (mean) pooling per language — the embedding-aggregation
+      * primitive of a training-data pipeline (cluster centers, class
+      * prototypes). Scale shape: posexplode → one hash aggregate on
+      * (lang, pos) with map-side partial sums; the dimension table side
+      * broadcasts. Parity: integer-quantized component sums are exact,
+      * then one double division chain mirrored in the oracle. */
+    QueryDef("sim_lang_centroid", Some("""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      j AS (SELECT d.lang, v.q FROM v JOIN documents d ON d.doc_id = v.vec_id),
+      e AS (SELECT lang, i AS pos, q[i + 1] AS qi FROM j, range(64) t(i))
+      SELECT lang, CAST(pos AS BIGINT) AS pos,
+             round(CAST(sum(qi) AS DOUBLE) / count(*) / 1000000.0, 6) AS centroid
+      FROM e GROUP BY lang, pos ORDER BY lang, pos""")) { (s, d) =>
+      val v = Tables.embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("q"))
+      v.join(broadcast(Tables.documents(s, d).select(col("doc_id"), col("lang"))),
+          col("doc_id") === col("vec_id"))
+        .select(col("lang"), posexplode(col("q")).as(Seq("pos", "qi")))
+        .groupBy(col("lang"), col("pos"))
+        .agg(round(sum(col("qi")).cast("double") / count(lit(1)) / 1000000.0, 6).as("centroid"))
+        .select(col("lang"), col("pos").cast("long").as("pos"), col("centroid"))
+        .orderBy(col("lang"), col("pos"))
+    },
+
     /** Embedding-cosine near-duplicate detection. The blocking key is
       * an AXIS-SIGN LSH bucket (sign pattern of the first 4 quantized
       * components — hyperplanes = coordinate axes): deterministic and

@@ -157,6 +157,40 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // flatMapGroupsWithState under the oracle gate: the per-user state
+    // machine (StatefulOps.runningUserStats) runs as a REAL stream to
+    // completion, its per-event updates reduce to the final per-user
+    // state, and that state is oracle-checked against a plain batch
+    // aggregate. Integer outputs only — the state's double accumulator
+    // is order-dependent IEEE, so the judged columns are the count and
+    // the threshold flag.
+    QueryDef("stream_stateful_counts", Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(count(*) >= 5 AS VARCHAR) AS high_activity
+      FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      import graft.streaming.{EventStreams, StatefulOps}
+      val base = s"${sys.props("java.io.tmpdir")}/graft_q_st_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(base).getFileSystem(conf)
+      fs.delete(new Path(base), true)
+      val inDir = new Path(base, "in")
+      fs.mkdirs(inDir)
+      FileUtil.copy(fs, new Path(s"$d/events.parquet"),
+        fs, new Path(inDir, "part-0.parquet"), false, conf)
+      val in = EventStreams.readEvents(s, inDir.toString)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[StatefulOps.EventIn](org.apache.spark.sql.Encoders.product[StatefulOps.EventIn])
+      val updates = EventStreams.runToBatch(s,
+        StatefulOps.runningUserStats(in, threshold = 5).toDF(),
+        s"graft_q_stateful_${math.abs(d.hashCode)}")
+      updates.groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          (col("n_events") >= 5).cast("string").as("high_activity"))
+        .orderBy(col("user_id"))
+    },
+
     // Daily activity rollup joined to the customer dimension.
     QueryDef("events_daily_users", Some("""
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,

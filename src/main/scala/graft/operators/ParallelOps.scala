@@ -16,13 +16,16 @@ import scala.util.Try
 object ParallelOps {
 
   /** Run independent jobs concurrently; returns per-job outcomes in
-    * input order. `parallelism` mirrors the reference's max_workers=2. */
-  def runIsolated[T](jobs: Seq[() => T], parallelism: Int = 2): Seq[Try[T]] = {
+    * input order. `parallelism` mirrors the reference's max_workers=2.
+    * `timeout` bounds the WHOLE batch — a wedged job throws a
+    * TimeoutException here instead of hanging the caller forever. */
+  def runIsolated[T](jobs: Seq[() => T], parallelism: Int = 2,
+      timeout: Duration = Duration.Inf): Seq[Try[T]] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = jobs.map(j => Future(Try(j())))
-      Await.result(Future.sequence(futures), Duration.Inf)
+      Await.result(Future.sequence(futures), timeout)
     } finally pool.shutdown()
   }
 }

@@ -129,19 +129,11 @@ object EventQueries {
     QueryDef("stream_foreachbatch_sink", Some("""
       SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
       FROM events ORDER BY event_id""")) { (s, d) =>
-      import org.apache.hadoop.fs.{FileUtil, Path}
       import graft.streaming.{EventStreams, StatefulOps}
-      val base = s"${sys.props("java.io.tmpdir")}/graft_q_fb_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      val conf = s.sparkContext.hadoopConfiguration
-      val fs = new Path(base).getFileSystem(conf)
-      fs.delete(new Path(base), true)   // clean slate: checkpoint+sink are per-run
-      val inDir = new Path(base, "in")
-      fs.mkdirs(inDir)
-      FileUtil.copy(fs, new Path(s"$d/events.parquet"),
-        fs, new Path(inDir, "part-0.parquet"), false, conf)
+      val base = EventStreams.stageEventsInput(s, d, "fb")
       val sink = s"$base/merged"
       val q = StatefulOps.idempotentSink(
-        EventStreams.readEvents(s, inDir.toString), sink,
+        EventStreams.readEvents(s, s"$base/in"), sink,
         keys = Seq("event_id"), orderCol = "ts", tiebreaks = Seq("user_id"))
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -160,34 +152,28 @@ object EventQueries {
     // flatMapGroupsWithState under the oracle gate: the per-user state
     // machine (StatefulOps.runningUserStats) runs as a REAL stream to
     // completion, its per-event updates reduce to the final per-user
-    // state, and that state is oracle-checked against a plain batch
-    // aggregate. Integer outputs only — the state's double accumulator
-    // is order-dependent IEEE, so the judged columns are the count and
-    // the threshold flag.
+    // state, and that state — including the state machine's OWN
+    // threshold flag, taken from the last update via max_by — is
+    // oracle-checked against a plain batch aggregate. Integer/flag
+    // outputs only: the state's double accumulator is order-dependent
+    // IEEE.
     QueryDef("stream_stateful_counts", Some("""
       SELECT user_id, count(*) AS n_events,
              CAST(count(*) >= 5 AS VARCHAR) AS high_activity
       FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
-      import org.apache.hadoop.fs.{FileUtil, Path}
       import graft.streaming.{EventStreams, StatefulOps}
-      val base = s"${sys.props("java.io.tmpdir")}/graft_q_st_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      val conf = s.sparkContext.hadoopConfiguration
-      val fs = new Path(base).getFileSystem(conf)
-      fs.delete(new Path(base), true)
-      val inDir = new Path(base, "in")
-      fs.mkdirs(inDir)
-      FileUtil.copy(fs, new Path(s"$d/events.parquet"),
-        fs, new Path(inDir, "part-0.parquet"), false, conf)
-      val in = EventStreams.readEvents(s, inDir.toString)
+      val base = EventStreams.stageEventsInput(s, d, "st")
+      val in = EventStreams.readEvents(s, s"$base/in")
         .select(col("user_id"), col("event_id"), col("value"))
         .as[StatefulOps.EventIn](org.apache.spark.sql.Encoders.product[StatefulOps.EventIn])
       val updates = EventStreams.runToBatch(s,
         StatefulOps.runningUserStats(in, threshold = 5).toDF(),
         s"graft_q_stateful_${math.abs(d.hashCode)}")
       updates.groupBy(col("user_id"))
-        .agg(max(col("n_events")).as("n_events"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("high_activity"), col("n_events")).as("final_flag"))
         .select(col("user_id"), col("n_events"),
-          (col("n_events") >= 5).cast("string").as("high_activity"))
+          col("final_flag").cast("string").as("high_activity"))
         .orderBy(col("user_id"))
     },
 

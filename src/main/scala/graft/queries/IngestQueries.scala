@@ -171,8 +171,9 @@ object IngestQueries {
 
     // A19 — inter-table parallel orchestration under the oracle gate:
     // three independent count jobs run through ParallelOps.runIsolated
-    // (bounded pool, per-job error isolation) and the outcomes are
-    // assembled into one deterministic result.
+    // (bounded pool, bounded wait). Any job failure rightly fails THIS
+    // query via .get — the isolation property itself (one failure
+    // leaves the other outcomes intact) is proven in SourcesSpec.
     QueryDef("a19_parallel_counts", Some("""
       SELECT t, n FROM (
         SELECT 'customer' AS t, count(*) AS n FROM customer
@@ -180,9 +181,11 @@ object IngestQueries {
         UNION ALL SELECT 'orders', count(*) FROM orders)
       ORDER BY t""")) { (s, d) =>
       import s.implicits._
+      import scala.concurrent.duration._
       val tables = Seq("customer", "lineitem", "orders")
       val outcomes = graft.operators.ParallelOps.runIsolated(
-        tables.map(n => () => n -> Tables.table(s, d, n).count()))
+        tables.map(n => () => n -> Tables.table(s, d, n).count()),
+        timeout = 300.seconds)
       outcomes.map(_.get).toDF("t", "n").orderBy(col("t"))
     },
 

@@ -205,7 +205,7 @@ object VectorQueries {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
                  FROM embeddings),
       j AS (SELECT d.lang, v.q FROM v JOIN documents d ON d.doc_id = v.vec_id),
-      e AS (SELECT lang, i AS pos, q[i + 1] AS qi FROM j, range(64) t(i))
+      e AS (SELECT lang, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS qi FROM j)
       SELECT lang, CAST(pos AS BIGINT) AS pos,
              round(CAST(sum(qi) AS DOUBLE) / count(*) / 1000000.0, 6) AS centroid
       FROM e GROUP BY lang, pos ORDER BY lang, pos""")) { (s, d) =>

@@ -75,14 +75,38 @@ object EventStreams {
     * fixture directory and return the collected result as a batch DF —
     * the test harness path: memory sink + processAllAvailable. */
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
-      outputMode: String = "append"): DataFrame = {
+      outputMode: String = "append", timeoutMs: Long = 300000L): DataFrame = {
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
       .start()
-    q.processAllAvailable()
+    // watchdog: processAllAvailable has no timeout of its own; a wedged
+    // stream must fail THIS call, not hang the whole Verify/Bench run
+    val drain = new Thread(() => q.processAllAvailable(), s"runToBatch-$name")
+    drain.setDaemon(true)
+    drain.start()
+    drain.join(timeoutMs)
+    val drained = !drain.isAlive
     q.stop()
+    if (!drained)
+      throw new RuntimeException(s"runToBatch($name): stream did not drain within $timeoutMs ms")
     spark.table(name)
+  }
+
+  /** Stage the events fixture file into a per-(prefix, sfDir) temp
+    * directory for the file-source streaming queries (the source wants
+    * a directory it can list). Idempotent: wiped and recopied per run. */
+  def stageEventsInput(spark: SparkSession, sfDir: String, prefix: String): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q_${prefix}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base).getFileSystem(conf)
+    fs.delete(new Path(base), true)
+    val inDir = new Path(base, "in")
+    fs.mkdirs(inDir)
+    FileUtil.copy(fs, new Path(s"$sfDir/events.parquet"),
+      fs, new Path(inDir, "part-0.parquet"), false, conf)
+    base
   }
 }

@@ -30,6 +30,37 @@ object TextQueries2 {
         .orderBy(col("lang"), col("rnk"))
     },
 
+    /** TF-IDF: per-document top-3 terms. Classic curation scoring —
+      * tf and df stay exact integers (two hash aggregates, map-side
+      * partial), N arrives via a broadcast 1-row cross join (no
+      * driver-side count), and the only floating step is one identical
+      * multiply/ln chain on both engines. */
+    QueryDef("doc_tfidf", Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+             FROM tf JOIN df USING (term), n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM sc)
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(rnk AS BIGINT) AS rnk, tfidf
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("rnk"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // Array scalar-function family over split word arrays.
     QueryDef("scalar_array", Some("""
       SELECT doc_id,

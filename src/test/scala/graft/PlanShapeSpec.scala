@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the scale-critical properties the
+  * judged queries rely on (PLANS.md documents the full plans; these
+  * assertions keep them from silently regressing):
+  *  - filters/columns reach the parquet scan (pushdown + pruning),
+  *  - dimension joins broadcast (no fact-side shuffle),
+  *  - top-k plans as TakeOrderedAndProject (no global sort),
+  *  - aggregates are partial (map-side combine) around one Exchange,
+  *  - the partitioned sink's read-back prunes dt= directories.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("a10_filter: predicate reaches the parquet scan as PushedFilters") {
+    val p = plan("a10_filter")
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"), p.take(2000))
+  }
+
+  test("q03_top_orders: dimension join broadcasts and top-k is TakeOrderedAndProject") {
+    val p = plan("q03_top_orders")
+    assert(p.contains("BroadcastHashJoin"), "customer join must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT+ORDER BY must not global-sort")
+  }
+
+  test("q01_agg: partial aggregation (two HashAggregates around one Exchange)") {
+    val p = plan("q01_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial agg missing")
+  }
+
+  test("agg_rollup: lineitem pre-aggregates BELOW the orders join") {
+    val p = plan("agg_rollup")
+    // the pre-agg makes every join in the plan broadcastable: no
+    // SortMergeJoin/ShuffledHashJoin should appear at fixture scale
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && joinIdx >= 0, p.take(2000))
+    assert(p.lastIndexOf("HashAggregate") > joinIdx,
+      "a HashAggregate must sit below the join (lineitem partials)")
+  }
+
+  test("sim_lang_centroid: documents dimension enters via broadcast") {
+    assert(plan("sim_lang_centroid").contains("BroadcastHashJoin"))
+  }
+
+  test("a17 read-back: dt partition filter prunes directories") {
+    val p = plan("a17_clustered_sink")
+    assert(p.contains("PartitionFilters") && p.contains("dt"), p.take(2000))
+  }
+
+  test("a01 landing scan: dt filter is pushed to the connector") {
+    val p = plan("a01_landing_roundtrip")
+    assert(p.contains("pushedDt=[EqualTo(dt,19970101)]"), p.take(2000))
+  }
+
+  test("no judged plan contains a CartesianProduct") {
+    // broadcast NL joins (IVF centroids, 1-row count) are fine; a
+    // shuffled cartesian product is never the intended shape
+    for (name <- Seq("q05_region_revenue", "sim_ann_ivf", "doc_tfidf", "dedup_embedding_cosine")) {
+      assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+}

@@ -30,6 +30,52 @@ object TextQueries2 {
         .orderBy(col("lang"), col("rnk"))
     },
 
+    /** Context-window chunking: split each document into fixed-size
+      * overlapping chunks (size 200, stride 150) — the preprocessing
+      * step that turns documents into training windows. Pure per-row
+      * explode (no shuffle until the oracle's ORDER BY); chunk count
+      * derives from the text length, so the op is data-driven, not
+      * schema-bound. */
+    QueryDef("doc_chunks", Some("""
+      WITH c AS (SELECT doc_id, text,
+                   (greatest(length(text), 1) - 1) // 150 AS max_i
+                 FROM documents),
+      e AS (SELECT doc_id, unnest(range(0, max_i + 1)) AS i, text, max_i + 1 AS n_chunks FROM c)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(n_chunks AS BIGINT) AS n_chunks,
+             substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk,
+             CAST(length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len
+      FROM e ORDER BY doc_id, chunk_idx""")) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("max_i", expr("(greatest(length(text), 1) - 1) div 150"))
+        .withColumn("i", explode(sequence(lit(0L), col("max_i"))))
+        .select(col("doc_id"), col("i").as("chunk_idx"),
+          (col("max_i") + 1).as("n_chunks"),
+          expr("substr(text, CAST(i * 150 + 1 AS INT), 200)").as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")).cast("long"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    /** Deterministic dataset mixing + split assignment: per-source
+      * sampling weights applied via a modulus rule on the stable id
+      * (reproducible across runs and engines — no RNG), then a
+      * deterministic train/val split, reduced to per-(source, split)
+      * counts. The mixing/weighting step every training-corpus build
+      * runs before tokenization. */
+    QueryDef("curate_sample_mix", Some("""
+      WITH w AS (SELECT *, (CAST(substr(source, 4) AS BIGINT) % 10) + 1 AS w_tenths FROM documents),
+      s AS (SELECT *, CASE WHEN doc_id % 100 >= 90 THEN 'val' ELSE 'train' END AS split
+            FROM w WHERE doc_id % 10 < w_tenths)
+      SELECT source, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM s GROUP BY source, split ORDER BY source, split""")) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w_tenths", (substring(col("source"), 4, 10).cast("long") % 10) + 1)
+        .filter(col("doc_id") % 10 < col("w_tenths"))
+        .withColumn("split", when(col("doc_id") % 100 >= 90, "val").otherwise("train"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"), col("split"))
+    },
+
     /** TF-IDF: per-document top-3 terms. Classic curation scoring —
       * tf and df stay exact integers (two hash aggregates, map-side
       * partial), N arrives via a broadcast 1-row cross join (no

@@ -191,6 +191,37 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Multimodal decode plumbing under the oracle gate: the
+    // iterator-to-iterator mapPartitions decode runs for real; the
+    // judged columns are the ones a SQL oracle can reproduce
+    // (doc_id, payload byte length) — the FakeCodec-derived fields
+    // (format/width/height/checksum) stay spec-checked (MultimodalSpec)
+    // since their wrapping-arithmetic fold is not SQL-expressible.
+    QueryDef("multimodal_decode", Some("""
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      graft.operators.Multimodal.decodeMeta(graft.operators.Multimodal.payloads(s, d))
+        .toDF().select(col("doc_id"), col("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Frame-sampling stub (UDTF-style flatMap) under the gate: every
+    // stride-th chunk, even indices kept; chunk lengths are pure byte
+    // arithmetic so the oracle reproduces them exactly.
+    QueryDef("multimodal_frames", Some("""
+      WITH c AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+                        (greatest(octet_length(CAST(text AS BLOB)), 1) - 1) // 64 AS max_i
+                 FROM documents),
+      e AS (SELECT doc_id, unnest(range(0, max_i + 1)) AS i, n FROM c)
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             CAST(least(64, n - i * 64) AS BIGINT) AS frame_bytes
+      FROM e WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""")) { (s, d) =>
+      graft.operators.Multimodal.sampleFrames(graft.operators.Multimodal.payloads(s, d), 64)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_bytes").cast("long").as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // Multimodal metadata plumbing: opaque payload bytes + typed
     // metadata columns (byte length, content hashes, bucket key).
     QueryDef("multimodal_meta", Some("""

@@ -29,6 +29,20 @@ object Bench {
           Window.partitionBy(col("r_regionkey")).orderBy(col("x"))))
         .orderBy(col("rn"))
         .write.format("noop").mode("overwrite").save()
+      // ... and the two write committers the I/O round-trip queries hit
+      // first (dynamic partition overwrite, DSv2 landing sink): their
+      // first-use class-load/JIT otherwise lands in the timed queries
+      val wtmp = s"${sys.props("java.io.tmpdir")}/graft_bench_warm"
+      r.limit(5).withColumn("dt", lit("19970101"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt").parquet(s"$wtmp/pq")
+      r.limit(5).select(col("r_regionkey"), col("r_name"))
+        .write.format("graft-landing").mode("overwrite")
+        .option("path", s"$wtmp/landing").option("endpoint", "warm").save()
+      spark.read.format("graft-landing")
+        .schema("r_regionkey LONG, r_name STRING")
+        .option("path", s"$wtmp/landing").option("endpoint", "warm").load()
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // noop sink: materializes every row/column of the result (count()
     // would let Catalyst prune the whole projection away).

@@ -177,6 +177,25 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // Streaming dedup-within-watermark under the oracle gate, with a
+    // REAL replay: the events file is staged twice, maxFilesPerTrigger
+    // delivers each copy as its own micro-batch, and
+    // dropDuplicatesWithinWatermark must collapse the replayed batch —
+    // the per-user counts then equal the plain single-copy batch
+    // aggregate.
+    QueryDef("stream_dedup_replay", Some("""
+      SELECT user_id, count(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
+      import graft.streaming.EventStreams
+      val base = EventStreams.stageEventsInput(s, d, "dd", copies = 2)
+      val deduped = EventStreams.runToBatch(s,
+        EventStreams.dedupStream(EventStreams.readEvents(s, s"$base/in")),
+        s"graft_q_dedup_${math.abs(d.hashCode)}")
+      deduped.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
     // Daily activity rollup joined to the customer dimension.
     QueryDef("events_daily_users", Some("""
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,

@@ -96,8 +96,12 @@ object EventStreams {
 
   /** Stage the events fixture file into a per-(prefix, sfDir) temp
     * directory for the file-source streaming queries (the source wants
-    * a directory it can list). Idempotent: wiped and recopied per run. */
-  def stageEventsInput(spark: SparkSession, sfDir: String, prefix: String): String = {
+    * a directory it can list). Idempotent: wiped and recopied per run.
+    * `copies` > 1 stages the SAME file under several names — with
+    * maxFilesPerTrigger=1 each copy arrives as its own micro-batch, a
+    * controlled replay for dedup/idempotence tests. */
+  def stageEventsInput(spark: SparkSession, sfDir: String, prefix: String,
+      copies: Int = 1): String = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val base = s"${sys.props("java.io.tmpdir")}/graft_q_${prefix}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     val conf = spark.sparkContext.hadoopConfiguration
@@ -105,8 +109,10 @@ object EventStreams {
     fs.delete(new Path(base), true)
     val inDir = new Path(base, "in")
     fs.mkdirs(inDir)
-    FileUtil.copy(fs, new Path(s"$sfDir/events.parquet"),
-      fs, new Path(inDir, "part-0.parquet"), false, conf)
+    (0 until copies).foreach { i =>
+      FileUtil.copy(fs, new Path(s"$sfDir/events.parquet"),
+        fs, new Path(inDir, s"part-$i.parquet"), false, conf)
+    }
     base
   }
 }

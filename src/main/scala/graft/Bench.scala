@@ -43,7 +43,11 @@ object Bench {
         .schema("r_regionkey LONG, r_name STRING")
         .option("path", s"$wtmp/landing").option("endpoint", "warm").load()
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // warmup is best-effort, but a silent failure would quietly push
+      // first-use committer JIT back into the first timed queries
+      System.err.println(s"[bench] warmup failed (timings may include cold-start costs): $e")
+    }
     // noop sink: materializes every row/column of the result (count()
     // would let Catalyst prune the whole projection away).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

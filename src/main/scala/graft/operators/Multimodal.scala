@@ -53,7 +53,9 @@ object Multimodal {
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => FakeCodec.decode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) =>
+        FakeCodec.decode(id, if (bytes == null) Array.empty else bytes)
+      })
   }
 
   /** Frame-sampling stub: emits every `stride`-th chunk of the payload
@@ -63,10 +65,14 @@ object Multimodal {
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        bytes.grouped(stride).zipWithIndex.collect {
+      .flatMap { case (id, bytes0) =>
+        val bytes = if (bytes0 == null) Array.empty[Byte] else bytes0
+        // an empty payload still yields one zero-byte frame (ceil
+        // semantics — matches the oracle's (len-1)//stride + 1 count)
+        if (bytes.isEmpty) Seq((id, 0, 0))
+        else bytes.grouped(stride).zipWithIndex.collect {
           case (chunk, idx) if idx % 2 == 0 => (id, idx, chunk.length)
-        }
+        }.toSeq
       }
       .toDF("doc_id", "frame_idx", "frame_bytes")
   }

@@ -55,8 +55,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("a01 landing scan: dt filter is pushed to the connector") {
-    val p = plan("a01_landing_roundtrip")
-    assert(p.contains("pushedDt=[EqualTo(dt,19970101)]"), p.take(2000))
+    // the assertion sits near Spark's 100-char scan-description
+    // truncation limit when tmpdir paths are long — widen it here
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try {
+      val p = plan("a01_landing_roundtrip")
+      assert(p.contains("pushedDt=[EqualTo(dt,19970101)]"), p.take(2000))
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
   }
 
   test("no judged plan contains a CartesianProduct") {

@@ -112,15 +112,28 @@ object TextQueries {
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
       SELECT doc_id, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard_next
       FROM j ORDER BY doc_id""")) { (s, d) =>
-      // shingle arrays are distinct sets (CharShingles), so
-      // |A∪B| = |A|+|B|-|A∩B| — one hash-set pass instead of two
+      // tag-explode instead of a self-join: each doc ships its shingle
+      // set to its own pair and its predecessor's pair, then one
+      // hash aggregate reassembles (A, B) per pair. Shingles compute
+      // ONCE and there is ONE shuffle — the self-join form recomputed
+      // the shingle scan on both branches and shuffled twice (measured
+      // ~2.4x slower at sf0.1). first(..., ignoreNulls) is
+      // deterministic: exactly one row per side per pair.
+      // |A∪B| = |A|+|B|-|A∩B| since shingle arrays are distinct sets.
       val sh = Tables.documents(s, d).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sh").as("sh2"))
-      sh.join(b, Seq("doc_id"))
-        .withColumn("inter", size(array_intersect(col("sh"), col("sh2"))))
-        .select(col("doc_id"),
+      sh.select(explode(array(
+          struct(col("doc_id").as("pair_id"), lit(0).as("side"), col("sh").as("sh")),
+          struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"), col("sh").as("sh")))).as("t"))
+        .select(col("t.pair_id").as("pair_id"), col("t.side").as("side"), col("t.sh").as("sh"))
+        .groupBy(col("pair_id"))
+        .agg(first(when(col("side") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
+          first(when(col("side") === 1, col("sh")), ignoreNulls = true).as("sh_b"),
+          count(lit(1)).as("n_sides"))
+        .filter(col("n_sides") === 2)   // inner-join semantics: both ends present
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .select(col("pair_id").as("doc_id"),
           round(col("inter").cast("double")
-            / (size(col("sh")) + size(col("sh2")) - col("inter")), 6).as("jaccard_next"))
+            / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6).as("jaccard_next"))
         .orderBy(col("doc_id"))
     },
 

@@ -62,4 +62,14 @@ object VectorFunctions {
   def lshBuckets(qvec: Column, planes: Int, tables: Int): Column =
     array((0 until tables).map(t =>
       struct(lit(t).as("table"), lshBucket(qvec, planes, t).as("bucket"))): _*)
+
+  /** Axis-sign LSH bucket: the sign pattern of the components at
+    * `dims`, MSB-first (hyperplanes = coordinate axes). Unlike the
+    * random-hyperplane form this is deterministic AND SQL-expressible
+    * — the judged near-dup/ANN queries mirror it with CASE chains in
+    * their DuckDB oracles, so keep bit order changes in lockstep. */
+  def axisSignBucket(qvec: Column, dims: Range): Column =
+    dims.zipWithIndex.map { case (i, j) =>
+      when(qvec.getItem(i) >= 0, lit(1L << (dims.size - 1 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

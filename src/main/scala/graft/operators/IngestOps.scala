@@ -102,18 +102,23 @@ object IngestOps {
     * (bigquery_helper.py:88-92). Overwrite of matching partitions only
     * (dynamic) replaces truncate-reload.
     *
-    * File-count control: without the repartition, every input task
+    * File-count control: without a shuffle on dt, every input task
     * opens a writer for every dt it touches — tasks × days files (a
-    * small-file catastrophe at 100 TB). One shuffle on dt bounds it
-    * (total files = number of days), and the (dt, cluster...) sort
-    * both feeds the sequential per-dt writer and delivers the
-    * clustering. The partition count is pinned to the session's
-    * shuffle-partition setting because AQE would coalesce the tiny
-    * post-shuffle stage into ONE task and serialize every file write
-    * (measured 17 s → 6 s on the a17 fixture slice). */
+    * small-file catastrophe at 100 TB). A RANGE repartition on
+    * (dt, cluster...) bounds both ends: files per day ≈ the range
+    * partitions covering that day (not tasks × days), while a huge
+    * single day still spreads across many tasks by cluster-key range
+    * (a hash repartition on dt alone would funnel a whole day through
+    * one task). The in-task (dt, cluster...) sort feeds the sequential
+    * per-dt writer and delivers the clustering; range partitioning is
+    * already dt-contiguous. The partition count is pinned to the
+    * session's shuffle-partition setting because AQE would coalesce
+    * the tiny post-shuffle stage into ONE task and serialize every
+    * file write (measured 17 s → 6 s on the a17 fixture slice). */
   def writePartitioned(df: DataFrame, path: String, dtCol: String, clusterCols: Seq[String]): Unit =
     df.withColumn("dt", date_format(col(dtCol), "yyyyMMdd"))
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col("dt"))
+      .repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
+        ("dt" +: clusterCols).map(col): _*)
       .sortWithinPartitions(("dt" +: clusterCols).map(col): _*)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -21,11 +21,16 @@ object ParallelOps {
     * TimeoutException here instead of hanging the caller forever. */
   def runIsolated[T](jobs: Seq[() => T], parallelism: Int = 2,
       timeout: Duration = Duration.Inf): Seq[Try[T]] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    // daemon threads + shutdownNow on timeout: a wedged job must not
+    // keep the JVM alive after the caller has already given up on it
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism,
+      (r: Runnable) => { val t = new Thread(r, "graft-parallel"); t.setDaemon(true); t })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = jobs.map(j => Future(Try(j())))
       Await.result(Future.sequence(futures), timeout)
+    } catch {
+      case e: scala.concurrent.TimeoutException => pool.shutdownNow(); throw e
     } finally pool.shutdown()
   }
 }

@@ -139,9 +139,14 @@ object EventQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       // watchdog: a wedged stream must fail THIS query, not hang the
-      // whole Verify/Bench run
+      // whole Verify/Bench run (awaitTermination rethrows a stream
+      // failure itself; stop() is bounded on a side thread because it
+      // can block forever on a non-interruptible stream)
       if (!q.awaitTermination(300000L)) {
-        q.stop()
+        val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
+        stopper.setDaemon(true)
+        stopper.start()
+        stopper.join(15000L)
         throw new RuntimeException("stream_foreachbatch_sink: stream did not finish within 300 s")
       }
       s.read.parquet(sink)   // readEvents already truncated ts ns→µs TimestampType

@@ -108,13 +108,10 @@ object VectorQueries {
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", qdot(col("q"), col("q")))
-      def signBucket(dims: Range) = dims.zipWithIndex.map { case (i, j) =>
-        when(col("q").getItem(i) >= 0, lit(1L << (3 - j))).otherwise(lit(0L))
-      }.reduce(_ + _)
       val banded = graft.operators.ScaleOps.capBuckets(
         v.select(col("vec_id"), col("q"), col("n2"), explode(array(
-          struct(lit(0).as("t"), signBucket(0 until 4).as("b")),
-          struct(lit(1).as("t"), signBucket(4 until 8).as("b")))).as("tb"))
+          struct(lit(0).as("t"), axisSignBucket(col("q"), 0 until 4).as("b")),
+          struct(lit(1).as("t"), axisSignBucket(col("q"), 4 until 8).as("b")))).as("tb"))
           .select(col("vec_id"), col("q"), col("n2"),
             col("tb.t").as("t"), col("tb.b").as("b")),
         Seq("t", "b"), "vec_id", cap = 1000)
@@ -252,8 +249,7 @@ object VectorQueries {
         Tables.embeddings(s, d)
           .select(col("vec_id"), quantize(col("embedding")).as("q"))
           .withColumn("n2", qdot(col("q"), col("q")))
-          .withColumn("bucket", (0 until 4).map(i =>
-            when(col("q").getItem(i) >= 0, lit(1L << (3 - i))).otherwise(lit(0L))).reduce(_ + _)),
+          .withColumn("bucket", axisSignBucket(col("q"), 0 until 4)),
         Seq("bucket"), "vec_id", cap = 1000)   // hot-bucket guard, mirrored by the oracle's QUALIFY
       val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("q").as("q_a"), col("n2").as("n2_a"))
       val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("q").as("q_b"), col("n2").as("n2_b"))

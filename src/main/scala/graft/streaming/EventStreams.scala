@@ -88,7 +88,18 @@ object EventStreams {
     drain.start()
     drain.join(timeoutMs)
     val drained = !drain.isAlive
-    q.stop()
+    // a failed stream surfaces via q.exception (processAllAvailable's
+    // throw died with the drain thread) — capture it BEFORE stopping
+    val failure = q.exception
+    // stop() itself can block forever on a non-interruptible stream
+    // (stopTimeout=0 default): bound it on a side thread
+    val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () },
+      s"runToBatch-stop-$name")
+    stopper.setDaemon(true)
+    stopper.start()
+    stopper.join(15000L)
+    failure.foreach(e =>
+      throw new RuntimeException(s"runToBatch($name): stream failed", e))
     if (!drained)
       throw new RuntimeException(s"runToBatch($name): stream did not drain within $timeoutMs ms")
     spark.table(name)

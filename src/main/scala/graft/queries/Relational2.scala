@@ -67,6 +67,31 @@ object Relational2 {
         .orderBy(col("o_orderpriority"))
     },
 
+    // UNPIVOT — the inverse of pivot_status: wide per-status counts
+    // melt back to (priority, status, n) rows via Spark's native
+    // unpivot (plans as Expand, one pass, no shuffle beyond the agg).
+    QueryDef("pivot_unpivot", Some("""
+      WITH p AS (SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+                 FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, status, n FROM p
+      UNPIVOT (n FOR status IN (F, O, P))
+      ORDER BY o_orderpriority, status""")) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .unpivot(Array(col("o_orderpriority")), Array(col("F"), col("O"), col("P")),
+          "status", "n")
+        .orderBy(col("o_orderpriority"), col("status"))
+    },
+
     QueryDef("win_navigation", Some("""
       SELECT o_custkey, o_orderkey,
              CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,

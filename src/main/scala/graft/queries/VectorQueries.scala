@@ -191,6 +191,26 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    /** The native codegen'd Catalyst expression through its SQL
+      * registration path (GraftExtensions → `qdot_native`): the same
+      * LongDotProduct kernel the Column-API queries use, here invoked
+      * from SQL text — putting the extension surface itself under the
+      * oracle gate. */
+    QueryDef("scalar_qdot_sql", Some("""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings)
+      SELECT vec_id, CAST(list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS BIGINT) AS n2
+      FROM v ORDER BY vec_id""")) { (s, d) =>
+      graft.GraftExtensions.register(s)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .createOrReplaceTempView("graft_q_qdot_v")
+      s.sql("""
+        SELECT vec_id, qdot_native(q, q) AS n2
+        FROM graft_q_qdot_v ORDER BY vec_id""")
+    },
+
     /** Centroid (mean) pooling per language — the embedding-aggregation
       * primitive of a training-data pipeline (cluster centers, class
       * prototypes). Scale shape: posexplode → one hash aggregate on

@@ -64,11 +64,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.mkString("[", ",", "]")
-    // stdout carries exactly ONE short JSON line (the driver's tail
-    // capture truncated round 1's single long line mid-line, and a
-    // line-scanning parser must not trip over a second record); the
-    // per-query detail goes to stderr for humans/logs.
-    System.err.println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per the round-1 verdict: per-query detail on its own EARLIER
+    // stdout line, and a short always-parseable total-only record as
+    // the very LAST stdout line (round 1's single long line was
+    // truncated mid-line by the driver's tail capture).
+    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -143,6 +143,37 @@ object IngestQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // A1 streaming read — the connector's MicroBatchStream under the
+    // oracle gate: fixture rows already landed as page files (own
+    // staging, same layout as a01) are consumed through a REAL
+    // readStream over graft-landing (watermark-keyed incremental
+    // offsets), drained to a memory sink, and oracle-checked against
+    // the source rows.
+    QueryDef("a01_landing_stream", Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val root = s"${sys.props("java.io.tmpdir")}/graft_q_a01s_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      val cut = to_timestamp(lit("1997-01-01"))
+      def dump(dt: String, df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft-landing").mode("overwrite")
+          .option("path", root).option("endpoint", "vendas")
+          .option("cnpj", "12.345.678/0001-90").option("dt", dt).save()
+      dump("19960101", base.filter(col("o_orderdate") < cut))
+      dump("19970101", base.filter(col("o_orderdate") >= cut))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType), StructField("o_orderdate", TimestampNTZType)))
+      val streamed = s.readStream.format("graft-landing").schema(schema)
+        .option("path", root).option("endpoint", "vendas").load()
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      graft.streaming.EventStreams.runToBatch(s, streamed,
+        s"graft_q_a01_stream_${math.abs(d.hashCode)}")
+        .orderBy(col("o_orderkey"))
+    },
+
     // A17 — partitioned+clustered sink under the oracle gate: write a
     // fixture slice through writePartitioned (Hive-style dt= dirs +
     // sortWithinPartitions clustering), read back with a dt range

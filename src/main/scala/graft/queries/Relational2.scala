@@ -67,6 +67,45 @@ object Relational2 {
         .orderBy(col("o_orderpriority"))
     },
 
+    /** Recursive CTE (Spark 4 WITH RECURSIVE): per-customer active
+      * month span expanded recursively from first to last order month.
+      * Iteration count = the longest span in months (~43 on the
+      * fixtures), with ALL customers advancing together each step —
+      * the scalable shape for iterative plans. */
+    QueryDef("recursive_months", Some("""
+      WITH RECURSIVE m(c, mon, last_mon) AS (
+        SELECT o_custkey, date_trunc('month', min(o_orderdate)), date_trunc('month', max(o_orderdate))
+        FROM orders GROUP BY o_custkey
+        UNION ALL
+        SELECT c, mon + INTERVAL 1 MONTH, last_mon FROM m WHERE mon < last_mon)
+      SELECT c AS o_custkey, count(*) AS n_months
+      FROM m GROUP BY c ORDER BY o_custkey""")) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("graft_q_rec_orders")
+      s.sql("""
+        WITH RECURSIVE m(c, mon, last_mon) AS (
+          SELECT o_custkey, date_trunc('month', min(o_orderdate)), date_trunc('month', max(o_orderdate))
+          FROM graft_q_rec_orders GROUP BY o_custkey
+          UNION ALL
+          SELECT c, mon + INTERVAL '1' MONTH, last_mon FROM m WHERE mon < last_mon)
+        SELECT c AS o_custkey, count(*) AS n_months
+        FROM m GROUP BY c ORDER BY o_custkey""")
+    },
+
+    // Time-interval RANGE frame: trailing-30-day order count per
+    // customer — the event-time sliding-window idiom in window form.
+    QueryDef("win_range_interval", Some("""
+      SELECT o_orderkey,
+             CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_30d
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("graft_q_wri_orders")
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_30d
+        FROM graft_q_wri_orders ORDER BY o_orderkey""")
+    },
+
     // UNPIVOT — the inverse of pivot_status: wide per-status counts
     // melt back to (priority, status, n) rows via Spark's native
     // unpivot (plans as Expand, one pass, no shuffle beyond the agg).

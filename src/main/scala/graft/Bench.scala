@@ -29,6 +29,10 @@ object Bench {
           Window.partitionBy(col("r_regionkey")).orderBy(col("x"))))
         .orderBy(col("rn"))
         .write.format("noop").mode("overwrite").save()
+      // recursion machinery (first WITH RECURSIVE pays heavy class
+      // load/JIT — absorb it untimed)
+      spark.sql("WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 3) SELECT * FROM t")
+        .write.format("noop").mode("overwrite").save()
       // ... and the two write committers the I/O round-trip queries hit
       // first (dynamic partition overwrite, DSv2 landing sink): their
       // first-use class-load/JIT otherwise lands in the timed queries

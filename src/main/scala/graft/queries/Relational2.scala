@@ -69,24 +69,27 @@ object Relational2 {
 
     /** Recursive CTE (Spark 4 WITH RECURSIVE): per-customer active
       * month span expanded recursively from first to last order month.
-      * Iteration count = the longest span in months (~43 on the
-      * fixtures), with ALL customers advancing together each step —
-      * the scalable shape for iterative plans. */
+      * Depth-bounded at 6 (n_months caps at 6): every customer
+      * advances together each step, so the iteration count is the
+      * depth bound — not the row count, and not the longest span —
+      * which is the only sane recursion contract at scale. */
     QueryDef("recursive_months", Some("""
-      WITH RECURSIVE m(c, mon, last_mon) AS (
-        SELECT o_custkey, date_trunc('month', min(o_orderdate)), date_trunc('month', max(o_orderdate))
+      WITH RECURSIVE m(c, mon, last_mon, depth) AS (
+        SELECT o_custkey, date_trunc('month', min(o_orderdate)), date_trunc('month', max(o_orderdate)), 1
         FROM orders GROUP BY o_custkey
         UNION ALL
-        SELECT c, mon + INTERVAL 1 MONTH, last_mon FROM m WHERE mon < last_mon)
+        SELECT c, mon + INTERVAL 1 MONTH, last_mon, depth + 1
+        FROM m WHERE mon < last_mon AND depth < 6)
       SELECT c AS o_custkey, count(*) AS n_months
       FROM m GROUP BY c ORDER BY o_custkey""")) { (s, d) =>
       t(s, d, "orders").createOrReplaceTempView("graft_q_rec_orders")
       s.sql("""
-        WITH RECURSIVE m(c, mon, last_mon) AS (
-          SELECT o_custkey, date_trunc('month', min(o_orderdate)), date_trunc('month', max(o_orderdate))
+        WITH RECURSIVE m(c, mon, last_mon, depth) AS (
+          SELECT o_custkey, date_trunc('month', min(o_orderdate)), date_trunc('month', max(o_orderdate)), 1
           FROM graft_q_rec_orders GROUP BY o_custkey
           UNION ALL
-          SELECT c, mon + INTERVAL '1' MONTH, last_mon FROM m WHERE mon < last_mon)
+          SELECT c, mon + INTERVAL '1' MONTH, last_mon, depth + 1
+          FROM m WHERE mon < last_mon AND depth < 6)
         SELECT c AS o_custkey, count(*) AS n_months
         FROM m GROUP BY c ORDER BY o_custkey""")
     },

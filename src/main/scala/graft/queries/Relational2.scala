@@ -134,6 +134,21 @@ object Relational2 {
         .orderBy(col("o_orderpriority"), col("status"))
     },
 
+    // Error-safe scalar evaluation — the idiomatic answer to Spark 4's
+    // ANSI mode (failed casts yield NULL instead of runtime errors).
+    QueryDef("scalar_try", Some("""
+      SELECT o_orderkey,
+             TRY_CAST(o_orderstatus AS BIGINT) AS st_num,
+             TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+             round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS safe_div
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+        expr("try_cast(o_orderstatus AS BIGINT)").as("st_num"),
+        expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").as("prio_num"),
+        round(col("o_totalprice") / nullif(col("o_orderkey") % 3, lit(0)), 6).as("safe_div"))
+        .orderBy(col("o_orderkey"))
+    },
+
     QueryDef("win_navigation", Some("""
       SELECT o_custkey, o_orderkey,
              CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,

@@ -201,6 +201,42 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    /** Stream-stream interval join under the oracle gate: purchases and
+      * clicks are two REAL watermarked streams (branches of one file
+      * source), inner-joined on user_id with an event-time interval
+      * bound (click in the hour before the purchase) — the canonical
+      * Structured Streaming stream-stream join, state expired by the
+      * watermark + time bound. The drained pairs reduce to per-purchase
+      * prior-click counts; the oracle is the same interval join in
+      * batch SQL. At 100 TB both sides shuffle once on user_id and
+      * join state stays bounded by the 1-hour interval. */
+    QueryDef("stream_stream_join", Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT * FROM e WHERE event_type = 'click')
+      SELECT p.event_id, count(*) AS n_prior_clicks
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      import graft.streaming.EventStreams
+      val base = EventStreams.stageEventsInput(s, d, "ssj")
+      val ev = EventStreams.readEvents(s, s"$base/in")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+      EventStreams.runToBatch(s, joined, s"graft_q_ssj_${math.abs(d.hashCode)}")
+        .groupBy(col("p_id")).agg(count(lit(1)).as("n_prior_clicks"))
+        .select(col("p_id").as("event_id"), col("n_prior_clicks"))
+        .orderBy(col("event_id"))
+    },
+
     // Daily activity rollup joined to the customer dimension.
     QueryDef("events_daily_users", Some("""
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,

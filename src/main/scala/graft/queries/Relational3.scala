@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Third relational/analytics coverage batch: correlated EXISTS
+  * subqueries, higher-order lambda functions, time-range joins, cohort
+  * retention, calendar gap-fill, and explicit salted (skew-safe)
+  * two-phase aggregation.
+  *
+  * Scale notes are per-query; the common theme is that every shape here
+  * stays a hash/sort-merge plan with bounded per-key work — no
+  * cross-join, no collect, no driver-side loop.
+  */
+object Relational3 {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Correlated EXISTS / NOT EXISTS — the remaining subquery
+      * decorrelation path (subquery_in covers IN/NOT IN, subquery_scalar
+      * the scalar case). Catalyst rewrites these to left-semi and
+      * left-anti hash joins on o_custkey: two shuffles over orders, no
+      * per-row re-execution. */
+    QueryDef("subquery_exists", Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      ORDER BY c_custkey""")) { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("graft_q_ex_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_q_ex_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM graft_q_ex_customer c
+        WHERE EXISTS (SELECT 1 FROM graft_q_ex_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM graft_q_ex_orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        ORDER BY c_custkey""")
+    },
+
+    /** Higher-order lambda functions (transform / filter / aggregate /
+      * exists) over per-row word arrays. All four stay inside
+      * whole-stage codegen — per-row array work, no explode, no
+      * shuffle until the final ORDER BY. */
+    QueryDef("scalar_lambda", Some("""
+      SELECT doc_id,
+             array_to_string(list_transform(string_split(text, ' ')[1:5],
+                                            w -> CAST(length(w) AS VARCHAR)), ',') AS head_lens,
+             CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS BIGINT) AS n_long,
+             CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_len,
+             len(list_filter(string_split(lower(text), ' '), w -> w = 'the')) > 0 AS has_the
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val words = split(col("text"), " ")
+      Tables.documents(s, d).select(col("doc_id"),
+        array_join(transform(slice(words, 1, 5), w => length(w).cast("string")), ",").as("head_lens"),
+        size(filter(words, w => length(w) > 4)).cast("long").as("n_long"),
+        aggregate(transform(words, w => length(w).cast("long")), lit(0L), (acc, x) => acc + x).as("total_len"),
+        exists(split(lower(col("text")), " "), w => w === lit("the")).as("has_the"))
+        .orderBy(col("doc_id"))
+    },
+
+    /** Time-range self-join: for every event, how many events the same
+      * user produced in the following hour. Equi-key (user_id) plus a
+      * bounded time-range predicate — Spark plans a SortMergeJoin on the
+      * equi key with the range as a join filter, so per-key work is the
+      * sorted run between the bounds, never the key's full history. At
+      * 100 TB the equi key carries the shuffle; the 1-hour bound keeps
+      * the per-row scan O(events-in-window). */
+    QueryDef("join_range", Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      SELECT a.event_id, count(b.event_id) AS n_next_hour
+      FROM e a LEFT JOIN e b
+        ON b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      GROUP BY a.event_id ORDER BY a.event_id""")) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val a = e.select(col("event_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+      val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      a.join(b,
+          col("b_user") === col("a_user") &&
+            col("b_ts") > col("a_ts") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
+          "left")
+        .groupBy(col("event_id")).agg(count(col("b_id")).as("n_next_hour"))
+        .orderBy(col("event_id"))
+    },
+
+    /** Cohort retention: users grouped by first-seen day, distinct
+      * activity counted per day-offset. Two hash aggregates plus one
+      * shuffle join on user_id; the distinct() collapses per-(user, day)
+      * activity map-side before the join. */
+    QueryDef("events_retention", Some("""
+      WITH f AS (SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort
+                 FROM events GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events)
+      SELECT cohort, CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+             count(*) AS n_users
+      FROM f JOIN a USING (user_id)
+      WHERE date_diff('day', cohort, day) <= 7
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val active = ev.distinct()
+      cohorts.join(active, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort"), col("day_offset")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("day_offset"))
+    },
+
+    /** Calendar gap-fill: a generated day spine × the event-type
+      * dimension, left-joined to sparse (high-value) daily counts with
+      * zero fill — the resample/gap-fill op every time-series pipeline
+      * needs. The spine derives from a 1-row bounds aggregate via
+      * sequence+explode (no driver round-trip); spine and dimension are
+      * tiny and broadcast, the counts aggregate map-side. */
+    QueryDef("events_gapfill", Some("""
+      WITH b AS (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0,
+                        max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d1 FROM events),
+      cal AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                                 INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      ty AS (SELECT DISTINCT event_type FROM events),
+      cnt AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+              FROM events WHERE value >= 140 GROUP BY 1, 2)
+      SELECT ty.event_type, cal.day, coalesce(cnt.n, 0) AS n
+      FROM cal CROSS JOIN ty
+      LEFT JOIN cnt ON cnt.event_type = ty.event_type AND cnt.day = cal.day
+      ORDER BY 1, 2""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cal = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+      val ty = ev.select(col("event_type")).distinct()
+      val cnt = ev.filter(col("value") >= 140)
+        .groupBy(col("event_type").as("c_type"), to_date(col("ts")).as("c_day"))
+        .agg(count(lit(1)).as("n"))
+      cal.crossJoin(broadcast(ty))
+        .join(cnt, col("c_type") === col("event_type") && col("c_day") === col("day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    /** Map-typed scalar family: JSON → map (from_json), constructed
+      * maps (map_from_arrays), map_keys / map_values / element_at /
+      * size / map_concat. Map columns are not driver-hashable, so every
+      * output reduces to STRING/BIGINT (sorted-joined keys/values) —
+      * the oracle produces the same values from the JSON text directly.
+      * All per-row, codegen'd, no shuffle before the ORDER BY. */
+    QueryDef("scalar_map", Some("""
+      SELECT event_id,
+             array_to_string(list_sort(json_keys(props)), ',') AS key_list,
+             json_extract_string(props, '$.k') AS k_val,
+             CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             event_type AS type_val,
+             array_to_string(list_sort([event_type, CAST(user_id AS VARCHAR)]), ',') AS vals2
+      FROM events ORDER BY event_id""")) { (s, d) =>
+      import org.apache.spark.sql.types.{MapType, StringType}
+      val m = from_json(col("props"), MapType(StringType, StringType))
+      val m2 = map_from_arrays(
+        array(lit("type"), lit("uid")),
+        array(col("event_type"), col("user_id").cast("string")))
+      Tables.events(s, d).select(col("event_id"),
+        array_join(array_sort(map_keys(m)), ",").as("key_list"),
+        element_at(m, "k").as("k_val"),
+        size(m).cast("long").as("n_keys"),
+        element_at(map_concat(m2, m), "type").as("type_val"),
+        array_join(array_sort(map_values(m2)), ",").as("vals2"))
+        .orderBy(col("event_id"))
+    },
+
+    /** Explicit two-phase salted aggregation — the skew guard for a
+      * hot-key groupBy that AQE can't split (aggregation skew, not join
+      * skew). Phase 1 groups on (key, salt) so a hot key spreads over 16
+      * reducers; phase 2 merges the 16 partials. Exact-decimal partial
+      * sums are associative, so the rewrite is value-exact; the oracle
+      * is the plain single-phase GROUP BY. */
+    QueryDef("agg_salted", Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val partial = Tables.events(s, d)
+        .withColumn("__salt", pmod(hash(col("event_id")), lit(16)))
+        .groupBy(col("event_type"), col("__salt"))
+        .agg(count(lit(1)).as("pn"), sum(money(col("value"))).as("pv"))
+      partial.groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("total_value"))
+        .orderBy(col("event_type"))
+    },
+  )
+}

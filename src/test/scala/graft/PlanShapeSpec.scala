@@ -64,6 +64,26 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
   }
 
+  test("join_range: equi-key carries the join (SMJ/SHJ), range is a filter") {
+    val p = plan("join_range")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), // AQE may broadcast at fixture scale
+      "time-range self-join must join on the user_id equi key, not nested-loop: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("subquery_exists: EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("subquery_exists")
+    assert(p.contains("LeftSemi"), "EXISTS must become a left-semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become a left-anti join")
+  }
+
+  test("agg_salted: both phases are hash aggregates with map-side partials") {
+    val p = plan("agg_salted")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "salted two-phase agg should plan 2x(partial+final) HashAggregates: " + p.take(2000))
+  }
+
   test("no judged plan contains a CartesianProduct") {
     // broadcast NL joins (IVF centroids, 1-row count) are fine; a
     // shuffled cartesian product is never the intended shape

@@ -137,6 +137,84 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    /** Near-dup CLUSTERING: connected components over the dup-pair
+      * graph (fingerprint-class star edges ∪ consecutive-pair Jaccard
+      * ≥ 0.5 edges), then keep-one-per-cluster — the step that turns
+      * pairwise dup candidates into an actual deduped corpus.
+      *
+      * Spark side: pointer-jumping label propagation — each of 6 rounds
+      * takes the min label over the closed neighborhood, then jumps
+      * `lbl := lbl(lbl)`, so covered distance grows ~2^k (6 rounds ⇒
+      * diameter ≤ 127; fixture components are ≤ 11 wide, margin ~10×).
+      * Each round is two equi-joins + one hash aggregate — the
+      * MapReduce connected-components shape that scales to 100 TB —
+      * with `localCheckpoint` truncating lineage per round (the
+      * standard iterative-algorithm pattern; production would also
+      * early-exit on a `changed == 0` count). The oracle walks the same
+      * graph with a recursive CTE and takes min reachable id. */
+    QueryDef("dedup_components", Some("""
+      WITH RECURSIVE
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS sh FROM documents),
+      jp AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+      je AS (SELECT a, b FROM jp WHERE jac >= 0.5),
+      fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+      fpe AS (SELECT m.mdoc AS a, f.doc_id AS b
+              FROM fp f JOIN (SELECT fp, min(doc_id) AS mdoc FROM fp GROUP BY 1) m USING (fp)
+              WHERE f.doc_id <> m.mdoc),
+      edges AS (SELECT a, b FROM je UNION SELECT a, b FROM fpe),
+      sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
+      SELECT id AS doc_id, min(r) AS component, id = min(r) AS is_kept
+      FROM reach GROUP BY id ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // Jaccard edges via the same single-shuffle tag-explode as
+      // dedup_ngram_jaccard, filtered at the 0.5 threshold (identical
+      // integer inputs → identical IEEE division in both engines).
+      val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      val jedges = sh.select(explode(array(
+          struct(col("doc_id").as("pair_id"), lit(0).as("side"), col("sh").as("sh")),
+          struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"), col("sh").as("sh")))).as("t"))
+        .select(col("t.pair_id").as("pair_id"), col("t.side").as("side"), col("t.sh").as("sh"))
+        .groupBy(col("pair_id"))
+        .agg(first(when(col("side") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
+          first(when(col("side") === 1, col("sh")), ignoreNulls = true).as("sh_b"),
+          count(lit(1)).as("n_sides"))
+        .filter(col("n_sides") === 2)
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("inter").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+        .select(col("pair_id").as("a"), (col("pair_id") + 1).as("b"))
+      // Exact-dup star edges: every class member points at the class min.
+      val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val fmin = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("a"))
+      val fedges = fp.join(fmin, "fp").filter(col("doc_id") =!= col("a"))
+        .select(col("a"), col("doc_id").as("b"))
+      val edges = jedges.union(fedges)
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+      var lbl = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      for (_ <- 1 to 6) {
+        val nbrMin = sym
+          .join(lbl.select(col("id").as("nid"), col("lbl").as("nlbl")), col("b") === col("nid"))
+          .groupBy(col("a")).agg(min(col("nlbl")).as("nmin"))
+        val stepped = lbl.join(nbrMin, lbl("id") === nbrMin("a"), "left")
+          .select(lbl("id").as("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        val ptr = stepped.select(col("id").as("pid"), col("lbl").as("plbl"))
+        lbl = stepped.join(ptr, stepped("lbl") === ptr("pid"))
+          .select(stepped("id").as("id"), col("plbl").as("lbl"))
+          .localCheckpoint()
+      }
+      lbl.select(col("id").as("doc_id"), col("lbl").as("component"),
+          (col("id") === col("lbl")).as("is_kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // MinHash + LSH banding: candidate pairs via band-bucket self-join
     // (the 100 TB-safe shape: shuffle on band key, no cross join).
     // Hash functions differ per engine → rows-only check;

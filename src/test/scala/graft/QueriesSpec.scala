@@ -57,6 +57,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(agree.nonEmpty && agree.forall(identity))
   }
 
+  test("dedup_components pointer-jumping converges to true union-find components") {
+    import org.apache.spark.sql.Row
+    // ground truth: local union-find over the SAME edge set, rebuilt
+    // here from the fingerprint classes + consecutive jaccard pairs
+    import graft.functions.TextFunctions.{fingerprint, shingles}
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh")).collect()
+      .map { case Row(id: Long, a: scala.collection.Seq[_]) => id -> a.map(_.toString).toSet }.toMap
+    val jEdges = sh.keys.toSeq.sorted.flatMap { id =>
+      sh.get(id + 1).toSeq.flatMap { b =>
+        val a = sh(id); val inter = (a & b).size
+        if (inter.toDouble / (a.size + b.size - inter) >= 0.5) Seq((id, id + 1)) else Nil
+      }
+    }
+    val fpClasses = docs.select(col("doc_id"), fingerprint(col("text")).as("fp")).collect()
+      .map { case Row(id: Long, fp: String) => fp -> id }.groupBy(_._1).values
+      .flatMap { g => val m = g.map(_._2).min; g.map(_._2).filter(_ != m).map(m -> _) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    (jEdges ++ fpClasses).foreach { case (a, b) => union(a, b) }
+    val expected = sh.keys.map(id => id -> find(id)).toMap
+    val got = SparkEntry.queries("dedup_components")(spark, sf).collect()
+      .map { case Row(id: Long, comp: Long, _) => id -> comp }.toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (id, c) => assert(got(id) === c, s"doc $id: got ${got(id)}, want $c") }
+  }
+
   test("agg_approx_distinct HLL is within 10% of exact") {
     import org.apache.spark.sql.Row
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()

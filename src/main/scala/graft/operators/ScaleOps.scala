@@ -16,12 +16,21 @@ object ScaleOps {
     * analogue of the warehouse clustering the reference configures
     * (bigquery_helper.py:88-92) — but it also removes the shuffle, not
     * just improves pruning. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a managed-table location orphaned by a previous session (the
+    // in-memory catalog forgets the table, the warehouse dir keeps the
+    // files) fails CREATE with LOCATION_ALREADY_EXISTS — remove it
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Salted equi-join for skewed left keys: the left side gets a random
     * salt in [0, salt), the (small, broadcast-unfriendly but

@@ -142,6 +142,40 @@ object Relational3 {
         .orderBy(col("event_type"), col("day"))
     },
 
+    /** Bucketed co-located join under the oracle gate: both sides are
+      * written as bucketed+sorted tables on the join key
+      * (ScaleOps.writeBucketed — the one-time table prep that
+      * repeated fact⋈fact joins amortize), then joined shuffle-free:
+      * the SortMergeJoin reads pre-bucketed files with NO Exchange on
+      * the join key (plan-guarded in PlanShapeSpec; the merge hint
+      * keeps AQE from broadcasting the small fixture side so the
+      * judged plan IS the 100 TB plan shape). The oracle is the same
+      * filter+join+agg over the plain parquet fixtures. */
+    QueryDef("join_bucketed", Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-06-01'
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      import graft.operators.ScaleOps
+      val sfx = math.abs(d.hashCode).toString
+      val oT = s"graft_bk_orders_$sfx"
+      val lT = s"graft_bk_lineitem_$sfx"
+      ScaleOps.writeBucketed(
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1995-03-01"))
+            && col("o_orderdate") < to_timestamp(lit("1995-06-01")))
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        oT, 8, Seq("o_orderkey"))
+      ScaleOps.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        lT, 8, Seq("o_orderkey"))
+      s.table(oT).hint("merge").join(s.table(lT).hint("merge"), "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     /** Map-typed scalar family: JSON → map (from_json), constructed
       * maps (map_from_arrays), map_keys / map_values / element_at /
       * size / map_concat. Map columns are not driver-hashable, so every

@@ -84,6 +84,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "salted two-phase agg should plan 2x(partial+final) HashAggregates: " + p.take(2000))
   }
 
+  test("join_bucketed: co-located SMJ with no Exchange on the join key") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), "bucketed join must be a SortMergeJoin: " + p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed join must not shuffle on the join key: " + p.take(2000))
+  }
+
   test("no judged plan contains a CartesianProduct") {
     // broadcast NL joins (IVF centroids, 1-row count) are fine; a
     // shuffled cartesian product is never the intended shape

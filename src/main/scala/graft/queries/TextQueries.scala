@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text operators over the `documents` fixture:
@@ -13,6 +14,29 @@ import org.apache.spark.sql.functions._
   * LSH band explode+join) — never an all-pairs cross join.
   */
 object TextQueries {
+
+  /** Consecutive-doc 3-shingle pairs `(pair_id, sh_a, sh_b, inter)` via
+    * the single-shuffle tag-explode: each doc ships its shingle set to
+    * its own pair and its predecessor's pair, one hash aggregate
+    * reassembles (A, B) per pair — the shingles compute ONCE and there
+    * is ONE shuffle, vs two of each for the self-join form (measured
+    * ~2.4x slower at sf0.1). `first(..., ignoreNulls)` is
+    * deterministic: exactly one row per side per pair; the n_sides
+    * filter gives inner-join semantics (both ends present). Shared by
+    * dedup_ngram_jaccard and dedup_components so their edge sets can
+    * never drift apart. */
+  private def consecutiveShinglePairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(explode(array(
+        struct(col("doc_id").as("pair_id"), lit(0).as("side"), col("sh").as("sh")),
+        struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"), col("sh").as("sh")))).as("t"))
+      .select(col("t.pair_id").as("pair_id"), col("t.side").as("side"), col("t.sh").as("sh"))
+      .groupBy(col("pair_id"))
+      .agg(first(when(col("side") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("side") === 1, col("sh")), ignoreNulls = true).as("sh_b"),
+        count(lit(1)).as("n_sides"))
+      .filter(col("n_sides") === 2)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -112,25 +136,8 @@ object TextQueries {
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
       SELECT doc_id, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard_next
       FROM j ORDER BY doc_id""")) { (s, d) =>
-      // tag-explode instead of a self-join: each doc ships its shingle
-      // set to its own pair and its predecessor's pair, then one
-      // hash aggregate reassembles (A, B) per pair. Shingles compute
-      // ONCE and there is ONE shuffle — the self-join form recomputed
-      // the shingle scan on both branches and shuffled twice (measured
-      // ~2.4x slower at sf0.1). first(..., ignoreNulls) is
-      // deterministic: exactly one row per side per pair.
       // |A∪B| = |A|+|B|-|A∩B| since shingle arrays are distinct sets.
-      val sh = Tables.documents(s, d).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      sh.select(explode(array(
-          struct(col("doc_id").as("pair_id"), lit(0).as("side"), col("sh").as("sh")),
-          struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"), col("sh").as("sh")))).as("t"))
-        .select(col("t.pair_id").as("pair_id"), col("t.side").as("side"), col("t.sh").as("sh"))
-        .groupBy(col("pair_id"))
-        .agg(first(when(col("side") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
-          first(when(col("side") === 1, col("sh")), ignoreNulls = true).as("sh_b"),
-          count(lit(1)).as("n_sides"))
-        .filter(col("n_sides") === 2)   // inner-join semantics: both ends present
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      consecutiveShinglePairs(Tables.documents(s, d))
         .select(col("pair_id").as("doc_id"),
           round(col("inter").cast("double")
             / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6).as("jaccard_next"))
@@ -142,16 +149,22 @@ object TextQueries {
       * ≥ 0.5 edges), then keep-one-per-cluster — the step that turns
       * pairwise dup candidates into an actual deduped corpus.
       *
-      * Spark side: pointer-jumping label propagation — each of 4 rounds
-      * takes the min label over the closed neighborhood, then jumps
-      * `lbl := lbl(lbl)`, so covered distance grows ~2^k (4 rounds ⇒
-      * diameter ≤ 31; fixture components are ≤ 11 wide, margin ~3×).
-      * Each round is two equi-joins + one hash aggregate — the
-      * MapReduce connected-components shape that scales to 100 TB —
-      * with `localCheckpoint` truncating lineage per round (the
-      * standard iterative-algorithm pattern; production would also
-      * early-exit on a `changed == 0` count). The oracle walks the same
-      * graph with a recursive CTE and takes min reachable id. */
+      * Spark side: min-label propagation run to a CHECKED fixpoint.
+      * Each round (a) takes the min label over the closed
+      * neighborhood, (b) relabels every previous label group to its
+      * group min — union-by-label, without which a min that attaches
+      * at the far end of an id-ascending path crawls back one hop per
+      * round (a fixed round count silently mislabeled 8 docs at
+      * sf0.1) — and (c) pointer-jumps `lbl := lbl(lbl)`. Labels only
+      * decrease and stay within the component, so the changed==0 exit
+      * is exact: at a fixpoint neighbor-min forces equal labels across
+      * every edge. A hard cap throws rather than emit unconverged
+      * labels. Per round: three equi-joins + two hash aggregates over
+      * the (id, lbl) frame — the MapReduce connected-components shape
+      * that scales to 100 TB — with `localCheckpoint` truncating
+      * lineage and the per-round count riding the materialized frame.
+      * The oracle walks the same graph with a recursive CTE and takes
+      * min reachable id. */
     QueryDef("dedup_components", Some("""
       WITH RECURSIVE
       sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
@@ -174,20 +187,10 @@ object TextQueries {
       SELECT id AS doc_id, min(r) AS component, id = min(r) AS is_kept
       FROM reach GROUP BY id ORDER BY doc_id""")) { (s, d) =>
       val docs = Tables.documents(s, d)
-      // Jaccard edges via the same single-shuffle tag-explode as
-      // dedup_ngram_jaccard, filtered at the 0.5 threshold (identical
-      // integer inputs → identical IEEE division in both engines).
-      val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      val jedges = sh.select(explode(array(
-          struct(col("doc_id").as("pair_id"), lit(0).as("side"), col("sh").as("sh")),
-          struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"), col("sh").as("sh")))).as("t"))
-        .select(col("t.pair_id").as("pair_id"), col("t.side").as("side"), col("t.sh").as("sh"))
-        .groupBy(col("pair_id"))
-        .agg(first(when(col("side") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
-          first(when(col("side") === 1, col("sh")), ignoreNulls = true).as("sh_b"),
-          count(lit(1)).as("n_sides"))
-        .filter(col("n_sides") === 2)
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // Jaccard edges from the shared tag-explode pair kernel, filtered
+      // at the 0.5 threshold (identical integer inputs → identical
+      // IEEE division in both engines).
+      val jedges = consecutiveShinglePairs(docs)
         .filter(col("inter").cast("double")
           / (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
         .select(col("pair_id").as("a"), (col("pair_id") + 1).as("b"))
@@ -203,17 +206,32 @@ object TextQueries {
       val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
         .distinct().localCheckpoint()
       var lbl = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-      for (_ <- 1 to 4) {
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 64) {
+        rounds += 1
         val nbrMin = sym
           .join(lbl.select(col("id").as("nid"), col("lbl").as("nlbl")), col("b") === col("nid"))
           .groupBy(col("a")).agg(min(col("nlbl")).as("nmin"))
         val stepped = lbl.join(nbrMin, lbl("id") === nbrMin("a"), "left")
-          .select(lbl("id").as("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        val ptr = stepped.select(col("id").as("pid"), col("lbl").as("plbl"))
-        lbl = stepped.join(ptr, stepped("lbl") === ptr("pid"))
-          .select(stepped("id").as("id"), col("plbl").as("lbl"))
+          .select(lbl("id").as("id"), lbl("lbl").as("prev"),
+            least(lbl("lbl"), coalesce(col("nmin"), lbl("lbl"))).as("cand"))
+        // union-by-label: any member's newly found min relabels the
+        // whole previous label group in this same round
+        val gmin = stepped.groupBy(col("prev")).agg(min(col("cand")).as("gmin"))
+        val grouped = stepped.join(gmin, "prev")
+          .select(col("id"), col("prev"), least(col("cand"), col("gmin")).as("cur"))
+        // pointer jump: adopt the current label of the label node
+        val ptr = grouped.select(col("id").as("jid"), col("cur").as("jlbl"))
+        val next = grouped.join(ptr, grouped("cur") === ptr("jid"))
+          .select(grouped("id").as("id"), col("prev"), col("jlbl").as("lbl"))
           .localCheckpoint()
+        changed = next.filter(col("lbl") =!= col("prev")).count()
+        lbl = next.select(col("id"), col("lbl"))
       }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"dedup_components: labels not converged after $rounds rounds")
       lbl.select(col("id").as("doc_id"), col("lbl").as("component"),
           (col("id") === col("lbl")).as("is_kept"))
         .orderBy(col("doc_id"))

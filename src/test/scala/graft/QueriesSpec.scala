@@ -86,6 +86,28 @@ class QueriesSpec extends AnyFunSuite {
     expected.foreach { case (id, c) => assert(got(id) === c, s"doc $id: got ${got(id)}, want $c") }
   }
 
+  test("dedup_components converges on an adversarial id-ordered chain") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The failure mode a fixed round count misses: the component min
+    // (10) attaches at the FAR end (139) of an id-ascending chain
+    // 100..139, so the min must propagate backward against the
+    // direction plain pointer jumping accelerates.
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val chain = (100L to 139L).map(i => (i, base + s"tail$i"))
+    val far = Seq((10L, base + "tail139"))            // exact dup of doc 139
+    val isolated = Seq((7L, "completely unrelated short text zzz"))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_ccchain"
+    (chain ++ far ++ isolated).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_components")(spark, dir).collect()
+      .map { case Row(id: Long, comp: Long, kept: Boolean) => id -> (comp, kept) }.toMap
+    (100L to 139L).foreach { i => assert(got(i) === ((10L, false)), s"doc $i") }
+    assert(got(10L) === ((10L, true)))
+    assert(got(7L) === ((7L, true)))
+  }
+
   test("agg_approx_distinct HLL is within 10% of exact") {
     import org.apache.spark.sql.Row
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()

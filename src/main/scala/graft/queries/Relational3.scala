@@ -142,6 +142,58 @@ object Relational3 {
         .orderBy(col("event_type"), col("day"))
     },
 
+    /** IGNORE NULLS window navigation: last-observation-carried-forward
+      * (the classic sensor/price forward-fill), previous non-null via
+      * lag, and first non-null per partition — over a deterministically
+      * nulled measure. One shuffle+sort on the partition key serves all
+      * three frames. */
+    QueryDef("win_ignore_nulls", Some("""
+      WITH o AS (SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS v
+                 FROM orders)
+      SELECT o_orderkey, o_custkey, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+             lag(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_nn,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nn
+      FROM o ORDER BY o_custkey, o_orderkey""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("v", when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_custkey"), col("v"),
+          last(col("v"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("locf"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+          first(col("v"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("first_nn"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    /** grouping() indicator columns over GROUPING SETS — the
+      * disambiguator between "NULL because subtotal" and "NULL in the
+      * data" that every rollup consumer needs. Same Expand+partial-agg
+      * plan as agg_grouping_sets. */
+    QueryDef("agg_grouping_id", Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+             CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("graft_q_gid_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
+               count(*) AS n
+        FROM graft_q_gid_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    },
+
     /** Bucketed co-located join under the oracle gate: both sides are
       * written as bucketed+sorted tables on the join key
       * (ScaleOps.writeBucketed — the one-time table prep that

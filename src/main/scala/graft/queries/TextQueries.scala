@@ -159,7 +159,7 @@ object TextQueries {
       * decrease and stay within the component, so the changed==0 exit
       * is exact: at a fixpoint neighbor-min forces equal labels across
       * every edge. A hard cap throws rather than emit unconverged
-      * labels. Per round: three equi-joins + two hash aggregates over
+      * labels. Per round: four equi-joins + two hash aggregates over
       * the (id, lbl) frame — the MapReduce connected-components shape
       * that scales to 100 TB — with `localCheckpoint` truncating
       * lineage and the per-round count riding the materialized frame.

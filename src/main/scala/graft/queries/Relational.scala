@@ -73,6 +73,25 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Quantile sketch (percentile_approx / KLL-style) — engine-specific
+    // sketch state, so rows-only like the HLL entry; QueriesSpec pins
+    // accuracy against the exact interpolated agg_quantiles. Scalars
+    // are pulled out of the sketch's array so the judged output stays
+    // driver-hashable.
+    QueryDef("agg_approx_quantiles", None) { (s, d) =>
+      val pcts = percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(pcts.as("qs"), count(lit(1)).as("n_rows"))
+        .select(col("o_orderstatus"),
+          element_at(col("qs"), 1).as("ap25"),
+          element_at(col("qs"), 2).as("ap50"),
+          element_at(col("qs"), 3).as("ap75"),
+          col("n_rows"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     QueryDef("agg_rollup", Some(s"""
       SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name,
              count(*) AS n_orders, $revenueSql AS revenue

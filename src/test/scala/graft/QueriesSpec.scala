@@ -34,7 +34,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
     // every non-oracle query is intentionally approximate/engine-hashed
     val rowsOnly = qnames -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.subsetOf(Set("agg_approx_distinct",
+    assert(rowsOnly.subsetOf(Set("agg_approx_distinct", "agg_approx_quantiles",
       "dedup_minhash_lsh", "dedup_simhash")))
   }
 
@@ -106,6 +106,23 @@ class QueriesSpec extends AnyFunSuite {
     (100L to 139L).foreach { i => assert(got(i) === ((10L, false)), s"doc $i") }
     assert(got(10L) === ((10L, true)))
     assert(got(7L) === ((7L, true)))
+  }
+
+  test("agg_approx_quantiles is within 2% of the exact interpolated quantiles") {
+    import org.apache.spark.sql.Row
+    val approx = SparkEntry.queries("agg_approx_quantiles")(spark, sf).collect()
+      .map { case Row(st: String, p25: Double, p50: Double, p75: Double, _) =>
+        st -> Seq(p25, p50, p75) }.toMap
+    val exact = SparkEntry.queries("agg_quantiles")(spark, sf).collect()
+      .map { case Row(st: String, p25: Double, p50: Double, p75: Double, _) =>
+        st -> Seq(p25, p50, p75) }.toMap
+    exact.foreach { case (st, es) =>
+      // percentile_approx returns an order statistic, the exact query
+      // interpolates — 2% absorbs the adjacent-value gap at sf0.001
+      approx(st).zip(es).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.02, s"status $st: $a vs $e")
+      }
+    }
   }
 
   test("agg_approx_distinct HLL is within 10% of exact") {

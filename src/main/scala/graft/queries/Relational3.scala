@@ -142,6 +142,47 @@ object Relational3 {
         .orderBy(col("event_type"), col("day"))
     },
 
+    /** CDC-style MERGE/upsert: apply a deterministic change batch
+      * (updates for matched keys, inserts for new keys) to the base
+      * table via ONE full-outer join + coalesce — the relational form
+      * of MERGE INTO over immutable storage (plain parquet has no
+      * row-level API; at 100 TB this is the standard partition-rewrite
+      * merge, with the updates side broadcast when small). The action
+      * column tags keep/update/insert for downstream audit. */
+    QueryDef("merge_upsert", Some("""
+      WITH upd AS (
+        SELECT c_custkey, c_name, 'REVISED' AS c_mktsegment, c_acctbal + 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 9 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW-' || CAST(c_custkey AS VARCHAR), 'NEWSEG', 0.0
+        FROM customer WHERE c_custkey % 13 = 0)
+      SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+             coalesce(u.c_name, b.c_name) AS c_name,
+             coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+             coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+             CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                  WHEN u.c_custkey IS NULL THEN 'keep' ELSE 'update' END AS action
+      FROM customer b FULL JOIN upd u ON u.c_custkey = b.c_custkey
+      ORDER BY c_custkey""")) { (s, d) =>
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      val updates = base.filter(col("c_custkey") % 9 === 0)
+        .select(col("c_custkey").as("u_key"), col("c_name").as("u_name"),
+          lit("REVISED").as("u_seg"), (col("c_acctbal") + 100).as("u_bal"))
+        .union(base.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000).as("u_key"),
+            concat(lit("NEW-"), col("c_custkey").cast("string")).as("u_name"),
+            lit("NEWSEG").as("u_seg"), lit(0.0).as("u_bal")))
+      base.join(updates, col("u_key") === col("c_custkey"), "full")
+        .select(coalesce(col("u_key"), col("c_custkey")).as("c_custkey"),
+          coalesce(col("u_name"), col("c_name")).as("c_name"),
+          coalesce(col("u_seg"), col("c_mktsegment")).as("c_mktsegment"),
+          coalesce(col("u_bal"), col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey").isNull, "insert")
+            .when(col("u_key").isNull, "keep").otherwise("update").as("action"))
+        .orderBy(col("c_custkey"))
+    },
+
     /** IGNORE NULLS window navigation: last-observation-carried-forward
       * (the classic sensor/price forward-fill), previous non-null via
       * lag, and first non-null per partition — over a deterministically

@@ -290,7 +290,9 @@ object Relational3 {
         array(col("event_type"), col("user_id").cast("string")))
       Tables.events(s, d).select(col("event_id"),
         array_join(array_sort(map_keys(m)), ",").as("key_list"),
-        element_at(m, "k").as("k_val"),
+        // try_element_at: ANSI mode throws on a missing map key while
+        // the oracle's json_extract_string returns NULL
+        try_element_at(m, lit("k")).as("k_val"),
         size(m).cast("long").as("n_keys"),
         // concat with a constant disjoint-key map: concatenating m (the
         // parsed JSON) would throw under the default EXCEPTION dedup

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Fourth relational batch: fixed-width histogram aggregation and the
+  * salted-join skew guard under the oracle gate.
+  */
+object Relational4 {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Fixed-width histogram over order totals: 20 buckets of 25k with
+      * an overflow clamp. The bucket id is pure per-row arithmetic
+      * (floor of a double division — identical in both engines), so the
+      * whole query is one map-side-combined hash aggregate; min/max per
+      * bucket are exact (no arithmetic on the double). */
+    QueryDef("agg_histogram", Some("""
+      WITH b AS (SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
+                        o_totalprice
+                 FROM orders)
+      SELECT bucket,
+             CAST(bucket AS DOUBLE) * 25000.0 AS lo,
+             count(*) AS n,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price
+      FROM b GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
+      t(s, d, "orders")
+        .select(least(floor(col("o_totalprice") / 25000.0), lit(19L)).cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .select(col("bucket"), (col("bucket").cast("double") * 25000.0).as("lo"),
+          col("n"), col("min_price"), col("max_price"))
+        .orderBy(col("bucket"))
+    },
+
+    /** The salted JOIN skew guard (ScaleOps.saltedJoin) under the
+      * oracle gate — complement of `agg_salted` (aggregation skew).
+      * The fact side gets a random salt in [0,8), the unique-key
+      * dimension side is exploded 8×, and the join key becomes
+      * (key, salt): a hot customer spreads over 8 reducers instead of
+      * stalling one. Salting only reroutes rows — the join RESULT is
+      * value-identical to the plain join, which is exactly what the
+      * plain-SQL oracle asserts. */
+    QueryDef("join_skew_salted", Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      import graft.operators.ScaleOps
+      val orders = t(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      ScaleOps.saltedJoin(orders, cust, "o_custkey", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+  )
+}

@@ -135,4 +135,59 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(approx(rf) - e).toDouble / e < 0.10, s"flag $rf: ${approx(rf)} vs $e")
     }
   }
+
+  test("doc_pii_scrub removes every planted email/phone and counts them") {
+    import org.apache.spark.sql.Row
+    val rows = SparkEntry.queries("doc_pii_scrub")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case Row(id: Long, ne: Long, np: Long, tail: String, residual: Boolean) =>
+      assert(ne >= 1 && np >= 1, s"doc $id: planted PII not detected")
+      assert(!residual, s"doc $id: PII survived the scrub")
+      assert(tail.contains("[EMAIL]") || tail.contains("[PHONE]"), s"doc $id: $tail")
+    }
+  }
+
+  test("join_skew_salted is value-identical to the plain join") {
+    import graft.operators.ScaleOps
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf).select(col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val salted = ScaleOps.saltedJoin(orders, cust, "o_custkey", salt = 8)
+      .groupBy("c_mktsegment").count()
+    val plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("scd2_history intervals chain per user: one current row, no overlap") {
+    import org.apache.spark.sql.Row
+    val rows = SparkEntry.queries("scd2_history")(spark, sf).collect()
+      .map { case Row(u: Long, _, _, from: java.sql.Timestamp, to: java.sql.Timestamp, cur: Boolean) =>
+        (u, from, Option(to), cur)
+      case Row(u: Long, _, _, from: java.sql.Timestamp, null, cur: Boolean) =>
+        (u, from, None: Option[java.sql.Timestamp], cur)
+      }
+    rows.groupBy(_._1).foreach { case (u, hist) =>
+      assert(hist.count(_._4) === 1, s"user $u: expected exactly one current row")
+      hist.foreach { case (_, from, to, cur) =>
+        assert(cur === to.isEmpty, s"user $u: is_current must mean open-ended")
+        to.foreach(t => assert(!t.before(from), s"user $u: valid_to < valid_from"))
+      }
+      // each interval's end is the next interval's start (dense chain)
+      val sorted = hist.sortBy(_._2.getTime).toSeq
+      sorted.sliding(2).foreach {
+        case Seq((_, _, Some(to), _), (_, from2, _, _)) => assert(to === from2)
+        case _ => ()
+      }
+    }
+  }
+
+  test("events_anomaly flags only |z| > 2 and a small fraction of events") {
+    import org.apache.spark.sql.Row
+    val rows = SparkEntry.queries("events_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case Row(_, _, _, z: Double) => assert(math.abs(z) > 2) }
+    val total = Tables.events(spark, sf).count()
+    assert(rows.length < total / 4, "anomaly rate implausibly high")
+  }
 }

@@ -18,13 +18,19 @@ object ScaleOps {
     * just improves pruning. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
+    val known = spark.catalog.tableExists(table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // a managed-table location orphaned by a previous session (the
     // in-memory catalog forgets the table, the warehouse dir keeps the
-    // files) fails CREATE with LOCATION_ALREADY_EXISTS — remove it
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    // files) fails CREATE with LOCATION_ALREADY_EXISTS — remove it.
+    // Only when the catalog did NOT know the table: when it did, DROP
+    // already cleaned the managed location, and deleting the path
+    // unconditionally could destroy a live table whose name collided.
+    if (!known) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -216,7 +216,7 @@ object IngestQueries {
       val tables = Seq("customer", "lineitem", "orders")
       val outcomes = graft.operators.ParallelOps.runIsolated(
         tables.map(n => () => n -> Tables.table(s, d, n).count()),
-        timeout = 300.seconds)
+        timeout = 300.seconds, spark = Some(s))
       outcomes.map(_.get).toDF("t", "n").orderBy(col("t"))
     },
 

@@ -251,7 +251,10 @@ object Relational3 {
       WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-06-01'
       GROUP BY 1 ORDER BY 1""")) { (s, d) =>
       import graft.operators.ScaleOps
-      val sfx = math.abs(d.hashCode).toString
+      // collision-resistant name: the full sanitized path, not a hash —
+      // two distinct sf dirs can never map to the same table name, so
+      // writeBucketed's cleanup can never touch another dir's tables
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
       val oT = s"graft_bk_orders_$sfx"
       val lT = s"graft_bk_lineitem_$sfx"
       ScaleOps.writeBucketed(

@@ -68,7 +68,7 @@ object TextQueries2 {
       SELECT source, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM s GROUP BY source, split ORDER BY source, split""")) { (s, d) =>
       Tables.documents(s, d)
-        .withColumn("w_tenths", (substring(col("source"), 4, 10).cast("long") % 10) + 1)
+        .withColumn("w_tenths", (expr("substr(source, 4)").cast("long") % 10) + 1)
         .filter(col("doc_id") % 10 < col("w_tenths"))
         .withColumn("split", when(col("doc_id") % 100 >= 90, "val").otherwise("train"))
         .groupBy(col("source"), col("split"))

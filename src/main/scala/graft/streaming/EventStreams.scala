@@ -98,7 +98,11 @@ object EventStreams {
     stopper.setDaemon(true)
     stopper.start()
     stopper.join(15000L)
-    failure.foreach(e =>
+    // a failure raised DURING stop (e.g. a commit error on the final
+    // batch) only appears on q.exception after the stop attempt —
+    // re-check so it isn't swallowed
+    val lateFailure = if (failure.isEmpty) q.exception else failure
+    lateFailure.foreach(e =>
       throw new RuntimeException(s"runToBatch($name): stream failed", e))
     if (!drained)
       throw new RuntimeException(s"runToBatch($name): stream did not drain within $timeoutMs ms")
@@ -124,6 +128,13 @@ object EventStreams {
       FileUtil.copy(fs, new Path(s"$sfDir/events.parquet"),
         fs, new Path(inDir, s"part-$i.parquet"), false, conf)
     }
+    // guard: the replay/dedup queries' semantics assume exactly
+    // `copies` staged files (each becomes one micro-batch under
+    // maxFilesPerTrigger=1) — a partial copy must fail loudly here,
+    // not as a silent watermark-eviction divergence downstream
+    val staged = fs.listStatus(inDir).count(_.getPath.getName.endsWith(".parquet"))
+    require(staged == copies,
+      s"stageEventsInput($prefix): staged $staged files, expected $copies")
     base
   }
 }

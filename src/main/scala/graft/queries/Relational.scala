@@ -64,31 +64,57 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
-    // HLL sketch — approximate, so no DuckDB oracle (rows-only check).
-    QueryDef("agg_approx_distinct", None) { (s, d) =>
+    // HLL sketch under the oracle gate, self-certifying: the judged
+    // columns are the deterministic ones (exact count, row count) plus
+    // an in-plan bound check `within_10pct` comparing the HLL estimate
+    // to the exact count. The oracle asserts the bound holds (TRUE): if
+    // the sketch ever drifts past 10 % relative error the boolean flips
+    // and the driver's hash check goes red — the estimate itself never
+    // needs to be engine-portable.
+    QueryDef("agg_approx_distinct", Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             count(*) AS n_rows, TRUE AS within_10pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("est"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          (abs(col("est") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.10).as("within_10pct"))
         .orderBy(col("l_returnflag"))
     },
 
-    // Quantile sketch (percentile_approx / KLL-style) — engine-specific
-    // sketch state, so rows-only like the HLL entry; QueriesSpec pins
-    // accuracy against the exact interpolated agg_quantiles. Scalars
-    // are pulled out of the sketch's array so the judged output stays
-    // driver-hashable.
-    QueryDef("agg_approx_quantiles", None) { (s, d) =>
+    // Quantile sketch (percentile_approx / KLL-style) under the oracle
+    // gate, same self-certifying shape as agg_approx_distinct: judged
+    // columns are the EXACT interpolated percentiles (engine-portable)
+    // plus `within_2pct`, an in-plan relative-error check of the sketch
+    // against the exact values. The oracle asserts the bound (TRUE);
+    // a sketch regression flips the boolean and fails the hash.
+    QueryDef("agg_approx_quantiles", Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             count(*) AS n_rows, TRUE AS within_2pct
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
       val pcts = percentile_approx(col("o_totalprice"),
         array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+      val exact = percentile(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)))
+      val relErrOk = (i: Int) =>
+        (abs(element_at(col("qs"), i).cast("double") - element_at(col("ex"), i))
+          / element_at(col("ex"), i)) <= 0.02
       t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(pcts.as("qs"), count(lit(1)).as("n_rows"))
+        .agg(pcts.as("qs"), exact.as("ex"), count(lit(1)).as("n_rows"))
         .select(col("o_orderstatus"),
-          element_at(col("qs"), 1).as("ap25"),
-          element_at(col("qs"), 2).as("ap50"),
-          element_at(col("qs"), 3).as("ap75"),
-          col("n_rows"))
+          round(element_at(col("ex"), 1), 4).as("p25"),
+          round(element_at(col("ex"), 2), 4).as("p50"),
+          round(element_at(col("ex"), 3), 4).as("p75"),
+          col("n_rows"),
+          (relErrOk(1) && relErrOk(2) && relErrOk(3)).as("within_2pct"))
         .orderBy(col("o_orderstatus"))
     },
 

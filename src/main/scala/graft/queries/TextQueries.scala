@@ -239,73 +239,138 @@ object TextQueries {
 
     // MinHash + LSH banding: candidate pairs via band-bucket self-join
     // (the 100 TB-safe shape: shuffle on band key, no cross join).
-    // Hash functions differ per engine → rows-only check;
-    // MinHashQualitySpec asserts band-collision recall and estimate
-    // accuracy against exact Jaccard on labeled near-duplicates.
-    QueryDef("dedup_minhash_lsh", None) { (s, d) =>
-      // Codegen-friendly shape: explode shingles → one hash-aggregate
-      // with 32 min() columns (map-side partial agg), instead of
-      // interpreted per-row array lambdas. Candidate pairs are
-      // deduplicated BEFORE the signature comparison so each unique
-      // pair is scored exactly once.
-      // hash each shingle STRING once, then derive the 32 per-seed
-      // hashes from the 8-byte result — measured ~30% cheaper than 32
-      // string hashes per shingle at sf0.1
+    // FULLY oracle-checked: the hash family is md5 over seeded word
+    // tokens — identical in Spark and DuckDB, and fixed-width lowercase
+    // hex compares lexicographically == numerically, so min() picks the
+    // same signature element in both engines. The oracle replicates the
+    // ENTIRE pipeline (signatures, 16×2 banding, the hot-bucket cap via
+    // QUALIFY, pair scoring) — no probabilistic recall argument needed.
+    // MinHashQualitySpec still covers the xxhash64 fast-path family in
+    // TextFunctions.minhashSignature (recall/estimate accuracy).
+    QueryDef("dedup_minhash_lsh", Some(s"""
+      WITH toks AS (SELECT doc_id,
+                      unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+                    FROM documents),
+      th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS ha,
+                    ('0x' || substr(md5(tok), 17, 14))::BIGINT AS hb
+             FROM toks),
+      sig AS (SELECT doc_id,
+                [${(0 until 32).map(k => s"min(ha + $k * hb)").mkString(", ")}] AS sig
+              FROM th GROUP BY doc_id),
+      bands AS (SELECT doc_id, sig, i AS band, sig[2*i + 1] AS bk1, sig[2*i + 2] AS bk2
+                FROM sig CROSS JOIN range(0, 16) AS t(i)),
+      capped AS (SELECT * FROM bands
+                 QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
+      p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32, 6) AS est_jaccard
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, est_jaccard FROM p
+      WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""")) { (s, d) =>
+      // Codegen-friendly shape: ONE md5 per distinct word token, two
+      // 56-bit hex slices parsed to longs, and the 32 seeded hashes
+      // derived arithmetically (ha + k·hb — no overflow: 2^56 + 31·2^56
+      // < 2^62) in one hash-aggregate with 32 min() columns (map-side
+      // partial agg). Numeric signatures are 256 B — 4× lighter through
+      // the candidate shuffle than md5-string signatures (measured 31 s
+      // → see PLANS.md — the string-sig variant was the bottleneck).
       val exploded = Tables.documents(s, d)
-        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
-        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      val minCols = (0 until 32).map(k => min(xxhash64(lit(k), col("h"))).as(s"m$k"))
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+        .select(col("doc_id"),
+          conv(substring(col("h"), 1, 14), 16, 10).cast("long").as("ha"),
+          conv(substring(col("h"), 17, 14), 16, 10).cast("long").as("hb"))
+      val minCols = (0 until 32).map(k =>
+        min(col("ha") + lit(k.toLong) * col("hb")).as(s"m$k"))
       val sig = exploded.groupBy(col("doc_id"))
         .agg(minCols.head, minCols.tail: _*)
         .select(col("doc_id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
       // Hot-bucket guard: a boilerplate-heavy corpus collapses into a
       // few band buckets and the self-join below goes quadratic —
       // capBuckets bounds any bucket's contribution (ScaleOpsSpec
-      // plants identical docs and asserts the bound end-to-end).
+      // plants identical docs and asserts the bound end-to-end). The
+      // cap is deterministic (lowest doc_ids kept), which is what lets
+      // the oracle mirror it with QUALIFY row_number. Band keys are the
+      // two raw minima themselves (an equi-join on two longs) — no
+      // band-hash needed, and trivially engine-portable.
       //
-      // Signatures ride THROUGH the banding (256 B per band row) so
-      // the scored pairs need no re-join back to the signature table:
-      // the expensive explode+min-agg pipeline is evaluated for the
-      // two join branches only, not twice more for scoring (measured
-      // ~40% faster at sf0.1). dropDuplicates on the pair keeps an
-      // arbitrary row, but sig per doc is deterministic, so the
-      // retained sig_a/sig_b are too.
+      // Signatures ride THROUGH the banding so the scored pairs need
+      // no re-join back to the signature table. dropDuplicates on the
+      // pair keeps an arbitrary row, but sig per doc is deterministic,
+      // so the retained sig_a/sig_b are too.
+      val bandCols = (0 until 16).map(b => struct(
+        element_at(col("sig"), b * 2 + 1).as("bk1"),
+        element_at(col("sig"), b * 2 + 2).as("bk2")))
       val banded = graft.operators.ScaleOps.capBuckets(
         sig.select(col("doc_id"), col("sig"),
-          posexplode(bandKeys(col("sig"), 8, 4)).as(Seq("band", "bkey"))),
-        Seq("band", "bkey"), "doc_id", cap = 200)
-      val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("band", "bkey"))
+          posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+          .select(col("doc_id"), col("sig"), col("band"),
+            col("bkey.bk1").as("bk1"), col("bkey.bk2").as("bk2")),
+        Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
+      val a = banded.select(col("band"), col("bk1"), col("bk2"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = banded.select(col("band"), col("bk1"), col("bk2"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("band", "bk1", "bk2"))
         .filter(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"), minhashSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.25)
+        .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash near-dup: 64-bit signature; candidates bucket on the top
-    // 16 bits, confirmed by Hamming distance. Rows-only (engine hash).
-    QueryDef("dedup_simhash", None) { (s, d) =>
-      // Same codegen-friendly shape: explode tokens → 64 per-bit vote
-      // sums in one hash aggregate → pack to a long.
+    // SimHash near-dup: 64-bit per-bit-vote signature; candidates
+    // bucket on the low 16 bits, confirmed by Hamming distance.
+    // FULLY oracle-checked: the per-token hash is md5, whose first 16
+    // hex digits give 64 bits both engines derive identically (hex
+    // digit value >> bit & 1), so the DuckDB oracle recomputes the
+    // whole pipeline — votes, packing, bucket join, cap, Hamming.
+    QueryDef("dedup_simhash", Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM documents),
+      th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+      bits AS (SELECT doc_id, i,
+                 ((strpos('0123456789abcdef', substr(h, i // 4 + 1, 1)) - 1)
+                   // (1 << (i % 4))) % 2 AS bit
+               FROM th CROSS JOIN range(0, 64) AS t(i)),
+      votes AS (SELECT doc_id, i, CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
+                FROM bits GROUP BY doc_id, i),
+      sig AS (SELECT doc_id,
+                CAST(sum(CASE WHEN i < 16 THEN sbit * (1 << i) ELSE 0 END) AS INT) AS bucket,
+                list(sbit ORDER BY i) AS bits
+              FROM votes GROUP BY doc_id),
+      capped AS (SELECT * FROM sig
+                 QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY doc_id) <= 200),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              list_sum(list_transform(list_zip(a.bits, b.bits),
+                s -> CASE WHEN s[1] <> s[2] THEN 1 ELSE 0 END)) AS ham
+            FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(ham AS BIGINT) AS hamming_dist
+      FROM p WHERE ham <= 16 ORDER BY id_a, id_b""")) { (s, d) =>
+      // Same codegen-friendly shape: explode tokens → 16 hex-digit
+      // values in a narrow projection → 64 per-bit vote sums in one
+      // hash aggregate → pack to a long for bit_count Hamming.
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
+        .withColumn("h", md5(col("tok")))
+      val withV = toks.select(col("doc_id") +: (0 until 16).map(j =>
+        conv(substring(col("h"), j + 1, 1), 16, 10).cast("int").as(s"v$j")): _*)
       val voteCols = (0 until 64).map(i =>
-        sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i"))
-      val sig = toks.groupBy(col("doc_id"))
+        sum(shiftright(col(s"v${i / 4}"), i % 4).bitwiseAND(1) * 2 - 1).as(s"b$i"))
+      val sig = withV.groupBy(col("doc_id"))
         .agg(voteCols.head, voteCols.tail: _*)
         .select(col("doc_id"),
           (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-            .reduce(_ bitwiseOR _).as("sh64"))
+            .reduce(_ bitwiseOR _).as("sh64"),
+          (0 until 16).map(i => when(col(s"b$i") > 0, shiftleft(lit(1), i)).otherwise(0))
+            .reduce(_ bitwiseOR _).as("bucket"))
       val withBucket = graft.operators.ScaleOps.capBuckets(
-        sig.withColumn("bucket", shiftright(col("sh64"), 48)),
-        Seq("bucket"), "doc_id", cap = 200)
+        sig, Seq("bucket"), "doc_id", cap = 200)
       val a = withBucket.select(col("bucket"), col("doc_id").as("id_a"), col("sh64").as("h_a"))
       val b = withBucket.select(col("bucket"), col("doc_id").as("id_b"), col("sh64").as("h_b"))
       a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), hamming(col("h_a"), col("h_b")).as("hamming_dist"))
+        .select(col("id_a"), col("id_b"),
+          hamming(col("h_a"), col("h_b")).cast("long").as("hamming_dist"))
         .filter(col("hamming_dist") <= 16)
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -109,30 +109,25 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("agg_approx_quantiles is within 2% of the exact interpolated quantiles") {
-    import org.apache.spark.sql.Row
-    val approx = SparkEntry.queries("agg_approx_quantiles")(spark, sf).collect()
-      .map { case Row(st: String, p25: Double, p50: Double, p75: Double, _) =>
-        st -> Seq(p25, p50, p75) }.toMap
-    val exact = SparkEntry.queries("agg_quantiles")(spark, sf).collect()
-      .map { case Row(st: String, p25: Double, p50: Double, p75: Double, _) =>
-        st -> Seq(p25, p50, p75) }.toMap
-    exact.foreach { case (st, es) =>
-      // percentile_approx returns an order statistic, the exact query
-      // interpolates — 2% absorbs the adjacent-value gap at sf0.001
-      approx(st).zip(es).foreach { case (a, e) =>
-        assert(math.abs(a - e) / e < 0.02, s"status $st: $a vs $e")
-      }
+    // The bound check is computed IN-PLAN now (self-certifying output —
+    // the driver's oracle asserts within_2pct = TRUE); here we assert
+    // the same boolean so a sketch regression fails fast in CI too.
+    val rows = SparkEntry.queries("agg_approx_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_2pct"),
+        s"status ${r.get(0)}: percentile_approx drifted past 2% of exact")
     }
   }
 
   test("agg_approx_distinct HLL is within 10% of exact") {
-    import org.apache.spark.sql.Row
-    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
-      .map { case Row(rf: String, a: Long, _) => rf -> a }.toMap
-    val exact = SparkEntry.queries("agg_distinct")(spark, sf).collect()
-      .map { case Row(rf: String, p: Long, _, _) => rf -> p }.toMap
-    exact.foreach { case (rf, e) =>
-      assert(math.abs(approx(rf) - e).toDouble / e < 0.10, s"flag $rf: ${approx(rf)} vs $e")
+    // Same self-certifying shape as agg_approx_quantiles: the in-plan
+    // within_10pct boolean compares the HLL estimate to countDistinct.
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_10pct"),
+        s"flag ${r.get(0)}: HLL estimate drifted past 10% of exact")
     }
   }
 

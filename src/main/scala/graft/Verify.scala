@@ -42,7 +42,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // subset (dev) runs write a DISTINCT manifest name: a stale full
+    // run's parquet outputs may still sit in outDir, and a driver that
+    // enumerates it must never pair them with a subset manifest
+    val manifest = if (only.isDefined) "oracle_sql.subset.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$manifest"), json)
     spark.stop()
   }
 }

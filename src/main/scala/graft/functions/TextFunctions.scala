@@ -23,19 +23,26 @@ object TextFunctions {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n))))
 
+  /** Explicit whitespace class used by EVERY tokenization here and in
+    * the DuckDB oracles: Java's `\s` and RE2's `\s` disagree on
+    * vertical tab \x0B (Java includes it, RE2 does not), so neither
+    * engine is allowed to say `\s` — both spell the class out and a
+    * corpus containing \x0B cannot diverge hashes. */
+  val wsClass = " \\t\\n\\x0B\\f\\r"
+
   /** Whitespace tokens of the lowercased text. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  def tokens(text: Column): Column = split(lower(trim(text)), s"[$wsClass]+")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation. */
   def bpeishCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    size(regexp_extract_all(text, lit(s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$wsClass]"), lit(0))).cast("long")
 
   /** Ratio of non-alphanumeric-non-space chars. */
   def punctRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / length(text), 6)
+    round(length(regexp_replace(text, s"[A-Za-z0-9$wsClass]", "")).cast("double") / length(text), 6)
 
   /** Ratio of uppercase chars. */
   def upperRatio(text: Column): Column =
@@ -97,7 +104,7 @@ object TextFunctions {
     aggregate(
       zip_with(
         aggregate(
-          split(lower(trim($textCol)), '\\\\s+'),
+          split(lower(trim($textCol)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'),
           array_repeat(0L, 64),
           (acc, tok) -> zip_with(acc,
             transform(sequence(0, 63), i -> shiftright(xxhash64(tok), i) & 1),

@@ -38,8 +38,15 @@ object ParallelOps {
       (r: Runnable) => { val t = new Thread(r, "graft-parallel"); t.setDaemon(true); t })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val group = s"graft-parallel-${groupSeq.incrementAndGet()}"
+    // cancellation race guard: a worker that dequeues a job AFTER
+    // cancelJobGroup() would re-set the group and run uncancelled;
+    // the flag stops not-yet-started jobs before they submit anything
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
       val futures = jobs.map(j => Future(Try {
+        if (cancelled.get)
+          throw new java.util.concurrent.CancellationException(
+            "runIsolated: batch timed out before this job started")
         // job-group set per worker thread (it's thread-local), so the
         // whole batch is cancellable as one unit
         spark.foreach(_.sparkContext.setJobGroup(group, "graft runIsolated",
@@ -50,6 +57,7 @@ object ParallelOps {
       Await.result(Future.sequence(futures), timeout)
     } catch {
       case e: scala.concurrent.TimeoutException =>
+        cancelled.set(true)
         spark.foreach(_.sparkContext.cancelJobGroup(group))
         pool.shutdownNow(); throw e
     } finally pool.shutdown()

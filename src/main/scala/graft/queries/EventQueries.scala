@@ -132,22 +132,24 @@ object EventQueries {
       import graft.streaming.{EventStreams, StatefulOps}
       val base = EventStreams.stageEventsInput(s, d, "fb")
       val sink = s"$base/merged"
-      val q = StatefulOps.idempotentSink(
-        EventStreams.readEvents(s, s"$base/in"), sink,
-        keys = Seq("event_id"), orderCol = "ts", tiebreaks = Seq("user_id"))
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // watchdog: a wedged stream must fail THIS query, not hang the
-      // whole Verify/Bench run (awaitTermination rethrows a stream
-      // failure itself; stop() is bounded on a side thread because it
-      // can block forever on a non-interruptible stream)
-      if (!q.awaitTermination(300000L)) {
-        val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
-        stopper.setDaemon(true)
-        stopper.start()
-        stopper.join(15000L)
-        throw new RuntimeException("stream_foreachbatch_sink: stream did not finish within 300 s")
+      EventStreams.withStreamConf(s) {
+        val q = StatefulOps.idempotentSink(
+          EventStreams.readEvents(s, s"$base/in"), sink,
+          keys = Seq("event_id"), orderCol = "ts", tiebreaks = Seq("user_id"))
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // watchdog: a wedged stream must fail THIS query, not hang the
+        // whole Verify/Bench run (awaitTermination rethrows a stream
+        // failure itself; stop() is bounded on a side thread because it
+        // can block forever on a non-interruptible stream)
+        if (!q.awaitTermination(300000L)) {
+          val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
+          stopper.setDaemon(true)
+          stopper.start()
+          stopper.join(15000L)
+          throw new RuntimeException("stream_foreachbatch_sink: stream did not finish within 300 s")
+        }
       }
       s.read.parquet(sink)   // readEvents already truncated ts ns→µs TimestampType
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -171,9 +173,17 @@ object EventQueries {
       val in = EventStreams.readEvents(s, s"$base/in")
         .select(col("user_id"), col("event_id"), col("value"))
         .as[StatefulOps.EventIn](org.apache.spark.sql.Encoders.product[StatefulOps.EventIn])
-      val updates = EventStreams.runToBatch(s,
-        StatefulOps.runningUserStats(in, threshold = 5).toDF(),
-        s"graft_q_stateful_${math.abs(d.hashCode)}")
+      // RocksDB state store: the 100 TB streaming-state configuration
+      // (state spills to local disk instead of executor heap) exercised
+      // for real on a judged query — provider is per-query config
+      // captured at checkpoint creation, not plan shape.
+      val updates = EventStreams.withStreamConf(s, extra = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        EventStreams.runToBatch(s,
+          StatefulOps.runningUserStats(in, threshold = 5).toDF(),
+          s"graft_q_stateful_${math.abs(d.hashCode)}")
+      }
       updates.groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"),
           max_by(col("high_activity"), col("n_events")).as("final_flag"))
@@ -193,9 +203,11 @@ object EventQueries {
       FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
       import graft.streaming.EventStreams
       val base = EventStreams.stageEventsInput(s, d, "dd", copies = 2)
-      val deduped = EventStreams.runToBatch(s,
-        EventStreams.dedupStream(EventStreams.readEvents(s, s"$base/in")),
-        s"graft_q_dedup_${math.abs(d.hashCode)}")
+      val deduped = EventStreams.withStreamConf(s) {
+        EventStreams.runToBatch(s,
+          EventStreams.dedupStream(EventStreams.readEvents(s, s"$base/in")),
+          s"graft_q_dedup_${math.abs(d.hashCode)}")
+      }
       deduped.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
@@ -231,8 +243,9 @@ object EventQueries {
         col("c_user") === col("p_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"))
-      EventStreams.runToBatch(s, joined, s"graft_q_ssj_${math.abs(d.hashCode)}")
-        .groupBy(col("p_id")).agg(count(lit(1)).as("n_prior_clicks"))
+      EventStreams.withStreamConf(s) {
+        EventStreams.runToBatch(s, joined, s"graft_q_ssj_${math.abs(d.hashCode)}")
+      }.groupBy(col("p_id")).agg(count(lit(1)).as("n_prior_clicks"))
         .select(col("p_id").as("event_id"), col("n_prior_clicks"))
         .orderBy(col("event_id"))
     },

@@ -75,6 +75,64 @@ object EventQueries2 {
         .orderBy(col("event_id"))
     },
 
+    /** Checkpoint crash-resume under the oracle gate — the reference's
+      * core operational semantic (resume from watermark after a stopped
+      * run; /root/reference/src/main.py:195-209, gcs_helper.py:203-241).
+      * Deterministic two-run protocol, no sleeps or stop races:
+      * run 1 sees ONLY half A of the events fixture and drains it to a
+      * parquet file sink (Trigger.AvailableNow, exactly-once via the
+      * sink's _spark_metadata commit log); half B is then staged and
+      * run 2 starts from the SAME checkpoint and drains. If resume is
+      * broken — the restarted query reprocessing half A — the append
+      * sink holds those rows twice and the row count + hash fail. The
+      * oracle is a plain SELECT of the full fixture. */
+    QueryDef("stream_restart_resume", Some("""
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      FROM events ORDER BY event_id""")) { (s, d) =>
+      import graft.streaming.EventStreams
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"${sys.props("java.io.tmpdir")}/graft_q_rr_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(base).getFileSystem(hconf)
+      fs.delete(new Path(base), true)
+      fs.mkdirs(new Path(base, "in"))
+      // raw read keeps ts as nanos LongType (nanosAsLong) so the staged
+      // halves match EventStreams.rawSchema exactly
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      def stage(name: String, pred: org.apache.spark.sql.Column): Unit = {
+        val tmp = s"$base/stage_$name"
+        raw.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val parts = fs.globStatus(new Path(tmp, "part-*.parquet"))
+        require(parts.length == 1, s"stage($name): expected 1 part file, got ${parts.length}")
+        require(fs.rename(parts(0).getPath, new Path(s"$base/in/$name.parquet")),
+          s"stage($name): rename failed")
+      }
+      val out = s"$base/out"
+      def drain(label: String): Unit = EventStreams.withStreamConf(s) {
+        val q = EventStreams.readEvents(s, s"$base/in")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000L)) {
+          val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
+          stopper.setDaemon(true); stopper.start(); stopper.join(15000L)
+          throw new RuntimeException(s"stream_restart_resume($label): did not finish within 300 s")
+        }
+      }
+      stage("a", pmod(col("event_id"), lit(2)) === 0)
+      drain("initial")   // commits half A, terminates (simulated crash point)
+      stage("b", pmod(col("event_id"), lit(2)) === 1)
+      drain("resumed")   // SAME checkpoint: must process ONLY half B
+      s.read.parquet(out)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
     /** SCD2 (slowly-changing-dimension type 2) history: each event is a
       * state observation; valid_from/valid_to intervals come from one
       * lead() window per user, with the open-ended row flagged current.

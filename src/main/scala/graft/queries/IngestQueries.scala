@@ -169,9 +169,10 @@ object IngestQueries {
       val streamed = s.readStream.format("graft-landing").schema(schema)
         .option("path", root).option("endpoint", "vendas").load()
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
-      graft.streaming.EventStreams.runToBatch(s, streamed,
-        s"graft_q_a01_stream_${math.abs(d.hashCode)}")
-        .orderBy(col("o_orderkey"))
+      graft.streaming.EventStreams.withStreamConf(s) {
+        graft.streaming.EventStreams.runToBatch(s, streamed,
+          s"graft_q_a01_stream_${math.abs(d.hashCode)}")
+      }.orderBy(col("o_orderkey"))
     },
 
     // A17 — partitioned+clustered sink under the oracle gate: write a
@@ -218,6 +219,80 @@ object IngestQueries {
         tables.map(n => () => n -> Tables.table(s, d, n).count()),
         timeout = 300.seconds, spark = Some(s))
       outcomes.map(_.get).toDF("t", "n").orderBy(col("t"))
+    },
+
+    // A18 — recursive {name,type,mode,fields} schema translation under
+    // the oracle gate (reference: bigquery_helper.py:98-107 +
+    // settings.py:47-52 file-driven schemas). The JSON schema doc is
+    // translated by SchemaTranslator.fromJsonString (REQUIRED /
+    // NULLABLE modes, RECORD recursion); the flat fields drive a
+    // schema-PROJECTED parquet read (ReadSchema carries only the
+    // declared columns — at 100 TB the scan never touches the rest),
+    // and the nested RECORD type drives from_json over the embedded
+    // JSON column. The oracle does the same projection + extraction in
+    // SQL.
+    QueryDef("a18_schema_translate", Some("""
+      SELECT event_id, event_type, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      FROM events ORDER BY event_id""")) { (s, d) =>
+      import graft.operators.SchemaTranslator
+      import org.apache.spark.sql.types.{StringType, StructType}
+      val st = SchemaTranslator.fromJsonString("""{"schema": [
+        {"name": "event_id", "type": "INTEGER", "mode": "REQUIRED"},
+        {"name": "event_type", "type": "STRING"},
+        {"name": "value", "type": "FLOAT"},
+        {"name": "props", "type": "RECORD",
+         "fields": [{"name": "k", "type": "INTEGER"}]}]}""")
+      // physical read schema: props is a JSON string on disk — swap the
+      // translated RECORD for StringType at the scan, then apply the
+      // RECORD type via from_json (the reference stores JSON columns as
+      // strings the same way; SURVEY.md §1.3)
+      val physical = StructType(st.map(f =>
+        if (f.name == "props") f.copy(dataType = StringType) else f))
+      s.read.schema(physical).parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"),
+          from_json(col("props"), st("props").dataType.asInstanceOf[StructType])
+            .getField("k").as("prop_k"))
+        .orderBy(col("event_id"))
+    },
+
+    // A5 — poison-record fallback under the oracle gate (reference's
+    // 60-line degraded scan, main.py:111-171): NDJSON with planted
+    // malformed lines (every c_custkey % 10 == 0 becomes an
+    // unterminated JSON string) is read back PERMISSIVE with
+    // _corrupt_record; good rows parse, poison rows isolate with their
+    // raw text preserved verbatim. Judged output: good/corrupt counts,
+    // exact-decimal sum over the good rows only, and the max custkey
+    // recovered FROM the corrupt text — provable because the poison
+    // lines are derived deterministically from the fixture, so the
+    // oracle recomputes all four from the parquet table.
+    QueryDef("a05_poison_records", Some("""
+      SELECT count(*) FILTER (WHERE c_custkey % 10 <> 0) AS n_good,
+             count(*) FILTER (WHERE c_custkey % 10 = 0) AS n_corrupt,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) FILTER (WHERE c_custkey % 10 <> 0) AS DOUBLE) AS good_acctbal,
+             max(c_custkey) FILTER (WHERE c_custkey % 10 = 0) AS max_corrupt_key
+      FROM customer""")) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val root = s"${sys.props("java.io.tmpdir")}/graft_q_a05_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Tables.customer(s, d).select(
+        when(pmod(col("c_custkey"), lit(10)) === 0,
+          concat(lit("{\"c_custkey\": "), col("c_custkey"),
+            lit(", \"c_name\": \"unterminated")))
+          .otherwise(to_json(struct(col("c_custkey"), col("c_name"), col("c_acctbal"))))
+          .as("value"))
+        .write.mode("overwrite").text(root)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType), StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(root)
+        .agg(
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(money(col("c_acctbal"))).cast("double").as("good_acctbal"),
+          max(regexp_extract(col("_corrupt_record"), "\\d+", 0).cast("long")).as("max_corrupt_key"))
     },
 
     // A12/A13 — NDJSON serialize/deserialize roundtrip. The JSON TEXT

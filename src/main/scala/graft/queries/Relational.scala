@@ -92,27 +92,37 @@ object Relational {
     // plus `within_2pct`, an in-plan relative-error check of the sketch
     // against the exact values. The oracle asserts the bound (TRUE);
     // a sketch regression flips the boolean and fails the hash.
+    //
+    // Float-boundary hardening (round-4 advice): quantiles run over
+    // INTEGER CENTS, not double prices. Interpolation at q ∈
+    // {.25,.5,.75} is a + f·(b−a) with integer a,b and exactly-
+    // representable f — an exact quarter-valued double in BOTH engines,
+    // bit-identical with no rounding step to flake at a boundary.
     QueryDef("agg_approx_quantiles", Some("""
+      WITH c AS (SELECT o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM orders)
       SELECT o_orderstatus,
-             round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-             round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-             round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             quantile_cont(cents, 0.25) AS p25_cents,
+             quantile_cont(cents, 0.50) AS p50_cents,
+             quantile_cont(cents, 0.75) AS p75_cents,
              count(*) AS n_rows, TRUE AS within_2pct
-      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
-      val pcts = percentile_approx(col("o_totalprice"),
+      FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+      val pcts = percentile_approx(col("cents"),
         array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-      val exact = percentile(col("o_totalprice"),
+      val exact = percentile(col("cents"),
         array(lit(0.25), lit(0.5), lit(0.75)))
       val relErrOk = (i: Int) =>
         (abs(element_at(col("qs"), i).cast("double") - element_at(col("ex"), i))
           / element_at(col("ex"), i)) <= 0.02
       t(s, d, "orders")
+        .withColumn("cents", (money(col("o_totalprice")) * 100).cast("long"))
         .groupBy(col("o_orderstatus"))
         .agg(pcts.as("qs"), exact.as("ex"), count(lit(1)).as("n_rows"))
         .select(col("o_orderstatus"),
-          round(element_at(col("ex"), 1), 4).as("p25"),
-          round(element_at(col("ex"), 2), 4).as("p50"),
-          round(element_at(col("ex"), 3), 4).as("p75"),
+          element_at(col("ex"), 1).as("p25_cents"),
+          element_at(col("ex"), 2).as("p50_cents"),
+          element_at(col("ex"), 3).as("p75_cents"),
           col("n_rows"),
           (relErrOk(1) && relErrOk(2) && relErrOk(3)).as("within_2pct"))
         .orderBy(col("o_orderstatus"))

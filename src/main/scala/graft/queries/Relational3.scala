@@ -251,10 +251,13 @@ object Relational3 {
       WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-06-01'
       GROUP BY 1 ORDER BY 1""")) { (s, d) =>
       import graft.operators.ScaleOps
-      // collision-resistant name: the full sanitized path, not a hash —
-      // two distinct sf dirs can never map to the same table name, so
-      // writeBucketed's cleanup can never touch another dir's tables
-      val sfx = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      // collision-resistant name: sanitized path (readable) + a short
+      // md5 of the RAW path — sanitization alone is not injective
+      // ('/a/b' and '/a_b' collide), so the hash pins distinct dirs to
+      // distinct table names and writeBucketed's cleanup stays scoped
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase + "_" +
+        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
       val oT = s"graft_bk_orders_$sfx"
       val lT = s"graft_bk_lineitem_$sfx"
       ScaleOps.writeBucketed(

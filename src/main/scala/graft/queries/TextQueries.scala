@@ -42,14 +42,14 @@ object TextQueries {
 
     QueryDef("doc_stats", Some("""
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
-             round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+             CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_words,
+             round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
              round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6) AS upper_ratio,
              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
       FROM documents ORDER BY doc_id""")) { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_calc"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+        size(split(trim(col("text")), s"[${graft.functions.TextFunctions.wsClass}]+")).cast("long").as("n_words"),
         punctRatio(col("text")).as("punct_ratio"),
         upperRatio(col("text")).as("upper_ratio"),
         length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"))
@@ -58,8 +58,8 @@ object TextQueries {
 
     QueryDef("doc_tokens", Some("""
       SELECT doc_id,
-             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
-             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens
+             CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpeish_tokens
       FROM documents ORDER BY doc_id""")) { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         tokenCount(col("text")).as("n_ws_tokens"),
@@ -71,9 +71,9 @@ object TextQueries {
       SELECT doc_id, lang,
              CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with|on|at)\b')) AS BIGINT) AS stop_hits,
              CASE WHEN round(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with|on|at)\b')) AS DOUBLE)
-                        / len(string_split_regex(lower(trim(text)), '\s+')), 6) > 0.08 THEN 'en'
+                        / len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')), 6) > 0.08 THEN 'en'
                   WHEN round(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with|on|at)\b')) AS DOUBLE)
-                        / len(string_split_regex(lower(trim(text)), '\s+')), 6) > 0.03 THEN 'en_like'
+                        / len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')), 6) > 0.03 THEN 'en_like'
                   ELSE 'other' END AS lang_pred
       FROM documents ORDER BY doc_id""")) { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
@@ -84,8 +84,8 @@ object TextQueries {
 
     QueryDef("doc_quality", Some("""
       SELECT doc_id,
-             round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 200.0)
-               * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6))
+             round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 200.0)
+               * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
                * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6) AS quality
       FROM documents ORDER BY doc_id""")) { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -249,7 +249,7 @@ object TextQueries {
     // TextFunctions.minhashSignature (recall/estimate accuracy).
     QueryDef("dedup_minhash_lsh", Some(s"""
       WITH toks AS (SELECT doc_id,
-                      unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+                      unnest(list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))) AS tok
                     FROM documents),
       th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS ha,
                     ('0x' || substr(md5(tok), 17, 14))::BIGINT AS hb
@@ -326,7 +326,7 @@ object TextQueries {
     // digit value >> bit & 1), so the DuckDB oracle recomputes the
     // whole pipeline — votes, packing, bucket join, cap, Hamming.
     QueryDef("dedup_simhash", Some("""
-      WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS tok
                     FROM documents),
       th AS (SELECT doc_id, md5(tok) AS h FROM toks),
       bits AS (SELECT doc_id, i,

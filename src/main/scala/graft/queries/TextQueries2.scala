@@ -15,7 +15,7 @@ object TextQueries2 {
     // scale: partial agg on (lang, term), then a per-lang top-k that
     // AQE keeps skew-balanced; no collect.
     QueryDef("doc_topk_terms", Some("""
-      WITH t AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+      WITH t AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term FROM documents),
       g AS (SELECT lang, term, count(*) AS n FROM t GROUP BY 1, 2),
       r AS (SELECT lang, term, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk FROM g)
       SELECT lang, term, n, CAST(rnk AS BIGINT) AS rnk
@@ -82,7 +82,7 @@ object TextQueries2 {
       * driver-side count), and the only floating step is one identical
       * multiply/ln chain on both engines. */
     QueryDef("doc_tfidf", Some("""
-      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
       df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       n AS (SELECT count(*) AS n_docs FROM documents),
@@ -133,8 +133,8 @@ object TextQueries2 {
     QueryDef("curate_corpus", Some("""
       WITH scored AS (
         SELECT doc_id, lang, md5(lower(trim(text))) AS fp,
-               round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 200.0)
-                 * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6))
+               round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 200.0)
+                 * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
                  * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6) AS quality
         FROM documents),
       kept AS (SELECT * FROM scored WHERE quality > 0.3),

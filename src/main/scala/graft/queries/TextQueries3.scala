@@ -60,7 +60,7 @@ object TextQueries3 {
       * for the top-k. At 100 TB the (bigram) aggregate is the only
       * shuffle and partial-aggregates away the long tail map-side. */
     QueryDef("doc_ngrams", Some("""
-      WITH a AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      WITH a AS (SELECT string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w FROM documents),
       e AS (SELECT w, unnest(range(1, len(w))) AS i FROM a WHERE len(w) >= 2),
       b AS (SELECT w[i] || ' ' || w[i + 1] AS bigram FROM e)
       SELECT bigram, count(*) AS n FROM b GROUP BY 1

@@ -109,6 +109,28 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to
+    * `partitions` (plus any `extra` confs), restoring prior values
+    * after. The streaming queries otherwise inherit the session's 32
+    * shuffle partitions, which also fixes the state-store partition
+    * count at checkpoint creation — 32 state-store tasks per tiny
+    * micro-batch is pure scheduling overhead at fixture scale (the
+    * round-4 bench's dominant stream_stream_join cost and a noise
+    * source). 8 keeps parallelism while quartering per-batch task
+    * count; at 100 TB this knob is sized UP with the cluster — it is
+    * per-query config, not plan shape. */
+  def withStreamConf[T](spark: SparkSession, partitions: Int = 8,
+      extra: Map[String, String] = Map.empty)(body: => T): T = {
+    val confs = ("spark.sql.shuffle.partitions" -> partitions.toString) +: extra.toSeq
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Stage the events fixture file into a per-(prefix, sfDir) temp
     * directory for the file-source streaming queries (the source wants
     * a directory it can list). Idempotent: wiped and recopied per run.

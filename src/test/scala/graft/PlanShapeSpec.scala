@@ -91,6 +91,45 @@ class PlanShapeSpec extends AnyFunSuite {
       "bucketed join must not shuffle on the join key: " + p.take(2000))
   }
 
+  test("a18_schema_translate: translated schema drives scan projection") {
+    val p = plan("a18_schema_translate")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,event_type:string,value:double,props:string>"),
+      "scan must read exactly the four schema-file columns: " + p.take(2000))
+  }
+
+  // --- Judged-config guards (sf0.1, 32 shuffle partitions — the exact
+  // configuration the driver benches; PLANS.md records these plans) ---
+
+  private def judgedPlan(name: String): String = {
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try SparkEntry.queries(name)(spark, "/root/testdata/sf0.1")
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  test("q05_region_revenue at judged config: all dims broadcast, one hash shuffle") {
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory)
+    val p = judgedPlan("q05_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, "dimension joins must broadcast: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "only the aggregate may hash-shuffle: " + p.take(2000))
+  }
+
+  test("q03_top_orders at judged config: broadcast joins + TakeOrderedAndProject") {
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory)
+    val p = judgedPlan("q03_top_orders")
+    assert(p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("join_bucketed at judged config: bucketed SMJ, no Exchange on the key") {
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory)
+    val p = judgedPlan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed join must not shuffle on the join key: " + p.take(2000))
+  }
+
   test("no judged plan contains a CartesianProduct") {
     // broadcast NL joins (IVF centroids, 1-row count) are fine; a
     // shuffled cartesian product is never the intended shape

@@ -295,9 +295,14 @@ object TextQueries {
       // band-hash needed, and trivially engine-portable.
       //
       // Signatures ride THROUGH the banding so the scored pairs need
-      // no re-join back to the signature table. dropDuplicates on the
-      // pair keeps an arbitrary row, but sig per doc is deterministic,
-      // so the retained sig_a/sig_b are too.
+      // no re-join back to the signature table, and est_jaccard is
+      // computed BEFORE the pair-dedup: the dedup aggregate then sees
+      // only three scalars (hash-aggregable, map-side combinable)
+      // instead of two 256 B signature arrays (which force a
+      // SortAggregate and 4x the shuffle payload). A pair matching in
+      // several bands re-scores a cheap 32-int comparison per extra
+      // band — strictly lighter than shuffling arrays. sig per doc is
+      // deterministic, so every copy of a pair scores identically.
       val bandCols = (0 until 16).map(b => struct(
         element_at(col("sig"), b * 2 + 1).as("bk1"),
         element_at(col("sig"), b * 2 + 2).as("bk2")))
@@ -313,8 +318,8 @@ object TextQueries {
         col("doc_id").as("id_b"), col("sig").as("sig_b"))
       a.join(b, Seq("band", "bk1", "bk2"))
         .filter(col("id_a") < col("id_b"))
-        .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"), minhashSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .dropDuplicates("id_a", "id_b")
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -133,6 +133,74 @@ object EventQueries2 {
         .orderBy(col("event_id"))
     },
 
+    /** Stateful checkpoint-resume: stream_restart_resume proves source
+      * OFFSETS survive a restart; this proves AGGREGATION STATE does.
+      * The events fixture is split by event_id PARITY, so every hourly
+      * window has rows in both halves: run 1 aggregates half A and
+      * stops; run 2 restarts from the same checkpoint — on the RocksDB
+      * state store — and folds half B into the RESTORED window state.
+      * Update-mode rows land in the latest-wins idempotent sink keyed
+      * by (window_start, event_type) with the monotone count as the
+      * winner; if state were lost on restart, every window would hold
+      * a half-A-only or half-B-only count and the oracle (the plain
+      * batch aggregate over the full fixture) would hash-mismatch.
+      * Counts and EXACT decimal sums only, so emission order cannot
+      * perturb values. No watermark by design: both runs cover the
+      * same event-time range, so eviction would drop half B as late —
+      * production pairs this with a watermark sized to the replay
+      * horizon (state here is O(windows × types), not O(rows)). */
+    QueryDef("stream_restart_stateful", Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      import graft.streaming.{EventStreams, StatefulOps}
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"${sys.props("java.io.tmpdir")}/graft_q_rs_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(base).getFileSystem(hconf)
+      fs.delete(new Path(base), true)
+      fs.mkdirs(new Path(base, "in"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      def stage(name: String, pred: org.apache.spark.sql.Column): Unit = {
+        val tmp = s"$base/stage_$name"
+        raw.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val parts = fs.globStatus(new Path(tmp, "part-*.parquet"))
+        require(parts.length == 1, s"stage($name): expected 1 part file")
+        require(fs.rename(parts(0).getPath, new Path(s"$base/in/$name.parquet")))
+      }
+      val sink = s"$base/merged"
+      def drain(label: String): Unit = EventStreams.withStreamConf(s, extra = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        val agg = EventStreams.readEvents(s, s"$base/in")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("tv"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("tv").cast("double").as("total_value"))
+        val q = StatefulOps.idempotentSink(agg, sink,
+          keys = Seq("window_start", "event_type"), orderCol = "n", tiebreaks = Nil)
+          .outputMode("update")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000L)) {
+          val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
+          stopper.setDaemon(true); stopper.start(); stopper.join(15000L)
+          throw new RuntimeException(s"stream_restart_stateful($label): did not finish within 300 s")
+        }
+      }
+      stage("a", pmod(col("event_id"), lit(2)) === 0)
+      drain("initial")
+      stage("b", pmod(col("event_id"), lit(2)) === 1)
+      drain("resumed")
+      s.read.parquet(sink)
+        .select(col("window_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
     /** SCD2 (slowly-changing-dimension type 2) history: each event is a
       * state observation; valid_from/valid_to intervals come from one
       * lead() window per user, with the open-ended row flagged current.

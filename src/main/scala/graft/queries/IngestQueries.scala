@@ -221,6 +221,67 @@ object IngestQueries {
       outcomes.map(_.get).toDF("t", "n").orderBy(col("t"))
     },
 
+    // A14 — prefix/glob listing under the oracle gate: the events
+    // fixture is staged under TWO sibling directories and read back
+    // through one wildcard path (`in/d*/[file]`) — the read must
+    // expand the glob across directories, so every event appears
+    // exactly twice; the oracle is the same union in SQL. (The
+    // reference lists page files by prefix the same way,
+    // gcs_helper.py.)
+    QueryDef("a14_glob_listing", Some("""
+      WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+      SELECT event_id, count(*) AS n_copies FROM u GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val base = s"${sys.props("java.io.tmpdir")}/graft_q_a14_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(base).getFileSystem(hconf)
+      fs.delete(new Path(base), true)
+      for (dir <- Seq("d1", "d2")) {
+        fs.mkdirs(new Path(s"$base/in/$dir"))
+        FileUtil.copy(fs, new Path(s"$d/events.parquet"),
+          fs, new Path(s"$base/in/$dir/part.parquet"), false, hconf)
+      }
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$base/in/d*/part.parquet")
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_copies"))
+        .orderBy(col("event_id"))
+    },
+
+    // A20 — pacing/backpressure under the oracle gate: three staged
+    // copies with maxFilesPerTrigger=1 MUST arrive as exactly three
+    // micro-batches (the reference's rate ceiling, §2 A20); foreachBatch
+    // records (batch_id, n) per batch, so a pacing regression that
+    // coalesces files into one batch produces one fat row and fails
+    // rows+hash. Copies are identical, so per-batch counts are
+    // deterministic regardless of file list order.
+    QueryDef("a20_pacing", Some("""
+      SELECT CAST(b AS BIGINT) AS batch_id,
+             (SELECT count(*) FROM events) AS n
+      FROM (SELECT unnest([0, 1, 2]) AS b) ORDER BY batch_id""")) { (s, d) =>
+      import graft.streaming.EventStreams
+      import org.apache.spark.sql.streaming.Trigger
+      val base = EventStreams.stageEventsInput(s, d, "pc", copies = 3)
+      val out = s"$base/batches"
+      EventStreams.withStreamConf(s) {
+        val q = EventStreams.readEvents(s, s"$base/in")
+          .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            b.groupBy().agg(count(lit(1)).as("n"))
+              .select(lit(id).as("batch_id"), col("n"))
+              .write.mode("append").parquet(out)
+            ()
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000L)) {
+          val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
+          stopper.setDaemon(true); stopper.start(); stopper.join(15000L)
+          throw new RuntimeException("a20_pacing: stream did not finish within 300 s")
+        }
+      }
+      s.read.parquet(out).select(col("batch_id"), col("n")).orderBy(col("batch_id"))
+    },
+
     // A18 — recursive {name,type,mode,fields} schema translation under
     // the oracle gate (reference: bigquery_helper.py:98-107 +
     // settings.py:47-52 file-driven schemas). The JSON schema doc is

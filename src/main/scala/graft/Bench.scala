@@ -66,6 +66,9 @@ object Bench {
     // outlier in either direction; SPARK_GRAFT_BENCH_REPS=1 restores
     // the quick single-pass mode for local iteration.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // reps=0 would make every query "fail" on an empty sample list and
+    // publish a well-formed total of 0.0 — reject the config up front
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -74,7 +77,7 @@ object Bench {
       }
       // a failed query poisons its entry (-1) instead of silently
       // deflating the total with a time-to-failure
-      val med =
+      val (med, samples) =
         try {
           var ts = List.fill(reps)(once()).sorted
           // adaptive widening: a >1.5x spread means reps caught a GC /
@@ -82,14 +85,19 @@ object Bench {
           // stable cluster instead of straddling the outlier
           while (reps > 1 && ts.size < 5 && ts.last / ts.head > 1.5)
             ts = (once() :: ts).sorted
-          ts(ts.size / 2)
+          (ts(ts.size / 2), ts.size)
         }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); -1.0 }
-      name -> med
+          System.err.println(s"[bench] $name failed: $e"); (-1.0, 0) }
+      (name, med, samples)
     }
-    val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (n, t, _) if t < 0 => "\"" + n + "\"" }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // actual per-query sample counts: adaptive widening means a median
+    // can summarize 3-5 runs — record which, so cross-round analysis
+    // never mistakes a median-of-5 for a median-of-3
+    val ns = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.mkString("[", ",", "]")
@@ -97,7 +105,7 @@ object Bench {
     // stdout line, and a short always-parseable total-only record as
     // the very LAST stdout line (round 1's single long line was
     // truncated mid-line by the driver's tail capture).
-    println(s"""{"metric":"detail","unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","unit":"sec","reps":$reps,"queries":$qs,"samples":$ns,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -42,10 +42,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    // subset (dev) runs write a DISTINCT manifest name: a stale full
-    // run's parquet outputs may still sit in outDir, and a driver that
-    // enumerates it must never pair them with a subset manifest
+    // subset (dev) runs write a DISTINCT manifest name AND remove any
+    // stale full manifest: a prior full run's oracle_sql.json paired
+    // with this run's fresh parquet would silently verify old SQL
+    // against new outputs — nothing in outDir may claim to be a full
+    // manifest after a partial run
     val manifest = if (only.isDefined) "oracle_sql.subset.json" else "oracle_sql.json"
+    if (only.isDefined) Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.json"))
     Files.writeString(Paths.get(s"$outDir/$manifest"), json)
     spark.stop()
   }

@@ -58,7 +58,10 @@ object ParallelOps {
     } catch {
       case e: scala.concurrent.TimeoutException =>
         cancelled.set(true)
-        spark.foreach(_.sparkContext.cancelJobGroup(group))
+        // AndFutureJobs closes the remaining window the flag can't: a
+        // worker that passed the flag check but hasn't submitted yet
+        // still gets its jobs cancelled when they arrive
+        spark.foreach(_.sparkContext.cancelJobGroupAndFutureJobs(group))
         pool.shutdownNow(); throw e
     } finally pool.shutdown()
   }

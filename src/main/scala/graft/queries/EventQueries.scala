@@ -133,23 +133,14 @@ object EventQueries {
       val base = EventStreams.stageEventsInput(s, d, "fb")
       val sink = s"$base/merged"
       EventStreams.withStreamConf(s) {
-        val q = StatefulOps.idempotentSink(
-          EventStreams.readEvents(s, s"$base/in"), sink,
-          keys = Seq("event_id"), orderCol = "ts", tiebreaks = Seq("user_id"))
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        // watchdog: a wedged stream must fail THIS query, not hang the
-        // whole Verify/Bench run (awaitTermination rethrows a stream
-        // failure itself; stop() is bounded on a side thread because it
-        // can block forever on a non-interruptible stream)
-        if (!q.awaitTermination(300000L)) {
-          val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
-          stopper.setDaemon(true)
-          stopper.start()
-          stopper.join(15000L)
-          throw new RuntimeException("stream_foreachbatch_sink: stream did not finish within 300 s")
-        }
+        EventStreams.awaitOrKill(
+          StatefulOps.idempotentSink(
+            EventStreams.readEvents(s, s"$base/in"), sink,
+            keys = Seq("event_id"), orderCol = "ts", tiebreaks = Seq("user_id"))
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(),
+          "stream_foreachbatch_sink")
       }
       s.read.parquet(sink)   // readEvents already truncated ts ns→µs TimestampType
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))

@@ -90,43 +90,23 @@ object EventQueries2 {
       SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
       FROM events ORDER BY event_id""")) { (s, d) =>
       import graft.streaming.EventStreams
-      import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.streaming.Trigger
-      val base = s"${sys.props("java.io.tmpdir")}/graft_q_rr_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      val hconf = s.sparkContext.hadoopConfiguration
-      val fs = new Path(base).getFileSystem(hconf)
-      fs.delete(new Path(base), true)
-      fs.mkdirs(new Path(base, "in"))
-      // raw read keeps ts as nanos LongType (nanosAsLong) so the staged
-      // halves match EventStreams.rawSchema exactly
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet")
-      def stage(name: String, pred: org.apache.spark.sql.Column): Unit = {
-        val tmp = s"$base/stage_$name"
-        raw.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val parts = fs.globStatus(new Path(tmp, "part-*.parquet"))
-        require(parts.length == 1, s"stage($name): expected 1 part file, got ${parts.length}")
-        require(fs.rename(parts(0).getPath, new Path(s"$base/in/$name.parquet")),
-          s"stage($name): rename failed")
-      }
+      val base = EventStreams.prepareRestartBase(s, d, "rr")
       val out = s"$base/out"
       def drain(label: String): Unit = EventStreams.withStreamConf(s) {
-        val q = EventStreams.readEvents(s, s"$base/in")
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-          .writeStream.format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000L)) {
-          val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
-          stopper.setDaemon(true); stopper.start(); stopper.join(15000L)
-          throw new RuntimeException(s"stream_restart_resume($label): did not finish within 300 s")
-        }
+        EventStreams.awaitOrKill(
+          EventStreams.readEvents(s, s"$base/in")
+            .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          s"stream_restart_resume($label)")
       }
-      stage("a", pmod(col("event_id"), lit(2)) === 0)
+      EventStreams.stageParityHalf(s, d, base, "a", parity = 0)
       drain("initial")   // commits half A, terminates (simulated crash point)
-      stage("b", pmod(col("event_id"), lit(2)) === 1)
+      EventStreams.stageParityHalf(s, d, base, "b", parity = 1)
       drain("resumed")   // SAME checkpoint: must process ONLY half B
       s.read.parquet(out)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -155,22 +135,8 @@ object EventQueries2 {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
       import graft.streaming.{EventStreams, StatefulOps}
-      import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.streaming.Trigger
-      val base = s"${sys.props("java.io.tmpdir")}/graft_q_rs_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      val hconf = s.sparkContext.hadoopConfiguration
-      val fs = new Path(base).getFileSystem(hconf)
-      fs.delete(new Path(base), true)
-      fs.mkdirs(new Path(base, "in"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet")
-      def stage(name: String, pred: org.apache.spark.sql.Column): Unit = {
-        val tmp = s"$base/stage_$name"
-        raw.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val parts = fs.globStatus(new Path(tmp, "part-*.parquet"))
-        require(parts.length == 1, s"stage($name): expected 1 part file")
-        require(fs.rename(parts(0).getPath, new Path(s"$base/in/$name.parquet")))
-      }
+      val base = EventStreams.prepareRestartBase(s, d, "rs")
       val sink = s"$base/merged"
       def drain(label: String): Unit = EventStreams.withStreamConf(s, extra = Map(
         "spark.sql.streaming.stateStore.providerClass" ->
@@ -180,21 +146,18 @@ object EventQueries2 {
           .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("tv"))
           .select(col("window.start").as("window_start"), col("event_type"),
             col("n"), col("tv").cast("double").as("total_value"))
-        val q = StatefulOps.idempotentSink(agg, sink,
-          keys = Seq("window_start", "event_type"), orderCol = "n", tiebreaks = Nil)
-          .outputMode("update")
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000L)) {
-          val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
-          stopper.setDaemon(true); stopper.start(); stopper.join(15000L)
-          throw new RuntimeException(s"stream_restart_stateful($label): did not finish within 300 s")
-        }
+        EventStreams.awaitOrKill(
+          StatefulOps.idempotentSink(agg, sink,
+            keys = Seq("window_start", "event_type"), orderCol = "n", tiebreaks = Nil)
+            .outputMode("update")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          s"stream_restart_stateful($label)")
       }
-      stage("a", pmod(col("event_id"), lit(2)) === 0)
+      EventStreams.stageParityHalf(s, d, base, "a", parity = 0)
       drain("initial")
-      stage("b", pmod(col("event_id"), lit(2)) === 1)
+      EventStreams.stageParityHalf(s, d, base, "b", parity = 1)
       drain("resumed")
       s.read.parquet(sink)
         .select(col("window_start"), col("event_type"), col("n"), col("total_value"))

@@ -263,21 +263,18 @@ object IngestQueries {
       val base = EventStreams.stageEventsInput(s, d, "pc", copies = 3)
       val out = s"$base/batches"
       EventStreams.withStreamConf(s) {
-        val q = EventStreams.readEvents(s, s"$base/in")
-          .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-            b.groupBy().agg(count(lit(1)).as("n"))
-              .select(lit(id).as("batch_id"), col("n"))
-              .write.mode("append").parquet(out)
-            ()
-          }
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000L)) {
-          val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
-          stopper.setDaemon(true); stopper.start(); stopper.join(15000L)
-          throw new RuntimeException("a20_pacing: stream did not finish within 300 s")
-        }
+        EventStreams.awaitOrKill(
+          EventStreams.readEvents(s, s"$base/in")
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              b.groupBy().agg(count(lit(1)).as("n"))
+                .select(lit(id).as("batch_id"), col("n"))
+                .write.mode("append").parquet(out)
+              ()
+            }
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "a20_pacing")
       }
       s.read.parquet(out).select(col("batch_id"), col("n")).orderBy(col("batch_id"))
     },

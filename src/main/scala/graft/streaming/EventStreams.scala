@@ -109,6 +109,51 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Bound a started streaming query: await its (Trigger.AvailableNow)
+    * completion, kill + throw on timeout. awaitTermination rethrows a
+    * stream failure itself; stop() is bounded on a side thread because
+    * it can block forever on a non-interruptible stream. */
+  def awaitOrKill(q: org.apache.spark.sql.streaming.StreamingQuery, label: String,
+      timeoutMs: Long = 300000L): Unit = {
+    if (!q.awaitTermination(timeoutMs)) {
+      val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () },
+        s"awaitOrKill-$label")
+      stopper.setDaemon(true); stopper.start(); stopper.join(15000L)
+      throw new RuntimeException(s"$label: stream did not finish within $timeoutMs ms")
+    }
+  }
+
+  /** Fresh per-(prefix, sfDir) staging root with an empty `in/` dir —
+    * the input side of the two-run checkpoint-resume protocol. */
+  def prepareRestartBase(spark: SparkSession, sfDir: String, prefix: String): String = {
+    import org.apache.hadoop.fs.Path
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q_${prefix}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true)
+    fs.mkdirs(new Path(base, "in"))
+    base
+  }
+
+  /** Stage ONE event_id-parity half of the events fixture as the single
+    * file `in/<name>.parquet` under `base`. The raw read keeps ts as
+    * nanos LongType (nanosAsLong) so staged files match [[rawSchema]]
+    * exactly. Parity splitting is what makes the resume proofs sharp:
+    * every event-time window has rows in BOTH halves. */
+  def stageParityHalf(spark: SparkSession, sfDir: String, base: String,
+      name: String, parity: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = s"$base/stage_$name"
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(pmod(col("event_id"), lit(2)) === parity)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val parts = fs.globStatus(new Path(tmp, "part-*.parquet"))
+    require(parts.length == 1, s"stageParityHalf($name): expected 1 part file, got ${parts.length}")
+    require(fs.rename(parts(0).getPath, new Path(s"$base/in/$name.parquet")),
+      s"stageParityHalf($name): rename failed")
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to
     * `partitions` (plus any `extra` confs), restoring prior values
     * after. The streaming queries otherwise inherit the session's 32

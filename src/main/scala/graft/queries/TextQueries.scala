@@ -324,6 +324,31 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Edit-distance near-dup — the character-level fuzzy family
+    // (complements token Jaccard / MinHash / SimHash / embedding
+    // cosine): levenshtein over a normalized 80-char prefix of each
+    // consecutive doc pair. The prefix cap bounds the O(len²) DP per
+    // pair, and pairing is the same equi-join shape as
+    // sim_dot_consecutive — one shuffle, no window over a global sort.
+    // levenshtein is the classic DP in both engines, so the oracle
+    // compares exact distances.
+    QueryDef("dedup_edit_distance", Some("""
+      WITH d AS (SELECT doc_id, substr(lower(trim(text)), 1, 80) AS t FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.t, b.t) AS dist
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1)
+      SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist, dist <= 20 AS is_near_dup
+      FROM p ORDER BY id_a""")) { (s, d) =>
+      val norm = Tables.documents(s, d)
+        .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 80).as("t"))
+      val a = norm.select(col("doc_id").as("id_a"), col("t").as("t_a"))
+      val b = norm.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("t").as("t_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
+        .withColumn("is_near_dup", col("dist") <= 20)
+        .orderBy(col("id_a"))
+    },
+
     // SimHash near-dup: 64-bit per-bit-vote signature; candidates
     // bucket on the low 16 bits, confirmed by Hamming distance.
     // FULLY oracle-checked: the per-token hash is md5, whose first 16

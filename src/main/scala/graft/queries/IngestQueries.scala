@@ -353,6 +353,41 @@ object IngestQueries {
           max(regexp_extract(col("_corrupt_record"), "\\d+", 0).cast("long")).as("max_corrupt_key"))
     },
 
+    // CSV source/sink round-trip under the oracle gate (completes the
+    // judged format surface next to parquet/NDJSON): fixture rows out
+    // through the CSV sink, back through a schema-typed CSV scan. As
+    // with NDJSON, the TEXT is engine-specific but the oracle never
+    // sees it — shortest-repr doubles parse back bit-identical, so the
+    // PARSED values are checked against the source rows.
+    QueryDef("csv_roundtrip", Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_q_csv_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(root)
+      s.read.schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("header", "true").csv(root)
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ORC source/sink round-trip — the second columnar format Spark
+    // ships natively; proves the engine's format surface is not
+    // parquet-specific (same pushdown/pruning machinery via the ORC
+    // DSv2 source). Values identical by construction: columnar binary
+    // round-trip, no text re-parse involved.
+    QueryDef("orc_roundtrip", Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_totalprice > 100000 ORDER BY o_orderkey""")) { (s, d) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_q_orc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").orc(root)
+      // filter AFTER the round-trip: the predicate pushes into the ORC
+      // scan (PushedFilters), same as the parquet path
+      s.read.orc(root)
+        .filter(col("o_totalprice") > 100000)
+        .orderBy(col("o_orderkey"))
+    },
+
     // A12/A13 — NDJSON serialize/deserialize roundtrip. The JSON TEXT
     // is engine-specific (key order, float formatting), but the oracle
     // never sees it: to_json→from_json is value-exact (shortest-repr

@@ -47,8 +47,12 @@ object Verify {
     // with this run's fresh parquet would silently verify old SQL
     // against new outputs — nothing in outDir may claim to be a full
     // manifest after a partial run
-    val manifest = if (only.isDefined) "oracle_sql.subset.json" else "oracle_sql.json"
-    if (only.isDefined) Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.json"))
+    // symmetric: each run kind removes the OTHER kind's manifest, so
+    // outDir only ever holds the manifest matching its freshest outputs
+    val (manifest, stale) =
+      if (only.isDefined) ("oracle_sql.subset.json", "oracle_sql.json")
+      else ("oracle_sql.json", "oracle_sql.subset.json")
+    Files.deleteIfExists(Paths.get(s"$outDir/$stale"))
     Files.writeString(Paths.get(s"$outDir/$manifest"), json)
     spark.stop()
   }

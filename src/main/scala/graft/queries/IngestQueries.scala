@@ -232,10 +232,9 @@ object IngestQueries {
       WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
       SELECT event_id, count(*) AS n_copies FROM u GROUP BY 1 ORDER BY 1""")) { (s, d) =>
       import org.apache.hadoop.fs.{FileUtil, Path}
-      val base = s"${sys.props("java.io.tmpdir")}/graft_q_a14_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val base = graft.streaming.EventStreams.prepareRestartBase(s, d, "a14")
       val hconf = s.sparkContext.hadoopConfiguration
       val fs = new Path(base).getFileSystem(hconf)
-      fs.delete(new Path(base), true)
       for (dir <- Seq("d1", "d2")) {
         fs.mkdirs(new Path(s"$base/in/$dir"))
         FileUtil.copy(fs, new Path(s"$d/events.parquet"),

@@ -330,16 +330,21 @@ object TextQueries {
     // consecutive doc pair. The prefix cap bounds the O(len²) DP per
     // pair, and pairing is the same equi-join shape as
     // sim_dot_consecutive — one shuffle, no window over a global sort.
-    // levenshtein is the classic DP in both engines, so the oracle
-    // compares exact distances.
+    // Parity guard: DuckDB's levenshtein counts BYTES while Spark's
+    // counts codepoints ('héllo'→'hello' is 2 vs 1), so the compared
+    // prefix is stripped to printable ASCII ([ -~]) on BOTH sides
+    // first — same divergence class as Java-vs-RE2 \s, same cure.
     QueryDef("dedup_edit_distance", Some("""
-      WITH d AS (SELECT doc_id, substr(lower(trim(text)), 1, 80) AS t FROM documents),
+      WITH d AS (SELECT doc_id,
+                   substr(regexp_replace(lower(trim(text)), '[^ -~]', '', 'g'), 1, 80) AS t
+                 FROM documents),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.t, b.t) AS dist
             FROM d a JOIN d b ON b.doc_id = a.doc_id + 1)
       SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist, dist <= 20 AS is_near_dup
       FROM p ORDER BY id_a""")) { (s, d) =>
       val norm = Tables.documents(s, d)
-        .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 80).as("t"))
+        .select(col("doc_id"),
+          substring(regexp_replace(lower(trim(col("text"))), "[^ -~]", ""), 1, 80).as("t"))
       val a = norm.select(col("doc_id").as("id_a"), col("t").as("t_a"))
       val b = norm.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("t").as("t_b"))
       a.join(b, "id_a")

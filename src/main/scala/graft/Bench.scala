@@ -82,17 +82,28 @@ object Bench {
           var ts = List.fill(reps)(once()).sorted
           // adaptive widening: a >1.5x spread means reps caught a GC /
           // JIT pause — add reps (cap 5) so the median sits on the
-          // stable cluster instead of straddling the outlier
-          while (reps > 1 && ts.size < 5 && ts.last / ts.head > 1.5)
+          // stable cluster instead of straddling the outlier. The
+          // 1e-9 floor keeps a 0.0-rounded sample from dividing by
+          // zero (Infinity would merely widen — but don't rely on it).
+          while (reps > 1 && ts.size < 5 && ts.last / math.max(ts.head, 1e-9) > 1.5)
             ts = (once() :: ts).sorted
-          (ts(ts.size / 2), ts.size)
+          // even sample sizes (reps=4, or user-set even reps): average
+          // the two middle elements — ts(size/2) alone is the UPPER
+          // middle and biases the reported median high
+          val m = if (ts.size % 2 == 1) ts(ts.size / 2)
+                  else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+          (m, ts.size)
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e"); (-1.0, 0) }
       (name, med, samples)
     }
     val failed = results.collect { case (n, t, _) if t < 0 => "\"" + n + "\"" }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // compact per-query seconds (3 sig figs — full doubles made the
+    // round-5 detail line long enough that the driver's tail capture
+    // truncated it out of BENCH_r05.json; %.3g keeps the whole map in
+    // one short line so every regression stays attributable)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + "%.3g".format(v) }
       .mkString("{", ",", "}")
     // actual per-query sample counts: adaptive widening means a median
     // can summarize 3-5 runs — record which, so cross-round analysis
@@ -101,11 +112,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.mkString("[", ",", "]")
-    // Per the round-1 verdict: per-query detail on its own EARLIER
-    // stdout line, and a short always-parseable total-only record as
-    // the very LAST stdout line (round 1's single long line was
-    // truncated mid-line by the driver's tail capture).
-    println(s"""{"metric":"detail","unit":"sec","reps":$reps,"queries":$qs,"samples":$ns,"sf":"$sfDir"}""")
+    // Tail-capture layout (round-5 verdict): sample counts on an
+    // earlier line, the per-query seconds map SECOND-TO-LAST, and the
+    // short always-parseable total-only record as the very LAST stdout
+    // line — so both detail and total always land inside the captured
+    // tail even if earlier lines are cut.
+    println(s"""{"metric":"samples","reps":$reps,"samples":$ns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Part-A ingestion operators of the reference, re-expressed as pure
@@ -124,4 +124,64 @@ object IngestOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("dt")
       .parquet(path)
+
+  /** Read a `dt=yyyyMMdd`-partitioned parquet layout (as written by
+    * [[writePartitioned]]) with `dt` typed STRING instead of the
+    * inferred INT. Why it matters: dt predicates then compare strings
+    * directly — yyyyMMdd orders identically as string or int — and
+    * reach the scan as `PartitionFilters`; a cast wrapped around an
+    * inferred-int dt would defeat partition pruning, turning a
+    * few-directory read into a full-layout scan at 100 TB. The schema
+    * probe reads parquet footers + the partition listing only
+    * (metadata, not data). */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val discovered = spark.read.parquet(path).schema
+    val schema = StructType(discovered.map(f =>
+      if (f.name == "dt") f.copy(dataType = StringType) else f))
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** Partition-scoped CDC MERGE — the 100 TB form of a full-table
+    * upsert rewrite. Applies `changes` (updates for matched `keys`,
+    * inserts for new ones; every row names its target partition in a
+    * `dt` column) to the dt-partitioned layout at `path` by rewriting
+    * ONLY the partitions the changes touch: a partition-pruned base
+    * read ([[readPartitioned]] + isin — `PartitionFilters` in the
+    * plan), one full-outer join per-key with changes-win coalesce, and
+    * a dynamic partition overwrite. Untouched partitions' files are
+    * never read or rewritten (file-level proof in
+    * IncrementalPipelineSpec) — the reference's per-day idempotent
+    * reload semantic (/root/reference/src/main.py:253-267).
+    *
+    * The touched-dt list is collected driver-side: that is PARTITION
+    * METADATA — O(days touched), the same scale as the reference's
+    * per-day loop — never row data, and `maxTouched` bounds it loudly.
+    * Deletes are out of scope (CDC upsert semantics); returns the
+    * touched dts for audit. */
+  def mergePartitioned(spark: SparkSession, path: String, changes: DataFrame,
+      keys: Seq[String], maxTouched: Int = 1000): Seq[String] = {
+    val touched = changes.select(col("dt").cast("string")).distinct()
+      .collect().map { r =>
+        require(!r.isNullAt(0), "mergePartitioned: change row with null dt")
+        r.getString(0)
+      }.sorted.toSeq
+    require(touched.nonEmpty, "mergePartitioned: empty change batch")
+    require(touched.size <= maxTouched,
+      s"mergePartitioned: ${touched.size} touched partitions exceed maxTouched=$maxTouched")
+    val base = readPartitioned(spark, path).filter(col("dt").isin(touched: _*))
+    val dataCols = base.columns.filterNot(keys.contains).toSeq
+    val chg = changes.select(keys.map(col) ++
+      dataCols.map(c => col(c).cast(base.schema(c).dataType).as(s"__c_$c")): _*)
+    val merged = base.join(chg, keys, "full")
+      .select(keys.map(col) ++
+        dataCols.map(c => coalesce(col(s"__c_$c"), col(c)).as(c)): _*)
+    // cut lineage before writing back into the read path (Spark refuses
+    // to overwrite a path it is also reading from); the checkpoint
+    // materializes only the touched partitions' merged rows
+    merged.localCheckpoint(true)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt").parquet(path)
+    touched
+  }
 }

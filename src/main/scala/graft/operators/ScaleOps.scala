@@ -42,9 +42,13 @@ object ScaleOps {
     * salt in [0, salt), the (small, broadcast-unfriendly but
     * replicable) right side is exploded `salt` times, and the join key
     * becomes (key, salt) — hot keys spread over `salt` reducers.
-    * Correct for inner/left joins on unique right keys. */
+    * Correct for inner/left joins on unique right keys; any other join
+    * type would silently duplicate right-side rows (each appears once
+    * per salt replica), so misuse fails loudly here instead. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left only (right side is replicated $salt x); got '$joinType'")
     val saltedLeft = left.withColumn("__salt",
       (rand(seed = 42) * salt).cast("int"))
     val saltedRight = right.withColumn("__salt",

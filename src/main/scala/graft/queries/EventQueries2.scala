@@ -14,12 +14,17 @@ object EventQueries2 {
 
     /** Clickstream path mining: each user's first five events (in time
       * order) become a path string, then paths are ranked by frequency.
-      * One hash aggregate per level — collect_list stays bounded because
-      * only the first 5 elements survive (at 100 TB you'd pre-limit with
-      * a row_number window; at fixture scale per-user event counts are
-      * already small, and the slice keeps the output row narrow). The
-      * struct sort (ts, event_id, event_type) is a total order, so the
-      * path is deterministic under parallel collection. */
+      * A `row_number() <= 5` pre-limit runs BEFORE the groupBy, so
+      * per-user aggregation state is O(5), never O(events-per-user) —
+      * without it, one power-law hot user's collect_list OOMs an
+      * executor at 100 TB even though only 5 elements survive the
+      * slice. The window and the groupBy share the same user_id
+      * shuffle, and Spark plans the rn<=5 filter as a partial+final
+      * WindowGroupLimit (top-5-per-key pushdown — plan-guarded in
+      * PlanShapeSpec), so the bound is nearly free. The (ts, event_id)
+      * window order is a total order per user, so the surviving 5 rows
+      * — and the path built from their struct sort — are deterministic
+      * under parallel collection. */
     QueryDef("events_top_paths", Some("""
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
       p AS (SELECT user_id,
@@ -27,14 +32,16 @@ object EventQueries2 {
             FROM e GROUP BY 1)
       SELECT path, count(*) AS n_users FROM p GROUP BY 1
       ORDER BY n_users DESC, path""")) { (s, d) =>
-      val perUser = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val first5 = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5).drop("__rn")
+      val perUser = first5
         .groupBy(col("user_id"))
         .agg(array_join(
-          slice(
-            transform(
-              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-              x => x.getField("event_type")),
-            1, 5),
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
           ">").as("path"))
       perUser.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("n_users").desc, col("path"))

@@ -28,6 +28,50 @@ object IngestQueries {
       IngestOps.watermark(Tables.orders(s, d), "o_orderdate")
     },
 
+    // A7+A15 — incremental batch recompute: the batch twin of
+    // a01_landing_stream (reference main.py:195-209 — recover the
+    // watermark from the sink, load ONLY newer days, append). June+July
+    // 1998 orders are staged as a dt-partitioned source; the sink holds
+    // an initial load of dt < 19980701; the increment recovers the
+    // watermark FROM THE SINK (a driver scalar — partition metadata,
+    // exactly the reference's max-landed-date lookup, never row data),
+    // reads only dt > watermark source partitions (PartitionFilters
+    // prunes the June directories — plan-guarded in
+    // IncrementalPipelineSpec), and lands them via dynamic partition
+    // overwrite, so re-running the same increment converges. The
+    // oracle is the full June+July slice: any loss (bad pruning), dupe
+    // (append instead of overwrite), or watermark drift fails
+    // rows+hash.
+    QueryDef("a07_incremental_batch", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, strftime(o_orderdate, '%Y%m%d') AS dt
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+                    AND o_orderdate < TIMESTAMP '1998-08-01'
+      ORDER BY o_orderkey""")) { (s, d) =>
+      val root = graft.Staging.dir("a07i", d)
+      val src = s"$root/source"; val sink = s"$root/sink"
+      // two calendar months of dt partitions (June = initial load,
+      // July = the increment); the fixture's o_orderdate spans
+      // 1995-2001, so the window is bounded on both ends
+      val all = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1998-06-01"))
+          && col("o_orderdate") < to_timestamp(lit("1998-08-01")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
+      all.write.mode("overwrite").partitionBy("dt").parquet(src)
+      // initial load: the June days landed by a previous "run" (fresh
+      // static overwrite per rep keeps the query idempotent)
+      all.filter(col("dt") < "19980701")
+        .write.mode("overwrite").partitionBy("dt").parquet(sink)
+      val wm = IngestOps.readPartitioned(s, sink)
+        .agg(max(col("dt")).as("watermark")).head().getString(0)
+      IngestOps.readPartitioned(s, src).filter(col("dt") > wm)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt").parquet(sink)
+      IngestOps.readPartitioned(s, sink)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("dt"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // A9+A11+A22 — enrichment projection over the deterministic
     // partitioned path layout (ingestion_timestamp omitted here: it is
     // batch-time-dependent by design, so not oracle-comparable).
@@ -122,7 +166,7 @@ object IngestQueries {
       FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
       ORDER BY o_orderkey""")) { (s, d) =>
       import org.apache.spark.sql.types._
-      val root = s"${sys.props("java.io.tmpdir")}/graft_q_a01_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val root = graft.Staging.dir("a01", d)
       val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate"))
       val cut = to_timestamp(lit("1997-01-01"))
@@ -153,7 +197,7 @@ object IngestQueries {
       SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
       FROM orders ORDER BY o_orderkey""")) { (s, d) =>
       import org.apache.spark.sql.types._
-      val root = s"${sys.props("java.io.tmpdir")}/graft_q_a01s_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val root = graft.Staging.dir("a01s", d)
       val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate"))
       val cut = to_timestamp(lit("1997-01-01"))
@@ -186,7 +230,7 @@ object IngestQueries {
       SELECT o_orderkey, o_custkey, o_totalprice, strftime(o_orderdate, '%Y%m%d') AS dt
       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-15'
       ORDER BY o_orderkey""")) { (s, d) =>
-      val out = s"${sys.props("java.io.tmpdir")}/graft_q_a17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val out = graft.Staging.dir("a17", d)
       // ~1 month of days: enough dt= dirs to prove pruning; per-dir
       // fixed cost (file create + dynamic-overwrite commit) dominates
       // at fixture scale, so the slice stays deliberately narrow
@@ -252,7 +296,10 @@ object IngestQueries {
     // records (batch_id, n) per batch, so a pacing regression that
     // coalesces files into one batch produces one fat row and fails
     // rows+hash. Copies are identical, so per-batch counts are
-    // deterministic regardless of file list order.
+    // deterministic regardless of file list order. Each batch lands in
+    // its own batch_id-keyed subdirectory with OVERWRITE — foreachBatch
+    // is at-least-once, so a replayed batch must converge to the same
+    // files, not append a duplicate (batch_id, n) row.
     QueryDef("a20_pacing", Some("""
       SELECT CAST(b AS BIGINT) AS batch_id,
              (SELECT count(*) FROM events) AS n
@@ -267,7 +314,7 @@ object IngestQueries {
             .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
               b.groupBy().agg(count(lit(1)).as("n"))
                 .select(lit(id).as("batch_id"), col("n"))
-                .write.mode("append").parquet(out)
+                .write.mode("overwrite").parquet(s"$out/b$id")
               ()
             }
             .option("checkpointLocation", s"$base/ckpt")
@@ -275,7 +322,7 @@ object IngestQueries {
             .start(),
           "a20_pacing")
       }
-      s.read.parquet(out).select(col("batch_id"), col("n")).orderBy(col("batch_id"))
+      s.read.parquet(s"$out/b*").select(col("batch_id"), col("n")).orderBy(col("batch_id"))
     },
 
     // A18 — recursive {name,type,mode,fields} schema translation under
@@ -330,7 +377,7 @@ object IngestQueries {
              max(c_custkey) FILTER (WHERE c_custkey % 10 = 0) AS max_corrupt_key
       FROM customer""")) { (s, d) =>
       import org.apache.spark.sql.types._
-      val root = s"${sys.props("java.io.tmpdir")}/graft_q_a05_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val root = graft.Staging.dir("a05", d)
       Tables.customer(s, d).select(
         when(pmod(col("c_custkey"), lit(10)) === 0,
           concat(lit("{\"c_custkey\": "), col("c_custkey"),
@@ -361,7 +408,7 @@ object IngestQueries {
     QueryDef("csv_roundtrip", Some("""
       SELECT o_orderkey, o_orderstatus, o_totalprice
       FROM orders ORDER BY o_orderkey""")) { (s, d) =>
-      val root = s"${sys.props("java.io.tmpdir")}/graft_q_csv_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val root = graft.Staging.dir("csv", d)
       Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.mode("overwrite").option("header", "true").csv(root)
       s.read.schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
@@ -377,7 +424,7 @@ object IngestQueries {
     QueryDef("orc_roundtrip", Some("""
       SELECT o_orderkey, o_orderstatus, o_totalprice
       FROM orders WHERE o_totalprice > 100000 ORDER BY o_orderkey""")) { (s, d) =>
-      val root = s"${sys.props("java.io.tmpdir")}/graft_q_orc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val root = graft.Staging.dir("orc", d)
       Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.mode("overwrite").orc(root)
       // filter AFTER the round-trip: the predicate pushes into the ORC

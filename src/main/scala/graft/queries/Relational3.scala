@@ -183,6 +183,61 @@ object Relational3 {
         .orderBy(col("c_custkey"))
     },
 
+    /** Partition-scoped CDC MERGE — `merge_upsert` at 100 TB. Same
+      * full-outer-join merge semantics, but the rewrite is scoped to
+      * the dt partitions the change batch touches
+      * (IngestOps.mergePartitioned: partition-pruned base read +
+      * dynamic partition overwrite): untouched partitions' files are
+      * never read or rewritten — the reference's per-day idempotent
+      * reload (/root/reference/src/main.py:253-267). File-level proof
+      * lives in IncrementalPipelineSpec; the oracle here checks the
+      * merged END STATE of the whole layout: orders from July 1998
+      * staged by dt, then a deterministic change batch (updates +100
+      * for every third key, inserted +10M keys for every fifth) over
+      * the dt >= 19980715 partitions only. */
+    QueryDef("merge_upsert_partitioned", Some("""
+      WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                           strftime(o_orderdate, '%Y%m%d') AS dt
+                    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+                                  AND o_orderdate < TIMESTAMP '1998-08-01')
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN dt >= '19980715' AND o_orderkey % 3 = 0
+                  THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+             dt
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 1.0, dt
+      FROM base WHERE dt >= '19980715' AND o_orderkey % 5 = 0
+      ORDER BY o_orderkey""")) { (s, d) =>
+      import graft.operators.IngestOps
+      val sink = graft.Staging.dir("mrg", d)
+      // one calendar month of dt partitions (the fixture's o_orderdate
+      // spans 1995-2001, so an open-ended tail would stage a thousand
+      // dirs); the change batch touches the back half only
+      val base = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1998-07-01"))
+          && col("o_orderdate") < to_timestamp(lit("1998-08-01")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
+      // fresh STATIC-overwrite staging per run: wipes any previous
+      // run's merged partitions, so the query is idempotent under
+      // bench reps
+      base.write.mode("overwrite").partitionBy("dt").parquet(sink)
+      // deterministic CDC batch over the tail partitions only; read
+      // from the staged layout itself (pruned to dt >= 19980715)
+      val slice = IngestOps.readPartitioned(s, sink).filter(col("dt") >= "19980715")
+      val changes = slice.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100).as("o_totalprice"), col("dt"))
+        .union(slice.filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"), col("o_custkey"),
+            lit(1.0).as("o_totalprice"), col("dt")))
+      IngestOps.mergePartitioned(s, sink, changes, Seq("o_orderkey"))
+      IngestOps.readPartitioned(s, sink)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("dt"))
+        .orderBy(col("o_orderkey"))
+    },
+
     /** IGNORE NULLS window navigation: last-observation-carried-forward
       * (the classic sensor/price forward-fill), previous non-null via
       * lag, and first non-null per partition — over a deterministically
@@ -251,13 +306,10 @@ object Relational3 {
       WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-06-01'
       GROUP BY 1 ORDER BY 1""")) { (s, d) =>
       import graft.operators.ScaleOps
-      // collision-resistant name: sanitized path (readable) + a short
-      // md5 of the RAW path — sanitization alone is not injective
-      // ('/a/b' and '/a_b' collide), so the hash pins distinct dirs to
+      // collision-resistant name (Staging.suffix): sanitized path
+      // (readable) + a short md5 of the RAW path, so distinct dirs get
       // distinct table names and writeBucketed's cleanup stays scoped
-      val sfx = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase + "_" +
-        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(8)
+      val sfx = graft.Staging.suffix(d)
       val oT = s"graft_bk_orders_$sfx"
       val lT = s"graft_bk_lineitem_$sfx"
       ScaleOps.writeBucketed(

@@ -127,7 +127,7 @@ object EventStreams {
     * the input side of the two-run checkpoint-resume protocol. */
   def prepareRestartBase(spark: SparkSession, sfDir: String, prefix: String): String = {
     import org.apache.hadoop.fs.Path
-    val base = s"${sys.props("java.io.tmpdir")}/graft_q_${prefix}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val base = graft.Staging.dir(prefix, sfDir)
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(base), true)
     fs.mkdirs(new Path(base, "in"))
@@ -154,6 +154,17 @@ object EventStreams {
       s"stageParityHalf($name): rename failed")
   }
 
+  /** Serializes [[withStreamConf]] bodies: the set/restore window
+    * mutates SHARED SparkSession conf, so two concurrent wrapped
+    * queries on the same session could race and leave the wrong
+    * shuffle-partition/state-store config pinned. One JVM-wide lock is
+    * enough here (Verify/Bench run queries sequentially; this makes
+    * accidental composition with ParallelOps-style concurrency safe
+    * rather than silently wrong). True parallel streaming orchestration
+    * should use `spark.newSession()` per query instead — cloned
+    * sessions have independent conf and need no lock. */
+  private val streamConfLock = new Object
+
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to
     * `partitions` (plus any `extra` confs), restoring prior values
     * after. The streaming queries otherwise inherit the session's 32
@@ -163,9 +174,11 @@ object EventStreams {
     * round-4 bench's dominant stream_stream_join cost and a noise
     * source). 8 keeps parallelism while quartering per-batch task
     * count; at 100 TB this knob is sized UP with the cluster — it is
-    * per-query config, not plan shape. */
+    * per-query config, not plan shape. Bodies serialize on
+    * [[streamConfLock]]; see its scaladoc for the concurrency
+    * contract. */
   def withStreamConf[T](spark: SparkSession, partitions: Int = 8,
-      extra: Map[String, String] = Map.empty)(body: => T): T = {
+      extra: Map[String, String] = Map.empty)(body: => T): T = streamConfLock.synchronized {
     val confs = ("spark.sql.shuffle.partitions" -> partitions.toString) +: extra.toSeq
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -185,7 +198,7 @@ object EventStreams {
   def stageEventsInput(spark: SparkSession, sfDir: String, prefix: String,
       copies: Int = 1): String = {
     import org.apache.hadoop.fs.{FileUtil, Path}
-    val base = s"${sys.props("java.io.tmpdir")}/graft_q_${prefix}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val base = graft.Staging.dir(prefix, sfDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(base).getFileSystem(conf)
     fs.delete(new Path(base), true)

@@ -48,4 +48,75 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       .withColumn("d", to_timestamp(col("dt").cast("string"), "yyyyMMdd")), "d").as[String].head()
     assert(wm2 === "20240205")
   }
+
+  /** (relative path under root) -> (modtime, length) for every parquet
+    * part file — the file-level identity used to prove untouched
+    * partitions are never rewritten. */
+  private def partFiles(root: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath.stripPrefix(root) -> (f.lastModified(), f.length()))
+      .toMap
+  }
+
+  test("mergePartitioned rewrites ONLY touched dt partitions (file-level + pruned plan)") {
+    val sink = Files.createTempDirectory("graft_mrg").toString + "/t"
+    Seq((1L, 10.0, "20240201"), (2L, 20.0, "20240201"),
+        (3L, 30.0, "20240202"), (4L, 40.0, "20240203"))
+      .toDF("id", "v", "dt").write.partitionBy("dt").parquet(sink)
+    val before = partFiles(sink)
+    assert(before.keys.exists(_.contains("dt=20240201")))
+
+    // plan evidence: the base read inside the merge is partition-pruned
+    // — the dt predicate reaches the scan as PartitionFilters (dt is
+    // STRING via readPartitioned, so no cast blocks pruning)
+    val prunedPlan = IngestOps.readPartitioned(spark, sink)
+      .filter(col("dt").isin("20240202", "20240203"))
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("dt#"),
+      prunedPlan.take(2000))
+
+    Thread.sleep(1100) // modtime granularity can be 1 s on some filesystems
+    val changes = Seq((3L, 300.0, "20240202"), (5L, 50.0, "20240203"))
+      .toDF("id", "v", "dt")
+    val touched = IngestOps.mergePartitioned(spark, sink, changes, Seq("id"))
+    assert(touched === Seq("20240202", "20240203"))
+
+    val after = partFiles(sink)
+    // untouched partition: exact same files (name, modtime, length)
+    before.view.filterKeys(_.contains("dt=20240201")).foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"untouched partition file rewritten: $p")
+    }
+    // touched partitions: fully replaced (no stale pre-merge file survives)
+    before.view.filterKeys(k => k.contains("dt=20240202") || k.contains("dt=20240203"))
+      .foreach { case (p, sig) =>
+        assert(!after.get(p).contains(sig), s"touched partition file not rewritten: $p")
+      }
+    // merged end state: update applied, insert landed, rest intact
+    val got = IngestOps.readPartitioned(spark, sink)
+      .select(col("id"), col("v"), col("dt")).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq === Seq((1L, 10.0, "20240201"), (2L, 20.0, "20240201"),
+      (3L, 300.0, "20240202"), (4L, 40.0, "20240203"), (5L, 50.0, "20240203")))
+  }
+
+  test("a07_incremental_batch stages then loads only dt > watermark partitions") {
+    val sf = TestSpark.sf0001
+    // run the judged query end-to-end, then inspect its staging layout
+    val out = SparkEntry.queries("a07_incremental_batch")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val root = Staging.dir("a07i", sf)
+    // the sink now holds BOTH the initial (June) and incremental (July)
+    // partitions; the source and sink agree exactly
+    val srcN = spark.read.parquet(s"$root/source").count()
+    assert(rows.length.toLong === srcN)
+    // pruned incremental read: dt > watermark reaches the scan as a
+    // PartitionFilter on the STRING dt (no cast in the way)
+    val plan = IngestOps.readPartitioned(spark, s"$root/source")
+      .filter(col("dt") > "19980630")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dt#"), plan.take(2000))
+  }
 }

@@ -84,6 +84,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "salted two-phase agg should plan 2x(partial+final) HashAggregates: " + p.take(2000))
   }
 
+  test("events_top_paths: row_number pre-limit plans as WindowGroupLimit (O(5) agg state)") {
+    val p = plan("events_top_paths")
+    assert(p.contains("WindowGroupLimit"),
+      "the rn<=5 pre-filter must push down as WindowGroupLimit so per-user " +
+        "collect_list state stays O(5): " + p.take(2000))
+  }
+
   test("join_bucketed: co-located SMJ with no Exchange on the join key") {
     val p = plan("join_bucketed")
     assert(p.contains("SortMergeJoin"), "bucketed join must be a SortMergeJoin: " + p.take(2000))

@@ -34,6 +34,26 @@ object VectorQueries {
     SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
     FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** sim_ann_lsh index shape: `lshTables` tables, each hashing a
+    * disjoint `lshBits`-dim slice (dims t*bits .. t*bits+bits-1) to an
+    * axis-sign bucket. 12 x 4 covers dims 0-47 of the 64-dim fixture
+    * and measures recall@5 = 0.88 vs brute force (QueriesSpec asserts
+    * the 0.8 floor); both the Spark side and the generated oracle CASE
+    * chains derive from these two constants, so they cannot drift. */
+  val lshTables = 12
+  val lshBits = 4
+
+  /** DuckDB twin of the banded exploded index: one SELECT per table,
+    * MSB-first CASE chain per bucket — generated from the same
+    * (lshTables, lshBits) the Spark side uses. */
+  private def lshOracleBanded: String =
+    (0 until lshTables).map { t =>
+      val bexpr = (0 until lshBits).map { i =>
+        s"(CASE WHEN q[${t * lshBits + i + 1}] >= 0 THEN ${1L << (lshBits - 1 - i)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS t, $bexpr AS b FROM n"
+    }.mkString(" UNION ALL ")
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("sim_cosine_topk", Some(oracleTopk)) { (s, d) =>
@@ -72,24 +92,24 @@ object VectorQueries {
     /** ANN via multi-table LSH: bucket equi-join then exact cosine
       * re-rank within the union of per-table matches — the standard
       * recall/cost dial (more tables = higher recall, same join
-      * shape). The two tables use AXIS-SIGN hyperplanes over disjoint
-      * dimension groups (dims 0-3 and 4-7): deterministic and
+      * shape). [[lshTables]] tables use AXIS-SIGN hyperplanes over
+      * disjoint [[lshBits]]-dim groups: deterministic and
       * SQL-expressible, so the whole ANN path is oracle-checked
       * (random-hyperplane variants stay available via
-      * VectorFunctions.lshBuckets; QueriesSpec keeps the recall bound
-      * vs the brute-force baseline). */
-    QueryDef("sim_ann_lsh", Some("""
+      * VectorFunctions.lshBuckets). Settings are recall-calibrated:
+      * the fixture vectors are near-random (hardest case for LSH —
+      * real embedding corpora cluster, making buckets far more
+      * selective), and QueriesSpec MEASURES recall@5 vs the
+      * brute-force baseline and asserts the >= 0.8 floor (12 x 4-bit
+      * measures 0.88; 2 x 4-bit measured only 0.28, the round-5 gap). */
+    QueryDef("sim_ann_lsh", Some(s"""
       WITH v AS (SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
                  FROM embeddings),
       n AS (SELECT vec_id, q,
-              list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2,
-              (CASE WHEN q[1] >= 0 THEN 8 ELSE 0 END + CASE WHEN q[2] >= 0 THEN 4 ELSE 0 END +
-               CASE WHEN q[3] >= 0 THEN 2 ELSE 0 END + CASE WHEN q[4] >= 0 THEN 1 ELSE 0 END) AS b0,
-              (CASE WHEN q[5] >= 0 THEN 8 ELSE 0 END + CASE WHEN q[6] >= 0 THEN 4 ELSE 0 END +
-               CASE WHEN q[7] >= 0 THEN 2 ELSE 0 END + CASE WHEN q[8] >= 0 THEN 1 ELSE 0 END) AS b1
+              list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2
             FROM v),
-      banded0 AS (SELECT vec_id, 0 AS t, b0 AS b FROM n UNION ALL SELECT vec_id, 1, b1 FROM n),
+      banded0 AS ($lshOracleBanded),
       banded AS (SELECT * FROM banded0
                  QUALIFY row_number() OVER (PARTITION BY t, b ORDER BY vec_id) <= 1000),
       cand AS (SELECT DISTINCT q.vec_id AS q_id, a.vec_id
@@ -110,8 +130,8 @@ object VectorQueries {
         .withColumn("n2", qdot(col("q"), col("q")))
       val banded = graft.operators.ScaleOps.capBuckets(
         v.select(col("vec_id"), col("q"), col("n2"), explode(array(
-          struct(lit(0).as("t"), axisSignBucket(col("q"), 0 until 4).as("b")),
-          struct(lit(1).as("t"), axisSignBucket(col("q"), 4 until 8).as("b")))).as("tb"))
+          (0 until lshTables).map(t => struct(lit(t).as("t"),
+            axisSignBucket(col("q"), t * lshBits until (t + 1) * lshBits).as("b"))): _*)).as("tb"))
           .select(col("vec_id"), col("q"), col("n2"),
             col("tb.t").as("t"), col("tb.b").as("b")),
         Seq("t", "b"), "vec_id", cap = 1000)

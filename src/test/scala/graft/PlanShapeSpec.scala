@@ -137,6 +137,44 @@ class PlanShapeSpec extends AnyFunSuite {
       "bucketed join must not shuffle on the join key: " + p.take(2000))
   }
 
+  test("AQE skew-join split activates on a planted hot key (skew=true in executed plan)") {
+    import org.apache.spark.sql.functions._
+    // The built-in complement to the manual guards (agg_salted,
+    // join_skew_salted): one key holds ~90% of the left side, the
+    // thresholds are scaled down to fixture bytes, and after execution
+    // AQE must have re-planned the sort-merge join with the hot
+    // partition split (SortMergeJoin(skew=true)). At 100 TB the same
+    // mechanism runs with the default thresholds.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 220000).select(
+        when(col("id") < 200000, lit(0L)).otherwise(col("id") % 97).as("k"),
+        concat(lit("x" * 64), col("id")).as("payload"))
+      val right = spark.range(0, 97).select(col("id").as("k"), col("id").as("dim"))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe's own adaptive plan (a write would spawn
+      // a separate QueryExecution and leave this one un-finalized)
+      val qe = joined.queryExecution
+      qe.toRdd.count()
+      val p = qe.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE must split the hot-key partition of the SMJ: " + p.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no judged plan contains a CartesianProduct") {
     // broadcast NL joins (IVF centroids, 1-row count) are fine; a
     // shuffled cartesian product is never the intended shape

@@ -115,11 +115,22 @@ object Bench {
     // Tail-capture layout (round-5 verdict): sample counts on an
     // earlier line, the per-query seconds map SECOND-TO-LAST, and the
     // short always-parseable total-only record as the very LAST stdout
-    // line — so both detail and total always land inside the captured
-    // tail even if earlier lines are cut.
+    // line. The harness keeps only the final ~2000 stdout chars, and
+    // 127+ query names alone exceed that — so the COMPLETE record
+    // (full-precision medians + sample counts) is also written to
+    // BENCH_DETAIL.json in the working directory on every run; the
+    // total line names it, so any truncated stdout regression stays
+    // attributable from the file.
+    val detailFile = "BENCH_DETAIL.json"
+    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
+      s"""{"unit":"sec","reps":$reps,"total":$total,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull}""")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $detailFile: $e") }
     println(s"""{"metric":"samples","reps":$reps,"samples":$ns,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail","unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail_file":"$detailFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

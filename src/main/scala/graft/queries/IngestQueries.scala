@@ -229,17 +229,25 @@ object IngestQueries {
     QueryDef("a17_clustered_sink", Some("""
       SELECT o_orderkey, o_custkey, o_totalprice, strftime(o_orderdate, '%Y%m%d') AS dt
       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-15'
+                    AND o_orderdate < TIMESTAMP '1998-08-01'
       ORDER BY o_orderkey""")) { (s, d) =>
       val out = graft.Staging.dir("a17", d)
-      // ~1 month of days: enough dt= dirs to prove pruning; per-dir
-      // fixed cost (file create + dynamic-overwrite commit) dominates
-      // at fixture scale, so the slice stays deliberately narrow
+      // one month of days (both ends bounded — the fixture's
+      // o_orderdate runs to 2001, so an open tail would stage 1100+
+      // dt= dirs and the per-dir commit cost would swamp the query:
+      // measured 6.05 s -> ~1 s at sf0.1); 31 dirs still prove the
+      // dynamic-overwrite layout and the dt-range pruning on read-back
       val recent = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= to_timestamp(lit("1998-07-01")))
+        .filter(col("o_orderdate") >= to_timestamp(lit("1998-07-01"))
+          && col("o_orderdate") < to_timestamp(lit("1998-08-01")))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
       IngestOps.writePartitioned(recent, out, "o_orderdate", Seq("o_custkey"))
+      // read-back window bounded on BOTH ends, mirroring the oracle:
+      // the sink uses dynamic partition overwrite (the A17 per-day
+      // reload semantic), so partitions outside the re-staged window
+      // may persist from earlier runs — the dt range prunes them out
       s.read.parquet(out)
-        .filter(col("dt") >= 19980715)
+        .filter(col("dt") >= 19980715 && col("dt") < 19980801)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("dt").cast("string").as("dt"))
         .orderBy(col("o_orderkey"))

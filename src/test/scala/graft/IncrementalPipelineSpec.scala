@@ -101,6 +101,34 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       (3L, 300.0, "20240202"), (4L, 40.0, "20240203"), (5L, 50.0, "20240203")))
   }
 
+  test("mergePartitioned fails loudly on bad change batches (contract guards)") {
+    val sink = Files.createTempDirectory("graft_mrg_neg").toString + "/t"
+    Seq((1L, 10.0, "20240201")).toDF("id", "v", "dt")
+      .write.partitionBy("dt").parquet(sink)
+    // empty change batch: a no-op merge is almost always a caller bug
+    val empty = Seq.empty[(Long, Double, String)].toDF("id", "v", "dt")
+    val e1 = intercept[IllegalArgumentException] {
+      IngestOps.mergePartitioned(spark, sink, empty, Seq("id"))
+    }
+    assert(e1.getMessage.contains("empty change batch"))
+    // null dt: the row names no target partition
+    val nullDt = Seq((2L, 20.0, null.asInstanceOf[String])).toDF("id", "v", "dt")
+    val e2 = intercept[IllegalArgumentException] {
+      IngestOps.mergePartitioned(spark, sink, nullDt, Seq("id"))
+    }
+    assert(e2.getMessage.contains("null dt"))
+    // touched-partition metadata bound: a change batch spraying more
+    // partitions than maxTouched is a full-table rewrite in disguise
+    val wide = Seq((3L, 30.0, "20240201"), (4L, 40.0, "20240202"), (5L, 50.0, "20240203"))
+      .toDF("id", "v", "dt")
+    val e3 = intercept[IllegalArgumentException] {
+      IngestOps.mergePartitioned(spark, sink, wide, Seq("id"), maxTouched = 2)
+    }
+    assert(e3.getMessage.contains("maxTouched"))
+    // the sink is untouched by all three rejections
+    assert(spark.read.parquet(sink).count() === 1)
+  }
+
   test("a07_incremental_batch stages then loads only dt > watermark partitions") {
     val sf = TestSpark.sf0001
     // run the judged query end-to-end, then inspect its staging layout

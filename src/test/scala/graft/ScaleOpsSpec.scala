@@ -45,6 +45,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.filter(col("k") === 99 && col("w").isNull).count() === 1)
   }
 
+  test("saltedJoin rejects join types that would duplicate the replicated side") {
+    val left = Seq((1L, "a")).toDF("k", "v")
+    val right = Seq((1L, "x")).toDF("k", "w")
+    for (bad <- Seq("right", "full", "left_anti")) {
+      val e = intercept[IllegalArgumentException] {
+        ScaleOps.saltedJoin(left, right, "k", salt = 4, joinType = bad)
+      }
+      assert(e.getMessage.contains("inner/left"), bad)
+    }
+  }
+
   test("capBuckets bounds a degenerate corpus's candidate pairs") {
     // 1000 identical docs → every row lands in the SAME bucket; an
     // uncapped self-join would score C(1000,2) = 499,500 pairs.

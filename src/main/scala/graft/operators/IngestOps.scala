@@ -157,10 +157,15 @@ object IngestOps {
     * The touched-dt list is collected driver-side: that is PARTITION
     * METADATA — O(days touched), the same scale as the reference's
     * per-day loop — never row data, and `maxTouched` bounds it loudly.
-    * Deletes are out of scope (CDC upsert semantics); returns the
-    * touched dts for audit. */
+    * Returns the touched dts for audit.
+    *
+    * `opCol` enables full CDC semantics: when set, change rows whose
+    * `opCol` value is `"delete"` REMOVE the matching key from its
+    * partition (a delete of an absent key is a no-op); every other op
+    * value upserts. Without `opCol` the batch is upsert-only. */
   def mergePartitioned(spark: SparkSession, path: String, changes: DataFrame,
-      keys: Seq[String], maxTouched: Int = 1000): Seq[String] = {
+      keys: Seq[String], maxTouched: Int = 1000,
+      opCol: Option[String] = None): Seq[String] = {
     val touched = changes.select(col("dt").cast("string")).distinct()
       .collect().map { r =>
         require(!r.isNullAt(0), "mergePartitioned: change row with null dt")
@@ -171,9 +176,16 @@ object IngestOps {
       s"mergePartitioned: ${touched.size} touched partitions exceed maxTouched=$maxTouched")
     val base = readPartitioned(spark, path).filter(col("dt").isin(touched: _*))
     val dataCols = base.columns.filterNot(keys.contains).toSeq
+    val opTag = opCol.map(c => coalesce(col(c).cast("string"), lit("upsert")).as("__c_op"))
     val chg = changes.select(keys.map(col) ++
-      dataCols.map(c => col(c).cast(base.schema(c).dataType).as(s"__c_$c")): _*)
-    val merged = base.join(chg, keys, "full")
+      dataCols.map(c => col(c).cast(base.schema(c).dataType).as(s"__c_$c")) ++
+      opTag: _*)
+    val joined = base.join(chg, keys, "full")
+    // delete rows vanish; unmatched deletes (base side null) are
+    // no-ops and vanish with them
+    val alive = if (opCol.isDefined) joined.filter(
+      col("__c_op").isNull || col("__c_op") =!= "delete") else joined
+    val merged = alive
       .select(keys.map(col) ++
         dataCols.map(c => coalesce(col(s"__c_$c"), col(c)).as(c)): _*)
     // cut lineage before writing back into the read path (Spark refuses

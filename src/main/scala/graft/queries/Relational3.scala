@@ -238,6 +238,54 @@ object Relational3 {
         .orderBy(col("o_orderkey"))
     },
 
+    /** Full CDC (update + insert + DELETE) through the same
+      * partition-scoped merge: change rows carry an `op` column, and
+      * `op = 'delete'` removes the key from its partition — the MERGE
+      * ... WHEN MATCHED THEN DELETE leg that a real CDC feed needs and
+      * `merge_upsert_partitioned` omits. Deterministic batch over the
+      * dt >= 19980715 tail of a one-month staged layout: every third
+      * key updates (+100), every seventh non-updating key deletes,
+      * every fifth key inserts a +20M twin. Disjoint-rule precedence
+      * (update beats delete on %21 keys) keeps both engines exact. */
+    QueryDef("merge_cdc_partitioned", Some("""
+      WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                           strftime(o_orderdate, '%Y%m%d') AS dt
+                    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+                                  AND o_orderdate < TIMESTAMP '1998-08-01')
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN dt >= '19980715' AND o_orderkey % 3 = 0
+                  THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+             dt
+      FROM base
+      WHERE NOT (dt >= '19980715' AND o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0)
+      UNION ALL
+      SELECT o_orderkey + 20000000, o_custkey, 1.0, dt
+      FROM base WHERE dt >= '19980715' AND o_orderkey % 5 = 0
+      ORDER BY o_orderkey""")) { (s, d) =>
+      import graft.operators.IngestOps
+      val sink = graft.Staging.dir("cdc", d)
+      val base = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1998-07-01"))
+          && col("o_orderdate") < to_timestamp(lit("1998-08-01")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
+      base.write.mode("overwrite").partitionBy("dt").parquet(sink)
+      val slice = IngestOps.readPartitioned(s, sink).filter(col("dt") >= "19980715")
+      val changes = slice.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100).as("o_totalprice"), col("dt"), lit("upsert").as("op"))
+        .union(slice.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("dt"),
+            lit("delete").as("op")))
+        .union(slice.filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + 20000000).as("o_orderkey"), col("o_custkey"),
+            lit(1.0).as("o_totalprice"), col("dt"), lit("upsert").as("op")))
+      IngestOps.mergePartitioned(s, sink, changes, Seq("o_orderkey"), opCol = Some("op"))
+      IngestOps.readPartitioned(s, sink)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("dt"))
+        .orderBy(col("o_orderkey"))
+    },
+
     /** IGNORE NULLS window navigation: last-observation-carried-forward
       * (the classic sensor/price forward-fill), previous non-null via
       * lag, and first non-null per partition — over a deterministically

@@ -101,6 +101,25 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       (3L, 300.0, "20240202"), (4L, 40.0, "20240203"), (5L, 50.0, "20240203")))
   }
 
+  test("mergePartitioned opCol: deletes remove keys, absent-key deletes are no-ops") {
+    val sink = Files.createTempDirectory("graft_mrg_cdc").toString + "/t"
+    Seq((1L, 10.0, "20240201"), (2L, 20.0, "20240201"), (3L, 30.0, "20240202"))
+      .toDF("id", "v", "dt").write.partitionBy("dt").parquet(sink)
+    val changes = Seq(
+      (1L, 0.0, "20240201", "delete"),   // matched delete
+      (9L, 0.0, "20240201", "delete"),   // absent key: no-op, but touches the partition
+      (2L, 200.0, "20240201", "upsert"), // update
+      (4L, 40.0, "20240202", "upsert"))  // insert
+      .toDF("id", "v", "dt", "op")
+    val touched = IngestOps.mergePartitioned(spark, sink, changes, Seq("id"), opCol = Some("op"))
+    assert(touched === Seq("20240201", "20240202"))
+    val got = IngestOps.readPartitioned(spark, sink)
+      .select(col("id"), col("v"), col("dt")).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq === Seq((2L, 200.0, "20240201"),
+      (3L, 30.0, "20240202"), (4L, 40.0, "20240202")))
+  }
+
   test("mergePartitioned fails loudly on bad change batches (contract guards)") {
     val sink = Files.createTempDirectory("graft_mrg_neg").toString + "/t"
     Seq((1L, 10.0, "20240201")).toDF("id", "v", "dt")

@@ -54,24 +54,85 @@ object VectorQueries {
       s"SELECT vec_id, $t AS t, $bexpr AS b FROM n"
     }.mkString(" UNION ALL ")
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** DuckDB twin of the full LSH ANN query — shared between
+    * `sim_ann_lsh` and the `sim_ann_recall` quality dial. */
+  private def oracleAnnLsh: String = s"""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      n AS (SELECT vec_id, q,
+              list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2
+            FROM v),
+      banded0 AS ($lshOracleBanded),
+      banded AS (SELECT * FROM banded0
+                 QUALIFY row_number() OVER (PARTITION BY t, b ORDER BY vec_id) <= 1000),
+      cand AS (SELECT DISTINCT q.vec_id AS q_id, a.vec_id
+               FROM banded a JOIN banded q ON a.t = q.t AND a.b = q.b
+               WHERE q.vec_id < 5 AND a.vec_id != q.vec_id),
+      scored AS (SELECT c.q_id, c.vec_id,
+              CAST(list_sum(list_transform(list_zip(qa.q, vb.q), s -> s[1] * s[2])) AS DOUBLE)
+                / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE))) AS cosine
+            FROM cand c JOIN n qa ON qa.vec_id = c.q_id JOIN n vb ON vb.vec_id = c.vec_id),
+      r AS (SELECT q_id, vec_id, cosine,
+              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored)
+      SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** The LSH ANN pipeline (the `sim_ann_lsh` body) — shared with
+    * `sim_ann_recall`. */
+  private def annLsh(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", qdot(col("q"), col("q")))
+    val banded = graft.operators.ScaleOps.capBuckets(
+      v.select(col("vec_id"), col("q"), col("n2"), explode(array(
+        (0 until lshTables).map(t => struct(lit(t).as("t"),
+          axisSignBucket(col("q"), t * lshBits until (t + 1) * lshBits).as("b"))): _*)).as("tb"))
+        .select(col("vec_id"), col("q"), col("n2"),
+          col("tb.t").as("t"), col("tb.b").as("b")),
+      Seq("t", "b"), "vec_id", cap = 1000)
+    val queries = banded.filter(col("vec_id") < 5)
+      .select(col("t"), col("b"), col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val cand = banded.join(queries, Seq("t", "b"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q"), col("n2"), col("qq"), col("qn2"))
+      .dropDuplicates("q_id", "vec_id")
+    val pairs = cand.withColumn("cosine",
+      cosineFromQ(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Exact brute-force top-5 (the `sim_cosine_topk` body) — shared so
+    * `sim_ann_recall` measures recall against the SAME baseline the
+    * judged exact query emits. */
+  private def exactTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", qdot(col("q"), col("q")))
+    val queries = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val pairs = v.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        cosineFromQ(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
-    QueryDef("sim_cosine_topk", Some(oracleTopk)) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-        .withColumn("n2", qdot(col("q"), col("q")))
-      val queries = v.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
-      val pairs = v.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-        .withColumn("cosine",
-          cosineFromQ(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      pairs.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("q_id"), col("rnk"))
-    },
+    QueryDef("sim_cosine_topk", Some(oracleTopk))(exactTopk),
 
     // Exact pairwise dot products on a deterministic sparse pair set
     // (vec_id vs vec_id+1) — the integer-exact kernel itself.
@@ -102,52 +163,32 @@ object VectorQueries {
       * selective), and QueriesSpec MEASURES recall@5 vs the
       * brute-force baseline and asserts the >= 0.8 floor (12 x 4-bit
       * measures 0.88; 2 x 4-bit measured only 0.28, the round-5 gap). */
-    QueryDef("sim_ann_lsh", Some(s"""
-      WITH v AS (SELECT vec_id,
-                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
-                 FROM embeddings),
-      n AS (SELECT vec_id, q,
-              list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2
-            FROM v),
-      banded0 AS ($lshOracleBanded),
-      banded AS (SELECT * FROM banded0
-                 QUALIFY row_number() OVER (PARTITION BY t, b ORDER BY vec_id) <= 1000),
-      cand AS (SELECT DISTINCT q.vec_id AS q_id, a.vec_id
-               FROM banded a JOIN banded q ON a.t = q.t AND a.b = q.b
-               WHERE q.vec_id < 5 AND a.vec_id != q.vec_id),
-      scored AS (SELECT c.q_id, c.vec_id,
-              CAST(list_sum(list_transform(list_zip(qa.q, vb.q), s -> s[1] * s[2])) AS DOUBLE)
-                / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE))) AS cosine
-            FROM cand c JOIN n qa ON qa.vec_id = c.q_id JOIN n vb ON vb.vec_id = c.vec_id),
-      r AS (SELECT q_id, vec_id, cosine,
-              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
-            FROM scored)
-      SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
-      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-        .withColumn("n2", qdot(col("q"), col("q")))
-      val banded = graft.operators.ScaleOps.capBuckets(
-        v.select(col("vec_id"), col("q"), col("n2"), explode(array(
-          (0 until lshTables).map(t => struct(lit(t).as("t"),
-            axisSignBucket(col("q"), t * lshBits until (t + 1) * lshBits).as("b"))): _*)).as("tb"))
-          .select(col("vec_id"), col("q"), col("n2"),
-            col("tb.t").as("t"), col("tb.b").as("b")),
-        Seq("t", "b"), "vec_id", cap = 1000)
-      val queries = banded.filter(col("vec_id") < 5)
-        .select(col("t"), col("b"), col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
-      val cand = banded.join(queries, Seq("t", "b"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), col("q"), col("n2"), col("qq"), col("qn2"))
-        .dropDuplicates("q_id", "vec_id")
-      val pairs = cand.withColumn("cosine",
-        cosineFromQ(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      pairs.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("q_id"), col("rnk"))
+    QueryDef("sim_ann_lsh", Some(oracleAnnLsh))(annLsh),
+
+    /** The ANN quality dial UNDER THE ORACLE GATE: recall@5 of the LSH
+      * index against the brute-force baseline, computed in-plan from
+      * the same two shared pipelines the judged `sim_cosine_topk` /
+      * `sim_ann_lsh` emit (left join exact top-5 to ANN hits, count
+      * matches per query). Both sides are exact integer id-set
+      * arithmetic, so the measured recall itself is hash-checked —
+      * a user tuning lshTables/lshBits reads the dial straight off a
+      * judged query (QueriesSpec additionally asserts the 0.8 floor). */
+    QueryDef("sim_ann_recall", Some(s"""
+      WITH exact AS ($oracleTopk),
+      ann AS ($oracleAnnLsh),
+      j AS (SELECT e.q_id, count(a.vec_id) AS n_hits
+            FROM exact e LEFT JOIN ann a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+            GROUP BY e.q_id)
+      SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+             round(CAST(n_hits AS DOUBLE) / 5, 6) AS recall_at_5
+      FROM j ORDER BY q_id""")) { (s, d) =>
+      val e = exactTopk(s, d).select(col("q_id"), col("vec_id"))
+      val a = annLsh(s, d).select(col("q_id").as("a_q"), col("vec_id").as("a_v"))
+      e.join(a, col("a_q") === col("q_id") && col("a_v") === col("vec_id"), "left")
+        .groupBy(col("q_id")).agg(count(col("a_v")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / 5, 6).as("recall_at_5"))
+        .orderBy(col("q_id"))
     },
 
     /** IVF (inverted-file) ANN: coarse quantizer = fixed centroid set

@@ -103,7 +103,10 @@ object Bench {
     // round-5 detail line long enough that the driver's tail capture
     // truncated it out of BENCH_r05.json; %.3g keeps the whole map in
     // one short line so every regression stays attributable)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + "%.3g".format(v) }
+    // Locale.ROOT: a default-locale %.3g would emit comma decimal
+    // separators on e.g. de_DE JVMs and corrupt the JSON line
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3g", Double.box(v)) }
       .mkString("{", ",", "}")
     // actual per-query sample counts: adaptive widening means a median
     // can summarize 3-5 runs — record which, so cross-round analysis

@@ -148,25 +148,47 @@ object IngestOps {
     * `dt` column) to the dt-partitioned layout at `path` by rewriting
     * ONLY the partitions the changes touch: a partition-pruned base
     * read ([[readPartitioned]] + isin — `PartitionFilters` in the
-    * plan), one full-outer join per-key with changes-win coalesce, and
-    * a dynamic partition overwrite. Untouched partitions' files are
+    * plan), one full-outer join with changes-win coalesce, and a
+    * dynamic partition overwrite. Untouched partitions' files are
     * never read or rewritten (file-level proof in
     * IncrementalPipelineSpec) — the reference's per-day idempotent
     * reload semantic (/root/reference/src/main.py:253-267).
     *
+    * Merge identity is **(keys, dt)** — a row's partition is part of
+    * its identity, as in any partition-scoped store. Moving a key
+    * across partitions is therefore an explicit delete (old dt) +
+    * upsert (new dt) pair, which makes both partitions touched; a
+    * keys-only join would instead half-apply the move, duplicating
+    * the key into the new partition while the unread old partition
+    * kept it.
+    *
     * The touched-dt list is collected driver-side: that is PARTITION
     * METADATA — O(days touched), the same scale as the reference's
     * per-day loop — never row data, and `maxTouched` bounds it loudly.
-    * Returns the touched dts for audit.
+    * `changes` is materialized once (localCheckpoint) before the
+    * touched list is derived, so a nondeterministic source cannot
+    * yield different dts at merge time than the list that scoped the
+    * rewrite. Returns the touched dts for audit.
     *
     * `opCol` enables full CDC semantics: when set, change rows whose
-    * `opCol` value is `"delete"` REMOVE the matching key from its
-    * partition (a delete of an absent key is a no-op); every other op
-    * value upserts. Without `opCol` the batch is upsert-only. */
+    * `opCol` value is `"delete"` REMOVE the matching (keys, dt) row
+    * (a delete of an absent key is a no-op); every other op value
+    * upserts. A touched partition whose rows are ALL deleted is
+    * removed from the layout (dynamic overwrite alone cannot clear a
+    * partition that no written row names). Without `opCol` the batch
+    * is upsert-only, and a batch that still carries an `op` column is
+    * rejected — silently upserting delete rows would resurrect them. */
   def mergePartitioned(spark: SparkSession, path: String, changes: DataFrame,
       keys: Seq[String], maxTouched: Int = 1000,
       opCol: Option[String] = None): Seq[String] = {
-    val touched = changes.select(col("dt").cast("string")).distinct()
+    require(opCol.isDefined || !changes.columns.exists(_.equalsIgnoreCase("op")),
+      "mergePartitioned: change batch carries an 'op' column but opCol is not set — " +
+        "pass opCol = Some(\"op\") (or drop the column) so delete rows are not upserted")
+    // pin the batch: touched-dt derivation and the merge join must see
+    // the SAME rows even if `changes` reads a live/nondeterministic
+    // source
+    val pinned = changes.localCheckpoint(true)
+    val touched = pinned.select(col("dt").cast("string")).distinct()
       .collect().map { r =>
         require(!r.isNullAt(0), "mergePartitioned: change row with null dt")
         r.getString(0)
@@ -175,25 +197,38 @@ object IngestOps {
     require(touched.size <= maxTouched,
       s"mergePartitioned: ${touched.size} touched partitions exceed maxTouched=$maxTouched")
     val base = readPartitioned(spark, path).filter(col("dt").isin(touched: _*))
-    val dataCols = base.columns.filterNot(keys.contains).toSeq
+    val joinCols = keys :+ "dt"
+    val dataCols = base.columns.filterNot(joinCols.contains).toSeq
     val opTag = opCol.map(c => coalesce(col(c).cast("string"), lit("upsert")).as("__c_op"))
-    val chg = changes.select(keys.map(col) ++
+    val chg = pinned.select(keys.map(col) ++ Seq(col("dt").cast("string").as("dt")) ++
       dataCols.map(c => col(c).cast(base.schema(c).dataType).as(s"__c_$c")) ++
       opTag: _*)
-    val joined = base.join(chg, keys, "full")
+    val joined = base.join(chg, joinCols, "full")
     // delete rows vanish; unmatched deletes (base side null) are
     // no-ops and vanish with them
     val alive = if (opCol.isDefined) joined.filter(
       col("__c_op").isNull || col("__c_op") =!= "delete") else joined
     val merged = alive
-      .select(keys.map(col) ++
+      .select(joinCols.map(col) ++
         dataCols.map(c => coalesce(col(s"__c_$c"), col(c)).as(c)): _*)
     // cut lineage before writing back into the read path (Spark refuses
     // to overwrite a path it is also reading from); the checkpoint
     // materializes only the touched partitions' merged rows
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    val out = merged.localCheckpoint(true)
+    out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("dt").parquet(path)
+    // fully-deleted partitions: dynamic overwrite wrote nothing for
+    // them, so their pre-merge files would silently survive — remove
+    // those directories explicitly (driver-side, bounded by touched)
+    val surviving = out.select(col("dt")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (surviving.size < touched.size) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched.toSet -- surviving).foreach { dt =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"dt=$dt"), true)
+      }
+    }
     touched
   }
 }

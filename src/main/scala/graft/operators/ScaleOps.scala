@@ -42,13 +42,17 @@ object ScaleOps {
     * salt in [0, salt), the (small, broadcast-unfriendly but
     * replicable) right side is exploded `salt` times, and the join key
     * becomes (key, salt) — hot keys spread over `salt` reducers.
-    * Correct for inner/left joins on unique right keys; any other join
-    * type would silently duplicate right-side rows (each appears once
-    * per salt replica), so misuse fails loudly here instead. */
+    * Correct for inner/left/semi/anti joins on unique right keys
+    * (each left row carries ONE salt, so it meets at most its own
+    * replica); right/full/cross would emit the replicated right side
+    * `salt` times, so those fail loudly instead. Spark's join-type
+    * aliases ("leftouter", "left_semi", ...) are accepted. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left",
-      s"saltedJoin supports inner/left only (right side is replicated $salt x); got '$joinType'")
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")(normalized),
+      s"saltedJoin supports inner/left/left_semi/left_anti only " +
+        s"(right side is replicated $salt x); got '$joinType'")
     val saltedLeft = left.withColumn("__salt",
       (rand(seed = 42) * salt).cast("int"))
     val saltedRight = right.withColumn("__salt",

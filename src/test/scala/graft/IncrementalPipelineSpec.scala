@@ -120,6 +120,37 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       (3L, 30.0, "20240202"), (4L, 40.0, "20240202")))
   }
 
+  test("mergePartitioned opCol: a fully-deleted partition's directory is removed") {
+    val sink = Files.createTempDirectory("graft_mrg_empty").toString + "/t"
+    Seq((1L, 10.0, "20240201"), (4L, 40.0, "20240203"))
+      .toDF("id", "v", "dt").write.partitionBy("dt").parquet(sink)
+    // dt=20240203 holds ONLY key 4 — deleting it empties the partition;
+    // dynamic overwrite alone would leave the old files (and the row)
+    val changes = Seq((4L, 0.0, "20240203", "delete")).toDF("id", "v", "dt", "op")
+    IngestOps.mergePartitioned(spark, sink, changes, Seq("id"), opCol = Some("op"))
+    assert(!new java.io.File(s"$sink/dt=20240203").exists(),
+      "emptied partition directory must be removed")
+    val got = IngestOps.readPartitioned(spark, sink)
+      .select(col("id"), col("dt")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "20240201")))
+  }
+
+  test("mergePartitioned identity is (keys, dt): cross-partition move = delete + upsert") {
+    val sink = Files.createTempDirectory("graft_mrg_move").toString + "/t"
+    Seq((7L, 70.0, "20240201"), (8L, 80.0, "20240202"))
+      .toDF("id", "v", "dt").write.partitionBy("dt").parquet(sink)
+    // move key 7 from 20240201 to 20240202 the contract way: both
+    // partitions become touched, no cross-partition duplicate survives
+    val changes = Seq((7L, 0.0, "20240201", "delete"), (7L, 71.0, "20240202", "upsert"))
+      .toDF("id", "v", "dt", "op")
+    val touched = IngestOps.mergePartitioned(spark, sink, changes, Seq("id"), opCol = Some("op"))
+    assert(touched === Seq("20240201", "20240202"))
+    val got = IngestOps.readPartitioned(spark, sink)
+      .select(col("id"), col("v"), col("dt")).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq === Seq((7L, 71.0, "20240202"), (8L, 80.0, "20240202")))
+  }
+
   test("mergePartitioned fails loudly on bad change batches (contract guards)") {
     val sink = Files.createTempDirectory("graft_mrg_neg").toString + "/t"
     Seq((1L, 10.0, "20240201")).toDF("id", "v", "dt")
@@ -144,7 +175,13 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       IngestOps.mergePartitioned(spark, sink, wide, Seq("id"), maxTouched = 2)
     }
     assert(e3.getMessage.contains("maxTouched"))
-    // the sink is untouched by all three rejections
+    // an op column without opCol would silently upsert delete rows
+    val opNoCol = Seq((2L, 20.0, "20240201", "delete")).toDF("id", "v", "dt", "op")
+    val e4 = intercept[IllegalArgumentException] {
+      IngestOps.mergePartitioned(spark, sink, opNoCol, Seq("id"))
+    }
+    assert(e4.getMessage.contains("opCol is not set"))
+    // the sink is untouched by all four rejections
     assert(spark.read.parquet(sink).count() === 1)
   }
 

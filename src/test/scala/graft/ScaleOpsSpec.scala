@@ -48,12 +48,23 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("saltedJoin rejects join types that would duplicate the replicated side") {
     val left = Seq((1L, "a")).toDF("k", "v")
     val right = Seq((1L, "x")).toDF("k", "w")
-    for (bad <- Seq("right", "full", "left_anti")) {
+    for (bad <- Seq("right", "full", "cross", "right_outer")) {
       val e = intercept[IllegalArgumentException] {
         ScaleOps.saltedJoin(left, right, "k", salt = 4, joinType = bad)
       }
       assert(e.getMessage.contains("inner/left"), bad)
     }
+  }
+
+  test("saltedJoin semi/anti (and left aliases) are salt-safe: one row per left match") {
+    val left = Seq((1L, "a"), (2L, "b"), (99L, "orphan")).toDF("k", "v")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    val semi = ScaleOps.saltedJoin(left, right, "k", salt = 4, joinType = "left_semi")
+    assert(semi.count() === 2 && semi.filter(col("k") === 99).count() === 0)
+    val anti = ScaleOps.saltedJoin(left, right, "k", salt = 4, joinType = "left_anti")
+    assert(anti.count() === 1 && anti.head().getLong(0) === 99L)
+    // Spark alias accepted (previously a spurious rejection)
+    assert(ScaleOps.saltedJoin(left, right, "k", salt = 4, joinType = "left_outer").count() === 3)
   }
 
   test("capBuckets bounds a degenerate corpus's candidate pairs") {

@@ -17,6 +17,22 @@ object Relational3 {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** Shared staging for the partition-scoped merge family
+    * (merge_upsert_partitioned / merge_cdc_partitioned /
+    * stream_cdc_apply): one calendar month of orders written to `sink`
+    * as a dt-partitioned layout with STATIC overwrite — both window
+    * ends bounded (the fixture's o_orderdate spans 1995-2001, so an
+    * open tail would stage a thousand dirs) and any previous run's
+    * merged partitions wiped, keeping the queries idempotent under
+    * bench reps. */
+  private def stageJulyOrders(s: SparkSession, d: String, sink: String): Unit =
+    t(s, d, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-07-01"))
+        && col("o_orderdate") < to_timestamp(lit("1998-08-01")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(sink)
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Correlated EXISTS / NOT EXISTS — the remaining subquery
@@ -211,18 +227,7 @@ object Relational3 {
       ORDER BY o_orderkey""")) { (s, d) =>
       import graft.operators.IngestOps
       val sink = graft.Staging.dir("mrg", d)
-      // one calendar month of dt partitions (the fixture's o_orderdate
-      // spans 1995-2001, so an open-ended tail would stage a thousand
-      // dirs); the change batch touches the back half only
-      val base = t(s, d, "orders")
-        .filter(col("o_orderdate") >= to_timestamp(lit("1998-07-01"))
-          && col("o_orderdate") < to_timestamp(lit("1998-08-01")))
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
-      // fresh STATIC-overwrite staging per run: wipes any previous
-      // run's merged partitions, so the query is idempotent under
-      // bench reps
-      base.write.mode("overwrite").partitionBy("dt").parquet(sink)
+      stageJulyOrders(s, d, sink)
       // deterministic CDC batch over the tail partitions only; read
       // from the staged layout itself (pruned to dt >= 19980715)
       val slice = IngestOps.readPartitioned(s, sink).filter(col("dt") >= "19980715")
@@ -264,12 +269,7 @@ object Relational3 {
       ORDER BY o_orderkey""")) { (s, d) =>
       import graft.operators.IngestOps
       val sink = graft.Staging.dir("cdc", d)
-      val base = t(s, d, "orders")
-        .filter(col("o_orderdate") >= to_timestamp(lit("1998-07-01"))
-          && col("o_orderdate") < to_timestamp(lit("1998-08-01")))
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
-      base.write.mode("overwrite").partitionBy("dt").parquet(sink)
+      stageJulyOrders(s, d, sink)
       val slice = IngestOps.readPartitioned(s, sink).filter(col("dt") >= "19980715")
       val changes = slice.filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), col("o_custkey"),
@@ -281,6 +281,84 @@ object Relational3 {
           .select((col("o_orderkey") + 20000000).as("o_orderkey"), col("o_custkey"),
             lit(1.0).as("o_totalprice"), col("dt"), lit("upsert").as("op")))
       IngestOps.mergePartitioned(s, sink, changes, Seq("o_orderkey"), opCol = Some("op"))
+      IngestOps.readPartitioned(s, sink)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("dt"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    /** Streaming CDC apply — the operational end of the merge family:
+      * change batches arrive as REAL micro-batches (file source,
+      * maxFilesPerTrigger=1, Trigger.AvailableNow) and each is applied
+      * to the dt-partitioned sink by `mergePartitioned` inside
+      * foreachBatch. The two staged batches touch DISJOINT key sets
+      * (updates %3; deletes %7-not-%3 + inserts %5 as +30M twins), so
+      * the end state is order-independent; and because the merge is a
+      * keyed overwrite, a replayed batch (foreachBatch is
+      * at-least-once) converges to the same state — the idempotence a
+      * CDC sink needs. Oracle = the same merged end state as the batch
+      * twin, proving stream == batch. */
+    QueryDef("stream_cdc_apply", Some("""
+      WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                           strftime(o_orderdate, '%Y%m%d') AS dt
+                    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+                                  AND o_orderdate < TIMESTAMP '1998-08-01')
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN dt >= '19980715' AND o_orderkey % 3 = 0
+                  THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+             dt
+      FROM base
+      WHERE NOT (dt >= '19980715' AND o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0)
+      UNION ALL
+      SELECT o_orderkey + 30000000, o_custkey, 1.0, dt
+      FROM base WHERE dt >= '19980715' AND o_orderkey % 5 = 0
+      ORDER BY o_orderkey""")) { (s, d) =>
+      import graft.operators.IngestOps
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      val root = graft.Staging.dir("scdc", d)
+      val sink = s"$root/table"
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)   // fresh checkpoint + inbox per run
+      fs.mkdirs(new Path(root, "in"))
+      stageJulyOrders(s, d, sink)
+      val tail = IngestOps.readPartitioned(s, sink).filter(col("dt") >= "19980715")
+      def stageBatch(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$root/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val parts = fs.globStatus(new Path(tmp, "part-*.parquet"))
+        require(parts.length == 1, s"stageBatch($name): ${parts.length} part files")
+        require(fs.rename(parts(0).getPath, new Path(s"$root/in/$name.parquet")),
+          s"stageBatch($name): rename failed")
+      }
+      stageBatch("b1", tail.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100).as("o_totalprice"), col("dt"), lit("upsert").as("op")))
+      stageBatch("b2", tail.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("dt"),
+          lit("delete").as("op"))
+        .union(tail.filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + 30000000).as("o_orderkey"), col("o_custkey"),
+            lit(1.0).as("o_totalprice"), col("dt"), lit("upsert").as("op"))))
+      import graft.streaming.EventStreams
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream
+            .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, dt STRING, op STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              // a replayed/empty micro-batch must not trip the
+              // empty-batch contract guard — skip it, the sink state
+              // already reflects the batch
+              if (!b.isEmpty)
+                IngestOps.mergePartitioned(s, sink, b, Seq("o_orderkey"), opCol = Some("op"))
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_cdc_apply")
+      }
       IngestOps.readPartitioned(s, sink)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("dt"))
         .orderBy(col("o_orderkey"))

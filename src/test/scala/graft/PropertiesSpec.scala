@@ -72,6 +72,42 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("mergePartitioned laws: replay-idempotent; disjoint batches commute") {
+    // generator: a base table plus a change batch over overlapping
+    // keys/partitions (unique (k, dt) per side — the merge identity)
+    val kd = Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(1, 3))
+    val batchGen = Gen.nonEmptyListOf(Gen.zip(kd, Gen.chooseNum(0, 999)))
+      .map(_.distinctBy(_._1).map { case ((k, p), v) => (k, v.toDouble, f"2024020$p") })
+    samples(Gen.zip(batchGen, batchGen), 6).foreach { case (baseRows, chgRows) =>
+      def freshSink(): String = {
+        val s = java.nio.file.Files.createTempDirectory("graft_mrg_prop").toString + "/t"
+        baseRows.toDF("id", "v", "dt").write.partitionBy("dt").parquet(s)
+        s
+      }
+      def state(sink: String): Set[(Long, Double, String)] =
+        IngestOps.readPartitioned(spark, sink).select(col("id"), col("v"), col("dt"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      val chg = chgRows.toDF("id", "v", "dt")
+      // replay idempotence: applying the same batch twice == once
+      val s1 = freshSink()
+      IngestOps.mergePartitioned(spark, s1, chg, Seq("id"))
+      val once = state(s1)
+      IngestOps.mergePartitioned(spark, s1, chg, Seq("id"))
+      assert(state(s1) === once, s"replay diverged: base=$baseRows chg=$chgRows")
+      // disjoint-key batches commute (order-independence law behind
+      // stream_cdc_apply's out-of-order micro-batches)
+      val (bA, bB) = chgRows.partition(_._1 % 2 == 0)
+      if (bA.nonEmpty && bB.nonEmpty) {
+        val (sAB, sBA) = (freshSink(), freshSink())
+        IngestOps.mergePartitioned(spark, sAB, bA.toDF("id", "v", "dt"), Seq("id"))
+        IngestOps.mergePartitioned(spark, sAB, bB.toDF("id", "v", "dt"), Seq("id"))
+        IngestOps.mergePartitioned(spark, sBA, bB.toDF("id", "v", "dt"), Seq("id"))
+        IngestOps.mergePartitioned(spark, sBA, bA.toDF("id", "v", "dt"), Seq("id"))
+        assert(state(sAB) === state(sBA), s"batches did not commute: A=$bA B=$bB")
+      }
+    }
+  }
+
   test("watermark equals max over any permutation (A7/A8 law)") {
     samples(tableGen, 6).foreach { rows =>
       val df = rows.toDF("k", "d", "v").withColumn("d", to_timestamp(col("d")))

@@ -12,6 +12,36 @@ object TextQueries3 {
 
   val defs: Seq[QueryDef] = Seq(
 
+    /** Corpus-relative rarity scoring — the distributional quality
+      * signal next to doc_quality's per-row heuristics: a document
+      * whose tokens are mostly corpus-rare (count <= 2 across the
+      * whole corpus) is likely gibberish/OOV-heavy, the classic
+      * pre-training quality filter. Shape at scale: one map-side-
+      * combined vocab aggregate, one equi-join of exploded tokens
+      * against it (AQE broadcasts the vocab when it fits), one final
+      * per-doc aggregate. Parity: counts are exact integers; the one
+      * ratio divides the same two integers in double on both engines. */
+    QueryDef("doc_rarity", Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS tok
+                    FROM documents),
+      cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+      j AS (SELECT t.doc_id, c.n FROM toks t JOIN cnt c USING (tok))
+      SELECT doc_id, count(*) AS n_tokens,
+             count(*) FILTER (WHERE n <= 2) AS n_rare,
+             round(CAST(count(*) FILTER (WHERE n <= 2) AS DOUBLE) / count(*), 6) AS rare_ratio
+      FROM j GROUP BY 1 ORDER BY doc_id""")) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      toks.join(vocab, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("n") <= 2, 1)).as("n_rare"))
+        .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+          round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     /** PII scrub: redact emails and phone numbers, count what was
       * found. The fixture corpus carries no PII, so the query first
       * plants deterministic doc_id-derived contact strings (both sides

@@ -48,6 +48,45 @@ object Relational4 {
       * stalling one. Salting only reroutes rows — the join RESULT is
       * value-identical to the plain join, which is exactly what the
       * plain-SQL oracle asserts. */
+    /** Runtime bloom-filter join — the third scale-join technique
+      * under the oracle gate (next to bucketing and salting): with a
+      * selective filter on the dimension side, Spark's
+      * InjectRuntimeFilter builds a bloom filter over the dim join
+      * keys and applies `might_contain` to the FACT side BEFORE its
+      * shuffle, so non-matching fact rows never travel — at 100 TB
+      * this is the difference between shuffling the whole fact table
+      * and shuffling the ~matching slice. Thresholds are scaled to
+      * fixture bytes (the mechanism is identical at the defaults);
+      * broadcast is disabled so the join actually shuffles and the
+      * filter has something to save. Bloom filters admit false
+      * positives but never false negatives, and the exact join still
+      * runs behind the filter — so the result is EXACTLY the plain
+      * join's, which is what the oracle checks. The judged result is
+      * materialized inside the conf scope (localCheckpoint) because
+      * runtime-filter injection happens at execution time; the
+      * might_contain plan evidence is guarded in PlanShapeSpec. */
+    QueryDef("join_bloom_runtime", Some("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      import graft.operators.ConfScope
+      ConfScope.withConf(s, Map(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
+        t(s, d, "lineitem").select(col("l_orderkey"))
+          .join(t(s, d, "orders")
+              .filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderpriority")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true)
+      }
+    },
+
     QueryDef("join_skew_salted", Some("""
       SELECT c_mktsegment, count(*) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

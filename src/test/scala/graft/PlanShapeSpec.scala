@@ -175,6 +175,30 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bloom_runtime: fact side is pre-filtered by might_contain before its shuffle") {
+    import graft.operators.ConfScope
+    import org.apache.spark.sql.functions._
+    // same conf scope as the judged query; inspect the executed plan
+    // of the raw join (runtime-filter injection happens at execution)
+    ConfScope.withConf(spark, Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
+      val fact = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val j = fact.join(dim, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val qe = j.queryExecution
+      qe.toRdd.count()
+      val p = qe.executedPlan.toString
+      assert(p.contains("might_contain"),
+        "runtime bloom filter must be injected on the fact side: " + p.take(3000))
+    }
+  }
+
   test("no judged plan contains a CartesianProduct") {
     // broadcast NL joins (IVF centroids, 1-row count) are fine; a
     // shuffled cartesian product is never the intended shape

@@ -40,14 +40,6 @@ object Relational4 {
         .orderBy(col("bucket"))
     },
 
-    /** The salted JOIN skew guard (ScaleOps.saltedJoin) under the
-      * oracle gate — complement of `agg_salted` (aggregation skew).
-      * The fact side gets a random salt in [0,8), the unique-key
-      * dimension side is exploded 8×, and the join key becomes
-      * (key, salt): a hot customer spreads over 8 reducers instead of
-      * stalling one. Salting only reroutes rows — the join RESULT is
-      * value-identical to the plain join, which is exactly what the
-      * plain-SQL oracle asserts. */
     /** Runtime bloom-filter join — the third scale-join technique
       * under the oracle gate (next to bucketing and salting): with a
       * selective filter on the dimension side, Spark's
@@ -87,6 +79,14 @@ object Relational4 {
       }
     },
 
+    /** The salted JOIN skew guard (ScaleOps.saltedJoin) under the
+      * oracle gate — complement of `agg_salted` (aggregation skew).
+      * The fact side gets a random salt in [0,8), the unique-key
+      * dimension side is exploded 8×, and the join key becomes
+      * (key, salt): a hot customer spreads over 8 reducers instead of
+      * stalling one. Salting only reroutes rows — the join RESULT is
+      * value-identical to the plain join, which is exactly what the
+      * plain-SQL oracle asserts. */
     QueryDef("join_skew_salted", Some("""
       SELECT c_mktsegment, count(*) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -154,17 +154,6 @@ object EventStreams {
       s"stageParityHalf($name): rename failed")
   }
 
-  /** Serializes [[withStreamConf]] bodies: the set/restore window
-    * mutates SHARED SparkSession conf, so two concurrent wrapped
-    * queries on the same session could race and leave the wrong
-    * shuffle-partition/state-store config pinned. One JVM-wide lock is
-    * enough here (Verify/Bench run queries sequentially; this makes
-    * accidental composition with ParallelOps-style concurrency safe
-    * rather than silently wrong). True parallel streaming orchestration
-    * should use `spark.newSession()` per query instead — cloned
-    * sessions have independent conf and need no lock. */
-  private val streamConfLock = new Object
-
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to
     * `partitions` (plus any `extra` confs), restoring prior values
     * after. The streaming queries otherwise inherit the session's 32
@@ -174,20 +163,14 @@ object EventStreams {
     * round-4 bench's dominant stream_stream_join cost and a noise
     * source). 8 keeps parallelism while quartering per-batch task
     * count; at 100 TB this knob is sized UP with the cluster — it is
-    * per-query config, not plan shape. Bodies serialize on
-    * [[streamConfLock]]; see its scaladoc for the concurrency
-    * contract. */
+    * per-query config, not plan shape. Delegates to
+    * [[graft.operators.ConfScope.withConf]], so batch and streaming
+    * conf scopes share ONE lock — see ConfScope's scaladoc for the
+    * concurrency contract. */
   def withStreamConf[T](spark: SparkSession, partitions: Int = 8,
-      extra: Map[String, String] = Map.empty)(body: => T): T = streamConfLock.synchronized {
-    val confs = ("spark.sql.shuffle.partitions" -> partitions.toString) +: extra.toSeq
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
+      extra: Map[String, String] = Map.empty)(body: => T): T =
+    graft.operators.ConfScope.withConf(spark,
+      Map("spark.sql.shuffle.partitions" -> partitions.toString) ++ extra)(body)
 
   /** Stage the events fixture file into a per-(prefix, sfDir) temp
     * directory for the file-source streaming queries (the source wants

@@ -201,9 +201,13 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("no judged plan contains a CartesianProduct") {
     // broadcast NL joins (IVF centroids, 1-row count) are fine; a
-    // shuffled cartesian product is never the intended shape
+    // shuffled cartesian product is never the intended shape. The
+    // merge-family queries are deliberately ABSENT here: their
+    // returned DF is only the post-merge read-back (staging + merge
+    // run eagerly inside the builder), so asserting on it would be
+    // vacuous — the merge join's shape is covered by the
+    // mergePartitioned tests in IncrementalPipelineSpec instead.
     for (name <- Seq("q05_region_revenue", "sim_ann_ivf", "doc_tfidf", "dedup_embedding_cosine",
-        "merge_upsert_partitioned", "merge_cdc_partitioned", "a07_incremental_batch",
         "sim_ann_recall")) {
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian product")
     }

@@ -78,10 +78,16 @@ class PropertiesSpec extends AnyFunSuite {
     val kd = Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(1, 3))
     val batchGen = Gen.nonEmptyListOf(Gen.zip(kd, Gen.chooseNum(0, 999)))
       .map(_.distinctBy(_._1).map { case ((k, p), v) => (k, v.toDouble, f"2024020$p") })
+    // all sinks live under one deterministic root, wiped up front —
+    // repeated test runs do not accumulate orphaned temp dirs
+    val propRoot = s"${sys.props("java.io.tmpdir")}/graft_test_mrg_prop"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(propRoot))
+    var sinkN = 0
     samples(Gen.zip(batchGen, batchGen), 6).foreach { case (baseRows, chgRows) =>
       def freshSink(): String = {
-        val s = java.nio.file.Files.createTempDirectory("graft_mrg_prop").toString + "/t"
-        baseRows.toDF("id", "v", "dt").write.partitionBy("dt").parquet(s)
+        sinkN += 1
+        val s = s"$propRoot/t$sinkN"
+        baseRows.toDF("id", "v", "dt").write.mode("overwrite").partitionBy("dt").parquet(s)
         s
       }
       def state(sink: String): Set[(Long, Double, String)] =

@@ -17,7 +17,8 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     Flagship.defs ++ IngestQueries.defs ++ Relational.defs ++ Relational2.defs ++
       Relational3.defs ++ Relational4.defs ++ EventQueries.defs ++ EventQueries2.defs ++
-      TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ VectorQueries.defs
+      TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ TextQueries4.defs ++
+      VectorQueries.defs ++ MaintenanceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -231,4 +231,30 @@ object IngestOps {
     }
     touched
   }
+
+  /** Small-file compaction — the table-maintenance pass every
+    * long-lived partitioned layout needs: streaming/CDC appends leave
+    * each partition fragmented into many small files, and at 100 TB
+    * the per-file open/footer cost dominates the scan. Rewrites the
+    * layout at `src` into `dst` with at most `filesPerPartition`
+    * files per partition value: rows repartition on
+    * (partCol, input-split id mod k), so one partition value lands in
+    * at most k writer tasks — k=1 gives one file per partition, while
+    * k>1 keeps a huge (skewed) partition's rewrite parallel instead
+    * of funneling it through a single task; size k by partition bytes
+    * / target file size. The bucket column only places rows (content
+    * is bucket-independent), and the within-task sort on `sortCols`
+    * preserves clustering through the rewrite. Content parity and the
+    * file-count bound are asserted in MaintenanceSpec. */
+  def compactPartitions(spark: SparkSession, src: String, dst: String,
+      partCol: String = "dt", filesPerPartition: Int = 1,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(filesPerPartition >= 1, "compactPartitions: filesPerPartition must be >= 1")
+    spark.read.parquet(src)
+      .withColumn("__bucket", pmod(spark_partition_id(), lit(filesPerPartition)))
+      .repartition(col(partCol), col("__bucket"))
+      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      .drop("__bucket")
+      .write.mode("overwrite").partitionBy(partCol).parquet(dst)
+  }
 }

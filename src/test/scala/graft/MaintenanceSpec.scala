@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract checks for the table-maintenance + corpus-assembly ops the
+  * oracle can't see: compaction's file-count bound (the oracle proves
+  * row-content parity; the POINT of the op is the file layout) and the
+  * packing/decontamination invariants. */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  private def parquetFilesPerPartition(path: String): Map[String, Int] = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+  }
+
+  test("compactPartitions: fragmented layout collapses to one file per partition, rows intact") {
+    // run the judged query (it stages + compacts under Staging.dir)
+    val out = SparkEntry.queries("maintenance_compact")(spark, sf)
+    val n = out.count()
+    assert(n > 0)
+    val root = Staging.dir("compact", sf)
+    val before = parquetFilesPerPartition(s"$root/in")
+    val after = parquetFilesPerPartition(s"$root/out")
+    assert(before.keySet === after.keySet, "compaction changed the partition set")
+    assert(before.values.sum > before.size, s"staging not fragmented: $before")
+    after.foreach { case (dt, files) =>
+      assert(files === 1, s"$dt has $files files after compaction")
+    }
+    // row parity per partition (content parity is the oracle's job)
+    val inRows = spark.read.parquet(s"$root/in").groupBy("dt").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val outRows = spark.read.parquet(s"$root/out").groupBy("dt").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(inRows === outRows)
+  }
+
+  test("compactPartitions: filesPerPartition > 1 bounds files while keeping a hot partition parallel") {
+    val root = Staging.dir("compact_k", sf)
+    Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-03-01")
+      .withColumn("dt", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(16)
+      .write.mode("overwrite").partitionBy("dt").parquet(s"$root/in")
+    operators.IngestOps.compactPartitions(spark, s"$root/in", s"$root/out",
+      filesPerPartition = 4)
+    parquetFilesPerPartition(s"$root/out").foreach { case (dt, files) =>
+      assert(files >= 1 && files <= 4, s"$dt has $files files, want 1..4")
+    }
+    assert(spark.read.parquet(s"$root/out").count() ===
+      spark.read.parquet(s"$root/in").count())
+  }
+
+  test("doc_pack_sequences: packs partition the corpus and respect the budget arithmetic") {
+    import graft.functions.TextFunctions
+    val packs = SparkEntry.queries("doc_pack_sequences")(spark, sf).collect()
+    val totalDocs = packs.map(_.getLong(2)).sum
+    val totalTokens = packs.map(_.getLong(3)).sum
+    val corpus = Tables.documents(spark, sf)
+      .agg(count(lit(1)), sum(TextFunctions.tokenCount(col("text")))).head()
+    assert(totalDocs === corpus.getLong(0), "every doc is packed exactly once")
+    assert(totalTokens === corpus.getLong(1), "token mass is conserved")
+    // pack ids are dense from 0 within each lang (chop never skips a pack
+    // unless one doc overflows several budgets — none at fixture sizes)
+    packs.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.head === 0L, s"$lang packs don't start at 0")
+    }
+  }
+
+  test("doc_decontaminate: eval docs never appear; flags match a recomputed overlap") {
+    val rows = SparkEntry.queries("doc_decontaminate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 50 != 0), "eval docs leaked into the output")
+    assert(rows.forall(r => (r.getLong(1) > 0) === r.getBoolean(2)))
+    // at least one contaminated and one clean doc at fixture scale —
+    // the probe actually separates
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
+  }
+}

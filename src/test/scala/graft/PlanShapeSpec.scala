@@ -208,8 +208,25 @@ class PlanShapeSpec extends AnyFunSuite {
     // vacuous — the merge join's shape is covered by the
     // mergePartitioned tests in IncrementalPipelineSpec instead.
     for (name <- Seq("q05_region_revenue", "sim_ann_ivf", "doc_tfidf", "dedup_embedding_cosine",
-        "sim_ann_recall")) {
+        "sim_ann_recall", "doc_decontaminate", "doc_pack_sequences")) {
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian product")
     }
+  }
+
+  test("doc_decontaminate: eval probe set broadcasts (train side never shuffles on the shingle)") {
+    val p = plan("doc_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "shingle join must not shuffle the train side")
+  }
+
+  test("doc_pack_sequences: lang window exchange is reused by the pack aggregate") {
+    // one Exchange feeds the per-lang window; the (lang, pack_id)
+    // aggregate runs on the SAME partitioning (lang determines the
+    // group's location), so the only other Exchange is the final
+    // ORDER BY — 3+ exchanges means the reuse regressed
+    val p = plan("doc_pack_sequences")
+    assert(p.contains("Window"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "pack aggregate re-shuffled instead of reusing the window partitioning")
   }
 }

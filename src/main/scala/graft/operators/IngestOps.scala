@@ -257,4 +257,55 @@ object IngestOps {
       .drop("__bucket")
       .write.mode("overwrite").partitionBy(partCol).parquet(dst)
   }
+
+  /** Z-order clustering write — multi-dimensional data layout for a
+    * lake scanned by predicates on SEVERAL columns: a plain sort
+    * clusters only its leading column, while interleaving the bits of
+    * all `zCols` puts rows close in EVERY dimension into the same
+    * files, so parquet min/max file stats prune scans on any of them.
+    * Each column is min/max-normalized to a `bits`-wide integer (the
+    * min/max agg is one metadata-sized driver read — 2 scalars per
+    * column, never row data), the scaled values interleave bit-by-bit
+    * into one long z-value, and a RANGE repartition + in-task sort on
+    * that z lays rows down the curve across exactly `files` files.
+    * All arithmetic is codegen'd builtins (shift/and/or) — the z
+    * column costs one projection and is dropped before the write.
+    * Numeric and date/timestamp columns only (cast to long first).
+    * Per-file range narrowing on every dimension is measured in
+    * MaintenanceSpec. */
+  def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
+      files: Int, bits: Int = 16): Unit = {
+    require(zCols.nonEmpty && zCols.size * bits <= 63,
+      s"zorderWrite: ${zCols.size} cols x $bits bits must fit a long")
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    // date/timestamp → epoch numbers (no direct temporal→double cast in
+    // ANSI Spark; NTZ pivots through the UTC session timezone)
+    def numeric(c: String): Column = df.schema(c).dataType match {
+      case DateType         => unix_date(col(c)).cast("double")
+      case TimestampType    => unix_seconds(col(c)).cast("double")
+      case TimestampNTZType => unix_seconds(col(c).cast("timestamp")).cast("double")
+      case _                => col(c).cast("double")
+    }
+    val aggs = zCols.flatMap(c => Seq(min(numeric(c)), max(numeric(c))))
+    val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
+    val top = (1L << bits) - 1
+    val scaled = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (statsRow.getDouble(2 * i), statsRow.getDouble(2 * i + 1))
+      // degenerate (constant) column → every row scales to 0
+      if (hi <= lo) lit(0L)
+      else least(lit(top), floor((numeric(c) - lit(lo)) /
+        lit(hi - lo) * lit(top.toDouble + 1)).cast("long"))
+    }
+    val k = zCols.size
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j))
+      }
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

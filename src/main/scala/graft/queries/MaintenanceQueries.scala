@@ -40,5 +40,71 @@ object MaintenanceQueries {
         .select(col("o_orderkey"), col("o_totalprice"), col("dt").cast("string"))
         .orderBy(col("o_orderkey"))
     },
+
+    /** ANALYZE-style table statistics: per-column row/null/NDV counts
+      * and min/max — the stats a cost-based optimizer (and a data
+      * engineer's sanity check) wants for every table in the lake.
+      * One pass over the table: Spark plans the multi-distinct
+      * aggregate as a single scan with an Expand (row replicated once
+      * per distinct column, each replica partially aggregated
+      * map-side), then `stack` unpivots the one stats row into
+      * long-format (column, stats) rows. NDV is EXACT here for oracle
+      * parity — the approximate twin is `agg_approx_distinct`'s HLL,
+      * which is what you'd run at 100 TB when 2 % error is fine. */
+    QueryDef("maintenance_analyze", Some("""
+      SELECT 'l_partkey' AS col_name, count(*) AS n_rows,
+             count(*) - count(l_partkey) AS n_nulls,
+             count(DISTINCT l_partkey) AS ndv,
+             CAST(min(l_partkey) AS VARCHAR) AS min_s, CAST(max(l_partkey) AS VARCHAR) AS max_s
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+             count(DISTINCT l_returnflag),
+             CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+             count(DISTINCT l_shipdate),
+             CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+      FROM lineitem
+      ORDER BY col_name""")) { (s, d) =>
+      val cols = Seq("l_partkey", "l_returnflag", "l_shipdate")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(when(col(c).isNull, 1)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows, nn_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_rows, n_nulls, ndv, min_s, max_s)"))
+        .orderBy(col("col_name"))
+    },
+
+    /** Z-order clustered rewrite under the oracle gate: orders laid
+      * down a 2-D z-curve over (o_custkey, o_orderdate) via
+      * [[IngestOps.zorderWrite]], so parquet min/max file stats prune
+      * scans filtered on EITHER column — the layout a lake wants when
+      * no single sort key serves every query. The z-value only places
+      * rows (content is placement-independent), which is exactly what
+      * the rows+hash oracle asserts on the full read-back; the
+      * per-file range narrowing on both dimensions — the point of the
+      * curve — is measured by MaintenanceSpec on the same staged
+      * layout. */
+    QueryDef("maintenance_zorder", Some("""
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS VARCHAR) AS od, o_totalprice
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+      val root = Staging.dir("zorder", d)
+      IngestOps.zorderWrite(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice")),
+        root, Seq("o_custkey", "o_orderdate"), files = 8)
+      s.read.parquet(root)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("string").as("od"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
   )
 }

@@ -55,6 +55,38 @@ class MaintenanceSpec extends AnyFunSuite {
       spark.read.parquet(s"$root/in").count())
   }
 
+  test("zorderWrite: per-file ranges narrow on BOTH z dimensions") {
+    // run the judged query (stages the z-ordered layout under Staging.dir)
+    assert(SparkEntry.queries("maintenance_zorder")(spark, sf).count() > 0)
+    val root = Staging.dir("zorder", sf)
+    val global = spark.read.parquet(root)
+      .agg(max("o_custkey") - min("o_custkey"),
+        max(unix_seconds(col("o_orderdate").cast("timestamp"))) - min(unix_seconds(col("o_orderdate").cast("timestamp")))).head()
+    val perFile = spark.read.parquet(root)
+      .groupBy(input_file_name())
+      .agg((max("o_custkey") - min("o_custkey")).as("ck"),
+        (max(unix_seconds(col("o_orderdate").cast("timestamp"))) - min(unix_seconds(col("o_orderdate").cast("timestamp")))).as("od"))
+      .agg(avg("ck"), avg("od"), count(lit(1))).head()
+    assert(perFile.getLong(2) > 1, "z-order wrote a single file — nothing to measure")
+    // 8 files down a 2-D z-curve: each file covers a fraction of BOTH
+    // dimensions (a plain sort would leave one dimension at ~full range)
+    assert(perFile.getDouble(0) < 0.65 * global.getLong(0),
+      s"custkey per-file range ${perFile.getDouble(0)} vs global ${global.getLong(0)}")
+    assert(perFile.getDouble(1) < 0.65 * global.getLong(1),
+      s"orderdate per-file range ${perFile.getDouble(1)} vs global ${global.getLong(1)}")
+  }
+
+  test("maintenance_analyze: stats agree with directly computed values") {
+    val stats = SparkEntry.queries("maintenance_analyze")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.keySet === Set("l_partkey", "l_returnflag", "l_shipdate"))
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    stats.values.foreach(r => assert(r.getLong(1) === n))
+    assert(stats("l_returnflag").getLong(3) ===
+      li.select("l_returnflag").distinct().count())
+  }
+
   test("doc_pack_sequences: packs partition the corpus and respect the budget arithmetic") {
     import graft.functions.TextFunctions
     val packs = SparkEntry.queries("doc_pack_sequences")(spark, sf).collect()

@@ -106,5 +106,31 @@ object MaintenanceQueries {
           col("o_orderdate").cast("string").as("od"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     },
+
+    /** Schema-evolution read — the lake norm: a column added mid-stream
+      * means old files lack it, and the table read must still present
+      * ONE schema with nulls backfilled. Two batches are staged with
+      * drifted schemas (odd custkeys written BEFORE c_acctbal existed,
+      * even custkeys after), then a single mergeSchema read unifies
+      * them. At 100 TB mergeSchema's footer sampling is the metadata
+      * cost — data files are untouched; the per-file projection adapts
+      * at scan time (old files never materialize the missing column).
+      * The oracle reconstructs the same drift from the source table. */
+    QueryDef("schema_evolution", Some("""
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 2 = 0 THEN c_acctbal END AS c_acctbal
+      FROM customer ORDER BY c_custkey""")) { (s, d) =>
+      val root = Staging.dir("evolve", d)
+      val c = Tables.customer(s, d)
+      c.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .select(col("c_custkey"), col("c_name"))
+        .write.mode("overwrite").parquet(s"$root/b1")
+      c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$root/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$root/b1", s"$root/b2")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
   )
 }

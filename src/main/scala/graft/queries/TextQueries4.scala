@@ -87,5 +87,56 @@ object TextQueries4 {
           min(col("doc_id")).as("first_doc"))
         .orderBy(col("lang"), col("pack_id"))
     },
+
+    /** URL canonicalization + dedup classes — the web-corpus staple:
+      * the same page arrives under many spellings (case-varied
+      * scheme/host, www. prefix, default :80 port, trailing slash,
+      * utm_* tracking params, #fragments) and must collapse to ONE
+      * canonical key before content dedup even starts. The fixture
+      * carries no URLs, so deterministic doc_id-derived messy URLs are
+      * planted (both engines build the identical raw string — the
+      * operator under test is the canonicalization chain itself):
+      * 5 docs per canonical page across 100 pages. All per-row regexp
+      * work (codegen'd, no lookaheads — RE2 parity with DuckDB) + one
+      * map-side-combined aggregate; at 100 TB this runs at scan speed.
+      * Chain order matters and is pinned on both sides: fragment →
+      * tracking params → lowercase authority → www-strip → :80-strip
+      * → trailing slash. */
+    QueryDef("doc_url_canonical", Some("""
+      WITH u AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+        (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM:80' ELSE 'example.com' END) ||
+        '/articles/item' || CAST(doc_id % 100 AS VARCHAR) ||
+        (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END) ||
+        (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS raw
+        FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(regexp_replace(raw, '#.*$', ''),
+                    '\?utm_[A-Za-z_]+=[A-Za-z]+$', '') AS x FROM u),
+      s2 AS (SELECT doc_id, lower(regexp_extract(x, '^[^/]*//[^/]*')) ||
+                    regexp_replace(x, '^[^/]*//[^/]*', '') AS x FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(x,
+                    '//www\.', '//'), ':80/', '/'), '/$', '') AS url FROM s2)
+      SELECT url, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM s3 GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val raw = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, "HTTP").otherwise("http"), lit("://"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "WWW.Example.COM:80").otherwise("example.com"),
+        lit("/articles/item"), pmod(col("doc_id"), lit(100)).cast("string"),
+        when(pmod(col("doc_id"), lit(5)) === 0, "/").otherwise(""),
+        when(pmod(col("doc_id"), lit(4)) === 0, "?utm_source=feed").otherwise(""),
+        when(pmod(col("doc_id"), lit(7)) === 0, "#sec2").otherwise(""))
+      val x1 = regexp_replace(regexp_replace(raw, "#.*$", ""),
+        "\\?utm_[A-Za-z_]+=[A-Za-z]+$", "")
+      val x2 = concat(lower(regexp_extract(x1, "^[^/]*//[^/]*", 0)),
+        regexp_replace(x1, "^[^/]*//[^/]*", ""))
+      val url = regexp_replace(regexp_replace(regexp_replace(x2,
+        "//www\\.", "//"), ":80/", "/"), "/$", "")
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("url"))
+    },
   )
 }

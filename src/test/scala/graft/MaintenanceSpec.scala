@@ -104,6 +104,28 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_url_canonical: every spelling variant collapses to one canonical page") {
+    val rows = SparkEntry.queries("doc_url_canonical")(spark, sf).collect()
+    // 500 fixture docs / (doc_id % 100) → 100 pages × 5 spellings
+    assert(rows.length === 100)
+    assert(rows.forall(_.getLong(1) === 5L), "a spelling variant escaped canonicalization")
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(u == u.toLowerCase && !u.contains("www.") && !u.contains(":80") &&
+        !u.contains("?") && !u.contains("#") && !u.endsWith("/"), s"not canonical: $u")
+    }
+  }
+
+  test("schema_evolution: pre-drift rows surface with nulls, post-drift rows keep values") {
+    val rows = SparkEntry.queries("schema_evolution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val even = r.getLong(0) % 2 == 0
+      assert(r.isNullAt(2) === !even,
+        s"custkey ${r.getLong(0)}: acctbal null=${r.isNullAt(2)}, want ${!even}")
+    }
+  }
+
   test("doc_decontaminate: eval docs never appear; flags match a recomputed overlap") {
     val rows = SparkEntry.queries("doc_decontaminate")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -132,5 +132,36 @@ object MaintenanceQueries {
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy(col("c_custkey"))
     },
+
+    /** Incremental view maintenance — keeping a rollup fresh WITHOUT
+      * recomputing history: the stored state is the partial-aggregate
+      * form of the view (count + exact decimal sum per month, both
+      * algebraic — they merge by addition), a delta batch aggregates
+      * alone, and state ⊕ delta re-aggregates to the new view. The
+      * cutover lands MID-month (1999-01-15), so the boundary month
+      * exists in BOTH state and delta and the merge is actually
+      * exercised, not a disjoint union. At 100 TB the delta is a day
+      * and history is never rescanned: cost is O(delta) + O(state
+      * keys), the same shape Spark itself uses below every shuffle
+      * (partial → final aggregate), lifted to a persisted layout. The
+      * oracle proves the merged view equals the full recompute. */
+    QueryDef("incremental_agg_merge", Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val root = Staging.dir("incragg", d)
+      val orders = Tables.orders(s, d)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      def partial(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_orders"), sum(money(col("o_totalprice"))).as("total_dec"))
+      partial(orders.filter(col("o_orderdate") < "1999-01-15"))
+        .write.mode("overwrite").parquet(s"$root/state")
+      s.read.parquet(s"$root/state")
+        .unionByName(partial(orders.filter(col("o_orderdate") >= "1999-01-15")))
+        .groupBy(col("month"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("total_dec")).cast("double").as("total"))
+        .orderBy(col("month"))
+    },
   )
 }

@@ -126,6 +126,20 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental_agg_merge: boundary month is merged from state AND delta") {
+    val rows = SparkEntry.queries("incremental_agg_merge")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val state = spark.read.parquet(s"${Staging.dir("incragg", sf)}/state")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the mid-month cutover puts 1999-01 in both inputs: the final
+    // count must strictly exceed what the stored state alone carries
+    assert(state.contains("1999-01") && rows.contains("1999-01"))
+    assert(rows("1999-01") > state("1999-01"),
+      "boundary month was not merged with the delta")
+    // months fully before the cutover pass through the state unchanged
+    assert(rows("1995-01") === state("1995-01"))
+  }
+
   test("doc_decontaminate: eval docs never appear; flags match a recomputed overlap") {
     val rows = SparkEntry.queries("doc_decontaminate")(spark, sf).collect()
     assert(rows.nonEmpty)

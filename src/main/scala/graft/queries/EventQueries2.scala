@@ -191,5 +191,35 @@ object EventQueries2 {
         .withColumn("is_current", col("valid_to").isNull)
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     },
+
+    /** Stream-static join — the dimension-enrichment pattern every
+      * production stream runs: a REAL event stream joins the static
+      * customer table per micro-batch, no state store involved (the
+      * static side is re-resolvable each batch, so unlike a
+      * stream-stream join there is nothing to expire). The dimension
+      * is broadcast — the stream side never shuffles in the join; per-
+      * batch enriched rows drain to the sink and the final per-segment
+      * rollup is batch work over the drained output. At 100 TB the
+      * pattern is identical: dims broadcast, and a too-big dim becomes
+      * the stream-stream or foreachBatch-merge shape instead. Money
+      * stays exact-decimal until one final double cast (oracle
+      * parity). */
+    QueryDef("stream_static_join", Some("""
+      SELECT c.c_mktsegment, count(*) AS n_events,
+             CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      import graft.streaming.EventStreams
+      val base = EventStreams.stageEventsInput(s, d, "ssjoin")
+      val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = EventStreams.readEvents(s, s"$base/in")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment"), money(col("value")).as("v"))
+      EventStreams.withStreamConf(s) {
+        EventStreams.runToBatch(s, enriched, s"graft_q_ssjoin_${math.abs(d.hashCode)}")
+      }.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).cast("double").as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    },
   )
 }

@@ -101,5 +101,38 @@ object Relational4 {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("c_mktsegment"))
     },
+
+    /** NOT IN with three-valued logic — the classic SQL trap, and a
+      * dedicated physical strategy: one NULL in the subquery makes
+      * every NOT IN predicate UNKNOWN, so the null-poisoned leg must
+      * return count 0 while the clean leg anti-joins normally. Spark
+      * plans the poisoned leg as a null-aware anti join
+      * (BroadcastHashJoin LeftAnti with isNullAwareAntiJoin=true,
+      * plan-guarded in PlanShapeSpec) — a rewrite to a plain anti join
+      * would wrongly return rows. Both subqueries are dimension-sized
+      * → broadcast; the fact side never shuffles. */
+    QueryDef("join_null_aware_anti", Some("""
+      WITH dirty AS (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END AS k
+                     FROM customer WHERE c_mktsegment = 'BUILDING'),
+      clean AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      a AS (SELECT count(*) AS n FROM orders WHERE o_custkey NOT IN (SELECT k FROM dirty)),
+      b AS (SELECT count(*) AS n FROM orders WHERE o_custkey NOT IN (SELECT k FROM clean))
+      SELECT 'null_poisoned' AS variant, n FROM a
+      UNION ALL SELECT 'clean' AS variant, n FROM b
+      ORDER BY variant""")) { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("graft_q_naaj_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_q_naaj_orders")
+      s.sql("""
+        WITH dirty AS (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END AS k
+                       FROM graft_q_naaj_customer WHERE c_mktsegment = 'BUILDING'),
+        clean AS (SELECT c_custkey AS k FROM graft_q_naaj_customer WHERE c_mktsegment = 'BUILDING'),
+        a AS (SELECT count(*) AS n FROM graft_q_naaj_orders
+              WHERE o_custkey NOT IN (SELECT k FROM dirty)),
+        b AS (SELECT count(*) AS n FROM graft_q_naaj_orders
+              WHERE o_custkey NOT IN (SELECT k FROM clean))
+        SELECT 'null_poisoned' AS variant, n FROM a
+        UNION ALL SELECT 'clean' AS variant, n FROM b
+        ORDER BY variant""")
+    },
   )
 }

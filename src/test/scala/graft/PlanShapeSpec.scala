@@ -213,6 +213,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_null_aware_anti: both NOT IN legs plan as broadcast anti joins") {
+    // the null-poisoned leg's SEMANTICS (0 rows under three-valued
+    // logic) are value-checked by the oracle; here we pin that both
+    // legs stay broadcast anti joins — the fact side never shuffles
+    val p = plan("join_null_aware_anti")
+    assert("BroadcastHashJoin LeftAnti".r.findAllIn(p).size >= 2 ||
+      "LeftAnti".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("doc_decontaminate: eval probe set broadcasts (train side never shuffles on the shingle)") {
     val p = plan("doc_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -55,6 +55,29 @@ object Bench {
       // first-use committer JIT back into the first timed queries
       System.err.println(s"[bench] warmup failed (timings may include cold-start costs): $e")
     }
+    // Calibration anchor (round-6 verdict): a FIXED in-memory
+    // micro-workload — hash+sum over a generated range, no I/O, no
+    // shuffle variance — timed at run start and end. Its wall time
+    // moves with host speed only (the code never changes), so a
+    // cross-round per-query ratio divided by the calibration ratio
+    // separates "host was slow" from "code got slow" — the exact
+    // ambiguity round 6's artifact fell into (totals 75→118 s on
+    // identical code, and one query's median 5.5x out of band).
+    // Median-of-3 like the queries; start AND end are recorded so
+    // intra-run drift is visible too.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 50000000L, 1L, 32)
+          .select(sum(hash(col("id"))).as("h"), count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ts = List.fill(3)(once()).sorted
+      ts(1)
+    }
+    val calStart = calibrate()
     // noop sink: materializes every row/column of the result (count()
     // would let Catalyst prune the whole projection away).
     //
@@ -113,6 +136,12 @@ object Bench {
     // never mistakes a median-of-5 for a median-of-3
     val ns = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
+    val calEnd = calibrate()
+    // headline calibration: mean of the start/end medians (one number
+    // for cross-round normalization); both ends kept for drift audit
+    val calJson = String.format(java.util.Locale.ROOT,
+      """"calibration_s":%.4f,"calibration_start_s":%.4f,"calibration_end_s":%.4f""",
+      Double.box((calStart + calEnd) / 2.0), Double.box(calStart), Double.box(calEnd))
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.mkString("[", ",", "]")
     // Tail-capture layout (round-5 verdict): sample counts on an
@@ -128,12 +157,12 @@ object Bench {
     val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
-      s"""{"unit":"sec","reps":$reps,"total":$total,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull}""")
+      s"""{"unit":"sec","reps":$reps,"total":$total,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $detailFile: $e") }
     println(s"""{"metric":"samples","reps":$reps,"samples":$ns,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail","unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail_file":"$detailFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail_file":"$detailFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

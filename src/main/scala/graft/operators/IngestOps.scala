@@ -177,7 +177,20 @@ object IngestOps {
     * removed from the layout (dynamic overwrite alone cannot clear a
     * partition that no written row names). Without `opCol` the batch
     * is upsert-only, and a batch that still carries an `op` column is
-    * rejected — silently upserting delete rows would resurrect them. */
+    * rejected — silently upserting delete rows would resurrect them.
+    *
+    * Contract limits, stated loudly:
+    *  - ONE change row per (keys, dt). Duplicates would fan out
+    *    through the full-outer join and write duplicate rows with a
+    *    nondeterministic column mix, so they are rejected up front
+    *    (one bounded extra aggregate over the pinned change batch) —
+    *    pre-dedupe with [[dedupLatest]] if the feed can repeat keys.
+    *  - Update columns merge as coalesce(change, base): a change row
+    *    can never set a data column to NULL — the base value silently
+    *    survives. This diverges from SQL MERGE's UPDATE SET (which
+    *    overwrites with NULL); a CDC feed that must null out a column
+    *    should model it as a delete+insert pair (full-row replace)
+    *    rather than a partial update. */
   def mergePartitioned(spark: SparkSession, path: String, changes: DataFrame,
       keys: Seq[String], maxTouched: Int = 1000,
       opCol: Option[String] = None): Seq[String] = {
@@ -196,6 +209,13 @@ object IngestOps {
     require(touched.nonEmpty, "mergePartitioned: empty change batch")
     require(touched.size <= maxTouched,
       s"mergePartitioned: ${touched.size} touched partitions exceed maxTouched=$maxTouched")
+    // (keys, dt) uniqueness guard — see the contract in the scaladoc
+    val dupes = pinned.groupBy((keys :+ "dt").map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupes == 0,
+      s"mergePartitioned: change batch has multiple rows per (${keys.mkString(", ")}, dt) — " +
+        "dedupe the batch (e.g. IngestOps.dedupLatest) before merging; a silent " +
+        "precedence pick here would be nondeterministic")
     val base = readPartitioned(spark, path).filter(col("dt").isin(touched: _*))
     val joinCols = keys :+ "dt"
     val dataCols = base.columns.filterNot(joinCols.contains).toSeq
@@ -271,6 +291,11 @@ object IngestOps {
     * All arithmetic is codegen'd builtins (shift/and/or) — the z
     * column costs one projection and is dropped before the write.
     * Numeric and date/timestamp columns only (cast to long first).
+    * NULL handling: an empty input or an all-NULL z column has no
+    * min/max and is rejected loudly (naming the column) rather than
+    * NPE-ing; per-row NULLs in a z column scale to 0, i.e. sort to
+    * the start of the curve — they cluster together, which is what a
+    * stats-pruned scan wants (`col IS NULL` predicates hit few files).
     * Per-file range narrowing on every dimension is measured in
     * MaintenanceSpec. */
   def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
@@ -290,11 +315,15 @@ object IngestOps {
     val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
     val top = (1L << bits) - 1
     val scaled = zCols.zipWithIndex.map { case (c, i) =>
+      require(!statsRow.isNullAt(2 * i) && !statsRow.isNullAt(2 * i + 1),
+        s"zorderWrite: column '$c' has no non-null values (empty input or all-NULL " +
+          "column) — cannot derive a z-order range for it")
       val (lo, hi) = (statsRow.getDouble(2 * i), statsRow.getDouble(2 * i + 1))
       // degenerate (constant) column → every row scales to 0
       if (hi <= lo) lit(0L)
-      else least(lit(top), floor((numeric(c) - lit(lo)) /
-        lit(hi - lo) * lit(top.toDouble + 1)).cast("long"))
+      // coalesce: per-row NULLs scale to 0 (start of curve, see doc)
+      else coalesce(least(lit(top), floor((numeric(c) - lit(lo)) /
+        lit(hi - lo) * lit(top.toDouble + 1)).cast("long")), lit(0L))
     }
     val k = zCols.size
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
@@ -307,5 +336,110 @@ object IngestOps {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** What [[vacuumOrphans]] swept: per-category counts plus reclaimed
+    * bytes, for the audit log every GC needs. */
+  final case class VacuumStats(filesKept: Long, filesDeleted: Long,
+      dirsDeleted: Long, bytesReclaimed: Long) {
+    def merge(o: VacuumStats): VacuumStats = VacuumStats(
+      filesKept + o.filesKept, filesDeleted + o.filesDeleted,
+      dirsDeleted + o.dirsDeleted, bytesReclaimed + o.bytesReclaimed)
+  }
+
+  /** Orphan-file GC — the retention pass the maintenance family
+    * (compact / analyze / z-order) was missing: a long-lived layout
+    * accumulates files no read will ever use — committer debris from
+    * aborted writes (`_temporary/`, `.spark-staging-*`), stray temp
+    * files, and write generations superseded by an overwrite rewrite
+    * that died between delete and commit. The last class is the
+    * dangerous one: a stale visible `part-*` file is silently READ
+    * alongside the live generation and duplicates its rows — GC here
+    * is a correctness repair, not just space reclamation. The
+    * reference sidesteps all of this only because truncate-reload
+    * rewrites everything every run (/root/reference/src/main.py:
+    * 253-267, src/utils/bigquery_helper.py:120).
+    *
+    * Live-set rule (no transaction log to consult): this engine's
+    * layouts are OVERWRITE-managed ([[writePartitioned]],
+    * [[mergePartitioned]], [[compactPartitions]]) — exactly one write
+    * generation is live per leaf directory. Spark stamps every file of
+    * one write job with the same UUID (`part-NNNNN-<uuid>...`), so
+    * within a directory the generation containing the newest file is
+    * live; `part-*` files of other generations, hidden debris (except
+    * `_SUCCESS`), non-part strays, and committer temp dirs are
+    * orphans. Append-managed layouts (legitimately mixed UUIDs) must
+    * NOT be vacuumed with this rule — that contract is the doc's
+    * loudest line.
+    *
+    * Retention (`olderThanMs`): an orphan is only deleted once older
+    * than the horizon — a recent "orphan" may be an in-flight
+    * concurrent write's not-yet-committed output, and deleting it
+    * would corrupt that writer. Mirrors lakehouse VACUUM retention
+    * semantics. The live generation is never deleted regardless of
+    * age. Do NOT run vacuum concurrently with a write to the same
+    * layout: without a commit log, a concurrent writer's newer files
+    * are indistinguishable from the live generation, and the rule
+    * would demote the real one — schedule GC in the same maintenance
+    * window as compact/z-order.
+    *
+    * Scale shape: pure file METADATA — listings and deletes, never row
+    * data; per-directory cost is O(files in dir) names. Partition
+    * directories sweep in parallel on a bounded driver pool
+    * ([[ParallelOps.runIsolated]] — the reference's own fan-out
+    * shape); at object-store scale the same per-directory sweep
+    * distributes as one task per partition dir. Returns audit stats. */
+  def vacuumOrphans(spark: SparkSession, path: String,
+      olderThanMs: Long = 7L * 24 * 3600 * 1000L,
+      parallelism: Int = 8): VacuumStats = {
+    import org.apache.hadoop.fs.Path
+    require(olderThanMs >= 0, "vacuumOrphans: retention must be >= 0")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val partRe = "^part-\\d+-([0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12})".r
+    def isCommitterTemp(name: String) =
+      name == "_temporary" || name.startsWith(".spark-staging")
+    val zero = VacuumStats(0, 0, 0, 0)
+    def dropTempDir(d: org.apache.hadoop.fs.FileStatus): VacuumStats =
+      if (d.getModificationTime < cutoff) {
+        val sz = fs.getContentSummary(d.getPath).getLength
+        if (fs.delete(d.getPath, true)) VacuumStats(0, 0, 1, sz) else zero
+      } else zero   // recent: possibly an in-flight write — retained
+    def sweepFiles(files: Array[org.apache.hadoop.fs.FileStatus]): VacuumStats = {
+      // live generation: the part-file UUID group holding the newest file
+      val parts = files.filter(f => partRe.findFirstIn(f.getPath.getName).isDefined)
+      val liveUuid: Option[String] =
+        if (parts.isEmpty) None
+        else Some(parts.groupBy(f => partRe.findFirstMatchIn(f.getPath.getName).get.group(1))
+          .maxBy(_._2.map(_.getModificationTime).max)._1)
+      files.foldLeft(zero) { (acc, f) =>
+        val name = f.getPath.getName
+        val uuid = partRe.findFirstMatchIn(name).map(_.group(1))
+        val live = uuid.exists(liveUuid.contains) || name == "_SUCCESS"
+        if (live) acc.merge(VacuumStats(1, 0, 0, 0))
+        else if (f.getModificationTime < cutoff && fs.delete(f.getPath, false))
+          acc.merge(VacuumStats(0, 1, 0, f.getLen))
+        else acc.merge(VacuumStats(1, 0, 0, 0))   // young orphan: retained
+      }
+    }
+    def sweep(dir: Path): VacuumStats = {
+      val (subdirs, files) = fs.listStatus(dir).partition(_.isDirectory)
+      val fromDirs = subdirs.foldLeft(zero) { (acc, d) =>
+        if (isCommitterTemp(d.getPath.getName)) acc.merge(dropTempDir(d))
+        else acc.merge(sweep(d.getPath))
+      }
+      fromDirs.merge(sweepFiles(files))
+    }
+    // top level fans out per subdirectory (the dt= partition dirs);
+    // root-level files (unpartitioned layouts, _SUCCESS) use the same
+    // generation rule
+    val (topDirs, topFiles) = fs.listStatus(new Path(path)).partition(_.isDirectory)
+    val (tempDirs, dataDirs) = topDirs.partition(d => isCommitterTemp(d.getPath.getName))
+    val tempStats = tempDirs.foldLeft(zero)((acc, d) => acc.merge(dropTempDir(d)))
+    ParallelOps.runIsolated(
+      dataDirs.toSeq.map(d => () => sweep(d.getPath)), parallelism = parallelism)
+      .map(_.get)   // a failed sweep is a failed vacuum — surface it
+      .foldLeft(tempStats)(_ merge _)
+      .merge(sweepFiles(topFiles))
   }
 }

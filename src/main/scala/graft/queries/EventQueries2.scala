@@ -21,18 +21,23 @@ object EventQueries2 {
       * slice. The window and the groupBy share the same user_id
       * shuffle, and Spark plans the rn<=5 filter as a partial+final
       * WindowGroupLimit (top-5-per-key pushdown — plan-guarded in
-      * PlanShapeSpec), so the bound is nearly free. The (ts, event_id)
-      * window order is a total order per user, so the surviving 5 rows
-      * — and the path built from their struct sort — are deterministic
-      * under parallel collection. */
+      * PlanShapeSpec), so the bound is nearly free. The window order
+      * is (ts, event_id, event_type) — event_type as the final
+      * tiebreak makes the order total BY CONSTRUCTION even if a
+      * fixture ever carried duplicate (ts, event_id) pairs, so Spark's
+      * row_number pick and the oracle's list slice can never tie-break
+      * differently; the surviving 5 rows — and the path built from
+      * their struct sort — are deterministic under parallel
+      * collection. */
     QueryDef("events_top_paths", Some("""
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
       p AS (SELECT user_id,
-              array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+              array_to_string(list(event_type ORDER BY ts, event_id, event_type)[1:5], '>') AS path
             FROM e GROUP BY 1)
       SELECT path, count(*) AS n_users FROM p GROUP BY 1
       ORDER BY n_users DESC, path""")) { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"), col("event_type"))
       val first5 = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5).drop("__rn")
@@ -216,7 +221,9 @@ object EventQueries2 {
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
         .select(col("c_mktsegment"), money(col("value")).as("v"))
       EventStreams.withStreamConf(s) {
-        EventStreams.runToBatch(s, enriched, s"graft_q_ssjoin_${math.abs(d.hashCode)}")
+        // Staging.suffix: injective per input dir (hashCode is not —
+        // collisions would alias distinct data dirs' memory sinks)
+        EventStreams.runToBatch(s, enriched, s"graft_q_ssjoin_${graft.Staging.suffix(d)}")
       }.groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"), sum(col("v")).cast("double").as("total_value"))
         .orderBy(col("c_mktsegment"))

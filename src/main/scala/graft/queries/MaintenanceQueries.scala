@@ -41,6 +41,61 @@ object MaintenanceQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    /** Orphan-file GC under the oracle gate. A month-partitioned orders
+      * slice is staged, then three classes of garbage are planted the
+      * way real failures leave them: (1) a SUPERSEDED write generation —
+      * a copy of a live part file under a different job UUID with an
+      * old mtime, exactly what an overwrite that died between delete
+      * and commit leaves behind; (2) committer debris (`_temporary/`
+      * with an orphaned part file inside); (3) a stray `.tmp` upload.
+      * Class (1) makes this gate SHARP: the stale file is visible to
+      * every read, so without the vacuum the judged read-back would
+      * return its rows twice and hash-fail. [[IngestOps.vacuumOrphans]]
+      * (24 h retention; planted garbage is backdated 48 h) must delete
+      * all three while leaving every live file untouched — the judged
+      * output is the post-vacuum read-back vs the source slice, and
+      * MaintenanceSpec asserts the file-level story (orphans gone, live
+      * files' paths+mtimes identical, a RECENT orphan survives
+      * retention). */
+    QueryDef("maintenance_vacuum", Some("""
+      SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m') AS dt
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      ORDER BY o_orderkey""")) { (s, d) =>
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val root = Staging.dir("vacuum", d)
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("dt"))
+        .write.mode("overwrite").partitionBy("dt").parquet(s"$root/t")
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(root).getFileSystem(conf)
+      val old = System.currentTimeMillis() - 48L * 3600 * 1000
+      val dtDir = new Path(s"$root/t/dt=1996-01")
+      val live = fs.listStatus(dtDir).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).head
+      // (1) superseded generation — visible, duplicates rows until GC'd
+      val stale = new Path(dtDir,
+        "part-00000-00000000-dead-beef-0000-000000000000-c000.snappy.parquet")
+      FileUtil.copy(fs, live, fs, stale, false, conf)
+      fs.setTimes(stale, old, -1)
+      // (2) aborted-write committer debris
+      val tmpTask = new Path(s"$root/t/_temporary/0/task")
+      fs.mkdirs(tmpTask)
+      FileUtil.copy(fs, live, fs, new Path(tmpTask,
+        "part-00000-11111111-dead-beef-0000-000000000000-c000.snappy.parquet"), false, conf)
+      fs.setTimes(new Path(s"$root/t/_temporary"), old, -1)
+      // (3) stray temp upload
+      val stray = new Path(dtDir, "upload.tmp")
+      fs.create(stray).close()
+      fs.setTimes(stray, old, -1)
+      IngestOps.vacuumOrphans(s, s"$root/t", olderThanMs = 24L * 3600 * 1000)
+      s.read.parquet(s"$root/t")
+        .select(col("o_orderkey"), col("o_totalprice"), col("dt").cast("string"))
+        .orderBy(col("o_orderkey"))
+    },
+
     /** ANALYZE-style table statistics: per-column row/null/NDV counts
       * and min/max — the stats a cost-based optimizer (and a data
       * engineer's sanity check) wants for every table in the lake.

@@ -36,14 +36,28 @@ object Relational2 {
     },
 
     QueryDef("agg_collect", Some("""
-      SELECT o_custkey, array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
-             count(*) AS n
+      SELECT o_custkey,
+             array_to_string(list(o_orderkey ORDER BY o_orderkey)[1:16], ',') AS order_keys,
+             CAST(LEAST(count(*), 16) AS BIGINT) AS n
       FROM orders GROUP BY o_custkey ORDER BY o_custkey""")) { (s, d) =>
-      // collect_list order is nondeterministic → array_sort pins it;
-      // at scale this is a plain hash agg with a per-group sort. The
-      // sorted list is emitted as a joined STRING: array-typed output
-      // columns crash the driver comparator (round-1 verdict).
-      t(s, d, "orders").groupBy(col("o_custkey"))
+      // BOUNDED ordered collect — first 16 order keys per customer. A
+      // rn<=16 pre-limit runs BEFORE the groupBy and plans as a
+      // partial+final WindowGroupLimit (same pattern as
+      // events_top_paths), so per-group aggregation state is O(16) by
+      // construction — an unbounded collect_list is the one agg whose
+      // buffer a power-law key can blow up at 100 TB, even when only a
+      // prefix of the list is consumed downstream. The window and the
+      // groupBy share the o_custkey exchange (o_orderkey is globally
+      // unique, so the order — and the surviving 16 — are total/
+      // deterministic). collect_list order is nondeterministic →
+      // array_sort pins it; the sorted list is emitted as a joined
+      // STRING: array-typed output columns crash the driver comparator
+      // (round-1 verdict).
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 16).drop("__rn")
+        .groupBy(col("o_custkey"))
         .agg(array_join(array_sort(collect_list(col("o_orderkey"))).cast("array<string>"), ",")
           .as("order_keys"),
           count(lit(1)).as("n"))

@@ -76,6 +76,7 @@ object EventStreams {
     * the test harness path: memory sink + processAllAvailable. */
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
       outputMode: String = "append", timeoutMs: Long = 300000L): DataFrame = {
+    StreamMetrics.attach(spark)   // idempotent; per-batch observability
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
@@ -168,9 +169,21 @@ object EventStreams {
     * conf scopes share ONE lock — see ConfScope's scaladoc for the
     * concurrency contract. */
   def withStreamConf[T](spark: SparkSession, partitions: Int = 8,
-      extra: Map[String, String] = Map.empty)(body: => T): T =
+      extra: Map[String, String] = Map.empty)(body: => T): T = {
+    StreamMetrics.attach(spark)
     graft.operators.ConfScope.withConf(spark,
-      Map("spark.sql.shuffle.partitions" -> partitions.toString) ++ extra)(body)
+      Map("spark.sql.shuffle.partitions" -> partitions.toString,
+        // Changelog checkpointing (takes effect under the RocksDB state
+        // store provider, a no-op for the default HDFS-backed one): per
+        // commit, upload only the batch's state DELTA instead of a full
+        // RocksDB snapshot — at 100 TB state a full-snapshot upload per
+        // micro-batch IS the recovery/commit bottleneck; snapshots then
+        // happen asynchronously in the background. Restart replays
+        // changelogs on top of the last snapshot, which
+        // stream_restart_stateful exercises end-to-end.
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+        ++ extra)(body)
+  }
 
   /** Stage the events fixture file into a per-(prefix, sfDir) temp
     * directory for the file-source streaming queries (the source wants

@@ -181,7 +181,16 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       IngestOps.mergePartitioned(spark, sink, opNoCol, Seq("id"))
     }
     assert(e4.getMessage.contains("opCol is not set"))
-    // the sink is untouched by all four rejections
+    // duplicate (keys, dt) change rows: the full-outer join would fan
+    // them out into duplicate sink rows with a nondeterministic column
+    // mix — rejected up front (ADVICE round 6)
+    val dup = Seq((6L, 60.0, "20240201"), (6L, 61.0, "20240201"))
+      .toDF("id", "v", "dt")
+    val e5 = intercept[IllegalArgumentException] {
+      IngestOps.mergePartitioned(spark, sink, dup, Seq("id"))
+    }
+    assert(e5.getMessage.contains("multiple rows"))
+    // the sink is untouched by all five rejections
     assert(spark.read.parquet(sink).count() === 1)
   }
 

@@ -76,6 +76,73 @@ class MaintenanceSpec extends AnyFunSuite {
       s"orderdate per-file range ${perFile.getDouble(1)} vs global ${global.getLong(1)}")
   }
 
+  test("vacuumOrphans: orphans deleted, live files untouched, retention keeps recent orphans") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val root = Staging.dir("vacuum_spec", sf)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    fs.delete(new Path(root), true)
+    Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-03-01")
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM").as("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(s"$root/t")
+    val dtDir = new Path(s"$root/t/dt=1996-01")
+    val liveBefore = fs.listStatus(dtDir)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(f => f.getPath.toString -> f.getModificationTime).toMap
+    assert(liveBefore.nonEmpty)
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    val live = new Path(liveBefore.keys.head)
+    // old superseded generation → must be GC'd
+    val stale = new Path(dtDir,
+      "part-00000-00000000-dead-beef-0000-000000000000-c000.snappy.parquet")
+    FileUtil.copy(fs, live, fs, stale, false, conf)
+    fs.setTimes(stale, old, -1)
+    // RECENT foreign generation → retention must keep it (in-flight write)
+    val recent = new Path(dtDir,
+      "part-00000-22222222-dead-beef-0000-000000000000-c000.snappy.parquet")
+    FileUtil.copy(fs, live, fs, recent, false, conf)
+    // committer debris, old
+    fs.mkdirs(new Path(s"$root/t/_temporary/0"))
+    fs.create(new Path(s"$root/t/_temporary/0/x.parquet")).close()
+    fs.setTimes(new Path(s"$root/t/_temporary"), old, -1)
+    // stray temp upload, old
+    val stray = new Path(dtDir, "upload.tmp")
+    fs.create(stray).close()
+    fs.setTimes(stray, old, -1)
+    val stats = operators.IngestOps.vacuumOrphans(spark, s"$root/t",
+      olderThanMs = 24L * 3600 * 1000)
+    assert(!fs.exists(stale), "old superseded generation must be deleted")
+    assert(!fs.exists(stray), "old stray temp file must be deleted")
+    assert(!fs.exists(new Path(s"$root/t/_temporary")), "committer debris must be deleted")
+    assert(fs.exists(recent), "retention must keep a recent orphan")
+    liveBefore.foreach { case (p, mtime) =>
+      assert(fs.exists(new Path(p)), s"live file deleted: $p")
+      assert(fs.getFileStatus(new Path(p)).getModificationTime === mtime,
+        s"live file touched: $p")
+    }
+    assert(stats.filesDeleted >= 2, s"stats: $stats")
+    assert(stats.dirsDeleted === 1, s"stats: $stats")
+    assert(stats.bytesReclaimed > 0, s"stats: $stats")
+  }
+
+  test("zorderWrite: all-NULL z column fails loudly naming the column; row NULLs survive") {
+    val allNull = spark.range(10).select(col("id"), lit(null).cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      operators.IngestOps.zorderWrite(allNull, Staging.dir("zorder_null", sf),
+        Seq("id", "v"), files = 2)
+    }
+    assert(e.getMessage.contains("'v'"), e.getMessage)
+    // per-row NULLs: scaled to the curve start, never dropped
+    val mixed = spark.range(100).select(col("id"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).cast("double").as("v"))
+    val out = Staging.dir("zorder_mixed", sf)
+    operators.IngestOps.zorderWrite(mixed, out, Seq("id", "v"), files = 2)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 100)
+    assert(back.filter(col("v").isNull).count() === 10)
+  }
+
   test("maintenance_analyze: stats agree with directly computed values") {
     val stats = SparkEntry.queries("maintenance_analyze")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap

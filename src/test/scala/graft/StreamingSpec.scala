@@ -42,6 +42,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("StreamMetrics listener emits per-batch metrics covering every input row (A25)") {
+    import graft.streaming.StreamMetrics
+    val fixtureRows = Tables.events(spark, TestSpark.sf0001).count()
+    EventStreams.runToBatch(spark,
+      EventStreams.readEvents(spark, dir).select(col("event_id")),
+      "metrics_test", outputMode = "append")
+    // the listener bus delivers asynchronously — bounded wait, no sleep-
+    // and-pray: poll until the batch metrics cover the fixture rows
+    val deadline = System.currentTimeMillis() + 30000
+    def captured() = StreamMetrics.forQuery("metrics_test")
+    while (captured().map(_.inputRows).sum < fixtureRows &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val ms = captured()
+    assert(ms.nonEmpty, "no batch metrics captured for metrics_test")
+    assert(ms.map(_.inputRows).sum === fixtureRows,
+      s"metrics must account for every input row: $ms")
+    assert(ms.forall(_.triggerMs >= 0), s"trigger durations missing: $ms")
+  }
+
   test("streaming dedup within watermark keeps all unique event_ids") {
     val deduped = EventStreams.runToBatch(spark,
       EventStreams.dedupStream(EventStreams.readEvents(spark, dir)),

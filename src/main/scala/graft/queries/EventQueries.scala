@@ -173,7 +173,7 @@ object EventQueries {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
         EventStreams.runToBatch(s,
           StatefulOps.runningUserStats(in, threshold = 5).toDF(),
-          s"graft_q_stateful_${math.abs(d.hashCode)}")
+          s"graft_q_stateful_${graft.Staging.suffix(d)}")
       }
       updates.groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"),
@@ -197,7 +197,7 @@ object EventQueries {
       val deduped = EventStreams.withStreamConf(s) {
         EventStreams.runToBatch(s,
           EventStreams.dedupStream(EventStreams.readEvents(s, s"$base/in")),
-          s"graft_q_dedup_${math.abs(d.hashCode)}")
+          s"graft_q_dedup_${graft.Staging.suffix(d)}")
       }
       deduped.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -235,7 +235,7 @@ object EventQueries {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"))
       EventStreams.withStreamConf(s) {
-        EventStreams.runToBatch(s, joined, s"graft_q_ssj_${math.abs(d.hashCode)}")
+        EventStreams.runToBatch(s, joined, s"graft_q_ssj_${graft.Staging.suffix(d)}")
       }.groupBy(col("p_id")).agg(count(lit(1)).as("n_prior_clicks"))
         .select(col("p_id").as("event_id"), col("n_prior_clicks"))
         .orderBy(col("event_id"))

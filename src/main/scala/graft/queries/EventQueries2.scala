@@ -197,6 +197,35 @@ object EventQueries2 {
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     },
 
+    /** Streaming observability under the oracle gate (A25's streaming
+      * half made judgeable): three identical copies of the events
+      * fixture are staged, and with `maxFilesPerTrigger=1` each
+      * arrives as its own micro-batch — so the [[StreamMetrics]]
+      * listener must report EXACTLY batches 0, 1, 2, each with exactly
+      * the fixture's row count. The judged output IS the listener's
+      * per-batch record; the oracle reconstructs it from the batch
+      * table (3 × count(*)). Listener delivery is async on the driver
+      * bus, so the builder polls bounded for the three batch records;
+      * bench reps re-run the same query in one JVM, so the record is
+      * deduped by value (identical across reps by construction —
+      * fresh temp checkpoint ⇒ batch ids restart at 0). */
+    QueryDef("stream_observe_metrics", Some("""
+      SELECT t.b AS batch_id, (SELECT count(*) FROM events) AS input_rows
+      FROM (SELECT unnest(generate_series(0, 2)) AS b) t ORDER BY batch_id""")) { (s, d) =>
+      import graft.streaming.{EventStreams, StreamMetrics}
+      val base = EventStreams.stageEventsInput(s, d, "obsm", copies = 3)
+      val name = s"graft_q_obsm_${graft.Staging.suffix(d)}"
+      EventStreams.withStreamConf(s) {
+        EventStreams.runToBatch(s, EventStreams.readEvents(s, s"$base/in")
+          .select(col("event_id")), name)
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      def got() = StreamMetrics.forQuery(name).map(m => (m.batchId, m.inputRows)).distinct
+      while (got().size < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      import s.implicits._
+      got().toDF("batch_id", "input_rows").orderBy(col("batch_id"))
+    },
+
     /** Stream-static join — the dimension-enrichment pattern every
       * production stream runs: a REAL event stream joins the static
       * customer table per micro-batch, no state store involved (the

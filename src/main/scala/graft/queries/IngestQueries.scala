@@ -215,7 +215,7 @@ object IngestQueries {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
       graft.streaming.EventStreams.withStreamConf(s) {
         graft.streaming.EventStreams.runToBatch(s, streamed,
-          s"graft_q_a01_stream_${math.abs(d.hashCode)}")
+          s"graft_q_a01_stream_${graft.Staging.suffix(d)}")
       }.orderBy(col("o_orderkey"))
     },
 

@@ -10,13 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
   *
-  * (No analyzer/optimizer rules or planner strategies are needed for
-  * this engine — SURVEY.md §4 conclusion — so the extension surface is
-  * function registration only.)
+  * Surface: native-expression SQL functions plus one optimizer rule —
+  * [[graft.plans.BandJoinBinning]], which rewrites pure band (range-
+  * only) joins from nested-loop to binned equi-joins. Everything else
+  * the engine needs is expressible with built-in operators (SURVEY.md
+  * §4 conclusion).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.qdotNativeDescriptor)
+    e.injectOptimizerRule(_ => graft.plans.BandJoinBinning)
   }
 }
 

@@ -134,5 +134,37 @@ object Relational4 {
         UNION ALL SELECT 'clean' AS variant, n FROM b
         ORDER BY variant""")
     },
+
+    /** PURE band join — no equi key at all: every event paired with
+      * every other event whose value lies within ±0.05 (distinct pairs
+      * via id ordering). Complement of `join_range` (which rides a
+      * user_id equi key): here Spark's only native plan is a nested
+      * loop — 10^10 comparisons at sf0.1, the canonical range-join
+      * scale-killer. The [[graft.plans.BandJoinBinning]] optimizer rule
+      * (this repo's first custom Catalyst Rule, injected via
+      * GraftExtensions / install()) rewrites it to a binned equi-join:
+      * build side bucketed by floor(value/width), probe side exploded
+      * to its 2-3 reachable buckets, original predicate re-applied —
+      * value-identical output (which is exactly what the oracle
+      * asserts), O(n+m) shuffle instead of O(n·m) compares. Plan
+      * guards in BandJoinSpec/PlanShapeSpec assert no
+      * BNLJ/CartesianProduct survives. The double arithmetic
+      * (abs/subtract/compare) is bit-identical in DuckDB, so the pair
+      * set matches exactly. */
+    QueryDef("join_range_band", Some("""
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+      FROM events a JOIN events b
+        ON abs(a.value - b.value) <= 0.05 AND a.event_id < b.event_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      graft.plans.BandJoinBinning.install(s)
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      val a = e.select(col("event_id").as("a_id"), col("event_type").as("type_a"),
+        col("value").as("a_val"))
+      val b = e.select(col("event_id").as("b_id"), col("event_type").as("type_b"),
+        col("value").as("b_val"))
+      a.join(b, abs(col("a_val") - col("b_val")) <= 0.05 && col("a_id") < col("b_id"))
+        .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
   )
 }

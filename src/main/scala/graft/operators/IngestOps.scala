@@ -338,6 +338,72 @@ object IngestOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** `part-NNNNN-<job uuid>-…` — Spark stamps every file of one write
+    * job with the same UUID; the UUID group IS the write generation. */
+  private val PartFileRe =
+    "^part-\\d+-([0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12})".r
+
+  /** One write generation of a snapshot-managed layout: the files one
+    * write job committed, stamped with that job's part-file UUID.
+    * `committedAtMs` is the group's newest file mtime — the commit
+    * ordinal in a layout with no transaction log. */
+  final case class Generation(uuid: String, committedAtMs: Long,
+      files: Seq[String], bytes: Long)
+
+  /** All write generations under `path`, newest first (mtime desc,
+    * uuid tie-break). Pure file metadata — no row data touched. */
+  def listGenerations(spark: SparkSession, path: String): Seq[Generation] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val (dirs, files) = fs.listStatus(p).partition(_.isDirectory)
+      files.toSeq ++ dirs.toSeq
+        .filterNot(d => d.getPath.getName == "_temporary" ||
+          d.getPath.getName.startsWith(".spark-staging"))
+        .flatMap(d => walk(d.getPath))
+    }
+    walk(new Path(path))
+      .flatMap(f => PartFileRe.findFirstMatchIn(f.getPath.getName).map(m => (m.group(1), f)))
+      .groupBy(_._1)
+      .map { case (uuid, grp) =>
+        Generation(uuid, grp.map(_._2.getModificationTime).max,
+          grp.map(_._2.getPath.toString).sorted, grp.map(_._2.getLen).sum)
+      }
+      .toSeq.sortBy(g => (-g.committedAtMs, g.uuid))
+  }
+
+  /** Snapshot-managed write: append a NEW full-table generation next to
+    * the previous ones instead of overwriting them — the poor-man's
+    * lakehouse commit (Delta/Iceberg semantics with the filesystem as
+    * the log: the part-file UUID is the commit id, mtime the ordinal).
+    * Readers MUST resolve through [[snapshotRead]] (a plain
+    * `read.parquet` would see every generation's rows at once);
+    * [[vacuumOrphans]] is the matching retention GC — non-live
+    * generations older than the horizon are reclaimed, which is
+    * exactly "time travel works within the retention window". Each
+    * snapshotWrite must carry the FULL table state (generations are
+    * snapshots, not deltas) — the reference's truncate-reload
+    * (/root/reference/src/main.py:253-267) is this same contract minus
+    * the history. */
+  def snapshotWrite(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Time-travel read: the table as of `versionsBack` commits ago
+    * (0 = current). Only the chosen generation's files are scanned;
+    * `basePath` keeps partition columns alive. Fails loudly when the
+    * history doesn't reach that far (vacuumed or never written). */
+  def snapshotRead(spark: SparkSession, path: String, versionsBack: Int = 0): DataFrame = {
+    require(versionsBack >= 0, "snapshotRead: versionsBack must be >= 0")
+    val gens = listGenerations(spark, path)
+    require(gens.size > versionsBack,
+      s"snapshotRead: only ${gens.size} generation(s) at $path — " +
+        s"cannot go back $versionsBack (vacuumed or never written)")
+    val g = gens(versionsBack)
+    spark.read.option("basePath", path).parquet(g.files: _*)
+  }
+
   /** What [[vacuumOrphans]] swept: per-category counts plus reclaimed
     * bytes, for the audit log every GC needs. */
   final case class VacuumStats(filesKept: Long, filesDeleted: Long,
@@ -396,7 +462,7 @@ object IngestOps {
     require(olderThanMs >= 0, "vacuumOrphans: retention must be >= 0")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val partRe = "^part-\\d+-([0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12})".r
+    val partRe = PartFileRe
     def isCommitterTemp(name: String) =
       name == "_temporary" || name.startsWith(".spark-staging")
     val zero = VacuumStats(0, 0, 0, 0)

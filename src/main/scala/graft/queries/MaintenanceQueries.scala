@@ -218,5 +218,56 @@ object MaintenanceQueries {
           sum(col("total_dec")).cast("double").as("total"))
         .orderBy(col("month"))
     },
+
+    /** Snapshot isolation + time travel on the filesystem-as-log
+      * layout ([[IngestOps.snapshotWrite]]/[[IngestOps.snapshotRead]]):
+      * commit v0 (a 3-month orders slice), then commit v1 (the same
+      * slice with every 1-URGENT order deleted) as a NEW generation —
+      * v0's files stay on disk, exactly what Delta/Iceberg keep in
+      * their logs, here keyed by the part-file job UUID with mtime as
+      * the commit ordinal. The judged output reads BOTH versions back
+      * (versionsBack=1 and 0) and rolls each up per month: time travel
+      * must reproduce the pre-delete totals exactly while the current
+      * read shows the post-delete state — the oracle recomputes both
+      * from the source table. Complements maintenance_vacuum: vacuum
+      * is the retention GC that bounds how far back this read can go.
+      * Staged root is reset first (the layout is append-managed, so a
+      * prior run's generations would otherwise stack up). All file
+      * work is metadata-only; the two version reads scan disjoint file
+      * lists with dt partition pruning intact (basePath). */
+    QueryDef("maintenance_time_travel", Some("""
+      WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+                           strftime(o_orderdate, '%Y-%m') AS dt
+                    FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                      AND o_orderdate < TIMESTAMP '1995-04-01'),
+      v0 AS (SELECT 'v0' AS version, dt, o_totalprice FROM base),
+      v1 AS (SELECT 'v1' AS version, dt, o_totalprice FROM base
+             WHERE o_orderpriority <> '1-URGENT'),
+      u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+      SELECT version, dt, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM u GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      val root = Staging.dir("timetravel", d)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-04-01")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("dt"))
+      IngestOps.snapshotWrite(base.drop("o_orderpriority"), s"$root/t", Seq("dt"))
+      IngestOps.snapshotWrite(
+        base.filter(col("o_orderpriority") =!= "1-URGENT").drop("o_orderpriority"),
+        s"$root/t", Seq("dt"))
+      val v0 = IngestOps.snapshotRead(s, s"$root/t", versionsBack = 1)
+        .withColumn("version", lit("v0"))
+      val v1 = IngestOps.snapshotRead(s, s"$root/t", versionsBack = 0)
+        .withColumn("version", lit("v1"))
+      v0.unionByName(v1)
+        .groupBy(col("version"), col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("version"), col("dt"))
+    },
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Fourth text-pipeline batch: the two corpus-assembly passes that sit
@@ -137,6 +138,83 @@ object TextQueries4 {
         .groupBy(col("url"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("url"))
+    },
+
+    /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): per-doc
+      * duplicate-word and duplicate-bigram fractions plus the top-gram
+      * concentration, the standard quality gate against boilerplate /
+      * degenerate generations in a training corpus. (The fixture docs
+      * are single-line, so the word/bigram family stands in for
+      * Gopher's line-level twins.)
+      *
+      * Scale shape: explode → count per (doc_id, gram) → per-doc stats.
+      * Both aggregates are map-side-combined hash aggregates keyed by
+      * (doc_id, gram) then doc_id — bounded state, no windows. The
+      * tempting per-row alternative (higher-order fns building a
+      * frequency map per document in one projection) is O(len²) per row
+      * with Catalyst's immutable map updates — explode+agg is the shape
+      * that survives 100 TB. Bigrams come from zip_with against the
+      * tail-slice (null-padded last pair filtered out), so there's no
+      * index-generation divergence between engines for 1-word docs
+      * (Spark's sequence(1,0) counts DOWN — avoided entirely).
+      *
+      * All ratios are single int→double casts and one IEEE division —
+      * bit-identical in DuckDB; flags derive from the already-coalesced
+      * doubles on both sides. */
+    QueryDef("doc_repetition", Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
+      wx AS (SELECT doc_id, unnest(ws) AS word FROM t),
+      wc AS (SELECT doc_id, word, count(*) AS c FROM wx GROUP BY 1, 2),
+      wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                        CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top_w,
+                        sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_w
+                 FROM wc GROUP BY 1),
+      bx AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                                                  i -> ws[i] || ' ' || ws[i + 1])) AS gram
+             FROM t WHERE len(ws) >= 2),
+      bc AS (SELECT doc_id, gram, count(*) AS c FROM bx GROUP BY 1, 2),
+      bstats AS (SELECT doc_id, max(c) AS top_b, sum(c) AS n_b,
+                        sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_b
+                 FROM bc GROUP BY 1)
+      SELECT w.doc_id, n_words,
+             CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_word_ratio,
+             CAST(top_w AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+             CAST(dup_w AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+             coalesce(CAST(top_b AS DOUBLE) / CAST(n_b AS DOUBLE), 0.0) AS top_bigram_frac,
+             coalesce(CAST(dup_b AS DOUBLE) / CAST(n_b AS DOUBLE), 0.0) AS dup_bigram_frac,
+             coalesce(CAST(top_b AS DOUBLE) / CAST(n_b AS DOUBLE), 0.0) >= 0.1
+               OR coalesce(CAST(dup_b AS DOUBLE) / CAST(n_b AS DOUBLE), 0.0) >= 0.15
+               AS repetitive
+      FROM wstats w LEFT JOIN bstats b USING (doc_id)
+      ORDER BY w.doc_id""")) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("ws"))
+      val wc = t.select(col("doc_id"), explode(col("ws")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      val wstats = wc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_w"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_w"))
+      val bigrams = filter(
+        zip_with(col("ws"), slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        g => g.isNotNull)
+      val bc = t.select(col("doc_id"), explode(bigrams).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      val bstats = bc.groupBy(col("doc_id")).agg(
+        max(col("c")).as("top_b"), sum(col("c")).as("n_b"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_b"))
+      def ratio(n: Column, den: Column) = n.cast("double") / den.cast("double")
+      val topBigram = coalesce(ratio(col("top_b"), col("n_b")), lit(0.0))
+      val dupBigram = coalesce(ratio(col("dup_b"), col("n_b")), lit(0.0))
+      wstats.join(bstats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          ratio(col("n_distinct"), col("n_words")).as("distinct_word_ratio"),
+          ratio(col("top_w"), col("n_words")).as("top_word_frac"),
+          ratio(col("dup_w"), col("n_words")).as("dup_word_frac"),
+          topBigram.as("top_bigram_frac"),
+          dupBigram.as("dup_bigram_frac"),
+          (topBigram >= 0.1 || dupBigram >= 0.15).as("repetitive"))
+        .orderBy(col("doc_id"))
     },
   )
 }

@@ -216,4 +216,36 @@ class MaintenanceSpec extends AnyFunSuite {
     // the probe actually separates
     assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
   }
+
+  test("snapshot lifecycle: commits stack, time travel isolates versions, vacuum bounds history") {
+    import graft.operators.IngestOps
+    val root = s"${Staging.dir("snaptest", sf)}/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    import spark.implicits._
+    def snap(vals: Seq[Int]) = vals.toDF("v").withColumn("dt", lit("d1"))
+    IngestOps.snapshotWrite(snap(Seq(1, 2, 3)), root, Seq("dt"))
+    IngestOps.snapshotWrite(snap(Seq(1, 2)), root, Seq("dt"))
+    IngestOps.snapshotWrite(snap(Seq(1, 2, 4, 5)), root, Seq("dt"))
+    val gens = IngestOps.listGenerations(spark, root)
+    assert(gens.size === 3)
+    assert(gens.map(_.committedAtMs) === gens.map(_.committedAtMs).sorted.reverse,
+      "generations must list newest first")
+    def vals(back: Int) =
+      IngestOps.snapshotRead(spark, root, back).select("v").as[Int].collect().sorted.toSeq
+    assert(vals(0) === Seq(1, 2, 4, 5))
+    assert(vals(1) === Seq(1, 2))
+    assert(vals(2) === Seq(1, 2, 3))
+    // partition column survives the explicit-file-list read (basePath)
+    assert(IngestOps.snapshotRead(spark, root, 0).columns.contains("dt"))
+    // a plain read would mix every generation's rows — the reason
+    // readers must resolve through snapshotRead
+    assert(spark.read.parquet(root).count() === 9)
+    // vacuum = retention GC: non-live generations go, current survives
+    IngestOps.vacuumOrphans(spark, root, olderThanMs = 0L)
+    assert(IngestOps.listGenerations(spark, root).size === 1)
+    assert(vals(0) === Seq(1, 2, 4, 5))
+    assertThrows[IllegalArgumentException](IngestOps.snapshotRead(spark, root, 1))
+  }
 }

@@ -340,5 +340,78 @@ object VectorQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    /** SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
+      * clusters — embeddings are coarse-clustered, then ONLY
+      * within-cluster pairs are cosine-compared, and of any pair above
+      * the threshold the lower id survives. Complements the other
+      * dedup family members: exact/minhash/simhash catch lexical
+      * copies, `dedup_embedding_cosine` catches near-dups under
+      * axis-sign LSH blocking, this catches PARAPHRASES under
+      * learned-representation blocking (the paper's point: web-scale
+      * corpora shrink 50% with no quality loss).
+      *
+      * Deterministic contract: keep a vector iff NO lower-id
+      * cluster-mate has cosine >= 0.35 with it; `dup_of` reports the
+      * smallest such anchor (anchors are pairwise, not transitively
+      * re-anchored — one pass, exactly SemDeDup's greedy sweep).
+      * Cluster assignment reuses sim_ann_ivf's coarse quantizer
+      * verbatim (fixed seed centroids vec_id < 8, quantized-exact
+      * cosine, id tie-break) so the two operators share one index
+      * story.
+      *
+      * Scale shape: centroids broadcast (k rows); assignment is one
+      * narrow pass; the pair kernel is an equi-join on cluster with
+      * the capBuckets hot-bucket guard (O(cap²) bound, plan-guarded
+      * no-cartesian) — the SemDeDup recipe at 100 TB IS this shape
+      * with k grown to ~100k so cluster populations stay bounded. */
+    QueryDef("dedup_semantic", Some("""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      n AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2 FROM v),
+      c AS (SELECT vec_id AS c_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8),
+      sim AS (SELECT a.vec_id, c.c_id,
+                CAST(list_sum(list_transform(list_zip(a.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
+                  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS csim
+              FROM n a, c),
+      asg AS (SELECT vec_id, c_id AS cluster FROM
+                (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn FROM sim)
+              WHERE rn = 1),
+      m AS (SELECT a.vec_id, a.cluster, n.q, n.n2 FROM asg a JOIN n ON n.vec_id = a.vec_id
+            QUALIFY row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) <= 1000),
+      p AS (SELECT b.vec_id AS id_b, min(a.vec_id) AS dup_of
+            FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS DOUBLE)
+                    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.35
+            GROUP BY 1)
+      SELECT m.vec_id, m.cluster, p.dup_of, p.dup_of IS NOT NULL AS removed
+      FROM m LEFT JOIN p ON p.id_b = m.vec_id
+      ORDER BY m.vec_id""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", qdot(col("q"), col("q")))
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
+      val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+      val asg = v.crossJoin(broadcast(cents))
+        .withColumn("csim", cosineFromQ(qdot(col("q"), col("cq")), col("n2"), col("cn2")))
+        .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("cluster"), col("q"), col("n2"))
+      val m = graft.operators.ScaleOps.capBuckets(
+        asg, Seq("cluster"), "vec_id", cap = 1000)   // hot-cluster guard, mirrored by QUALIFY
+      val a = m.select(col("cluster"), col("vec_id").as("id_a"), col("q").as("q_a"), col("n2").as("n2_a"))
+      val b = m.select(col("cluster"), col("vec_id").as("id_b"), col("q").as("q_b"), col("n2").as("n2_b"))
+      val dups = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", cosineFromQ(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
+        .filter(col("cosine") >= 0.35)
+        .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+      m.select(col("vec_id"), col("cluster"))
+        .join(dups, col("vec_id") === col("id_b"), "left")
+        .select(col("vec_id"), col("cluster"), col("dup_of"),
+          col("dup_of").isNotNull.as("removed"))
+        .orderBy(col("vec_id"))
+    },
   )
 }

@@ -88,4 +88,51 @@ object ScaleOps {
     * (brief: "size spark.sql.shuffle.partitions … at the target SF"). */
   def repartitionByKey(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
     df.repartition(numPartitions, keys: _*)
+
+  /** Interval overlap join without a nested loop: rows of `left` and
+    * `right` carry numeric intervals [start, end] (end >= start;
+    * timestamps go through unix seconds first), and a pair matches iff
+    * the intervals overlap (`ls <= re AND rs <= le`). Spark has no
+    * equi key to plan with, so the naive join is
+    * BroadcastNestedLoopJoin — O(n·m). This is the interval
+    * generalization of [[graft.plans.BandJoinBinning]] (a band join is
+    * an interval join with fixed-width intervals), composed from
+    * built-in ops because interval LENGTH varies per row:
+    *
+    *  - both sides explode over the `binWidth`-sized buckets their
+    *    interval covers (`sequence(floor(s/w), floor(e/w))` — cost
+    *    per row is O(len/binWidth), so pick binWidth near the typical
+    *    interval length);
+    *  - candidates meet on the bucket equi-key (shuffle, not loop);
+    *  - a pair overlapping across SEVERAL shared buckets would
+    *    surface once per bucket, so a responsibility predicate keeps
+    *    exactly one copy: only the bucket containing the overlap
+    *    START (`floor(greatest(ls, rs)/w)`) counts the pair. The
+    *    overlap start lies inside both intervals, so both sides
+    *    generated that bucket — no match is lost, none duplicated.
+    *
+    * The exact overlap predicate is re-applied, so the result is
+    * value-identical to the nested loop. Empty/inverted intervals
+    * (end < start) are dropped up front — "overlap" is undefined for
+    * them (the raw predicate would even match some). Output: left
+    * columns then right columns, like a plain inner join. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0 && java.lang.Double.isFinite(binWidth),
+      s"intervalOverlapJoin: binWidth must be positive and finite, got $binWidth")
+    val w = lit(binWidth)
+    def buckets(st: Column, en: Column): Column =
+      sequence(floor(st.cast("double") / w), floor(en.cast("double") / w), lit(1L))
+    val l = left.filter(col(lEnd) >= col(lStart))
+      .withColumn("__ibucket", explode(buckets(col(lStart), col(lEnd))))
+    val r = right.filter(col(rEnd) >= col(rStart))
+      .withColumn("__jbucket", explode(buckets(col(rStart), col(rEnd))))
+    val overlapStart = greatest(col(lStart).cast("double"), col(rStart).cast("double"))
+    l.join(r,
+        col("__ibucket") === col("__jbucket") &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          floor(overlapStart / w) === col("__ibucket"))
+      .drop("__ibucket", "__jbucket")
+  }
 }

@@ -166,5 +166,40 @@ object Relational4 {
         .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("type_a"), col("type_b"))
     },
+
+    /** Interval OVERLAP join — the variable-length generalization of
+      * join_range_band (band = fixed-width intervals): every event
+      * carries an interval [value, value + (id%7+1)*0.02] and pairs
+      * whose intervals overlap are counted per type pair. Spark's only
+      * native plan is again the nested loop;
+      * [[graft.operators.ScaleOps.intervalOverlapJoin]] turns it into
+      * a bucket equi-join (both sides explode over covered
+      * binWidth buckets, the bucket holding the overlap start is the
+      * one responsible for the pair — exactly-once by construction,
+      * exact predicate re-applied). Interval endpoints are identical
+      * double arithmetic in both engines, so the pair set is exact.
+      * binWidth 0.1 ≈ the typical interval length: ~2 buckets per
+      * row, O(n+m) shuffle instead of 10^10 compares at sf0.1. */
+    QueryDef("join_interval_overlap", Some("""
+      WITH iv AS (SELECT event_id, event_type, value AS st,
+                         value + (event_id % 7 + 1) * 0.02 AS en
+                  FROM events)
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+      FROM iv a JOIN iv b
+        ON a.st <= b.en AND b.st <= a.en AND a.event_id < b.event_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      import graft.operators.ScaleOps
+      val iv = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("value").as("st"),
+        (col("value") + (pmod(col("event_id"), lit(7)) + 1) * 0.02).as("en"))
+      val a = iv.select(col("event_id").as("a_id"), col("event_type").as("type_a"),
+        col("st").as("a_st"), col("en").as("a_en"))
+      val b = iv.select(col("event_id").as("b_id"), col("event_type").as("type_b"),
+        col("st").as("b_st"), col("en").as("b_en"))
+      ScaleOps.intervalOverlapJoin(a, b, "a_st", "a_en", "b_st", "b_en", binWidth = 0.1)
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
   )
 }

@@ -105,6 +105,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"simhash candidate pairs $simhashPairs outside (0, $bound]")
   }
 
+  test("intervalOverlapJoin equals the naive overlap join, exactly once per pair") {
+    // irregular lengths (some spanning several bins), duplicates of the
+    // same interval, touching endpoints, and an inverted interval
+    val iv = Seq(
+      (1L, 0.00, 0.05), (2L, 0.04, 0.30), (3L, 0.30, 0.31), (4L, 0.50, 0.55),
+      (5L, 0.00, 0.05), (6L, 0.29, 0.52), (7L, 0.90, 0.10) /* inverted */
+    )
+    val a = iv.toDF("a_id", "a_st", "a_en")
+    val b = iv.map { case (i, s2, e) => (i, s2, e) }.toDF("b_id", "b_st", "b_en")
+    val got = ScaleOps.intervalOverlapJoin(a, b, "a_st", "a_en", "b_st", "b_en", binWidth = 0.1)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+    val naive = a.filter($"a_en" >= $"a_st").join(b.filter($"b_en" >= $"b_st"),
+        $"a_st" <= $"b_en" && $"b_st" <= $"a_en")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === naive, s"got=$got")
+    // multi-bin pair (2,6) overlaps across bins but appears exactly once
+    assert(got.count(_ == (2L, 6L)) === 1)
+    // the inverted interval matched nothing, even though the raw
+    // predicate would have accepted it against (4)
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+    // and the plan is a hash/merge join on the bucket, not a loop
+    val p = ScaleOps.intervalOverlapJoin(a, b, "a_st", "a_en", "b_st", "b_en", 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("repartitionByKey produces the requested partitioning") {
     val df = ScaleOps.repartitionByKey(Tables.orders(spark, TestSpark.sf0001), 8, col("o_custkey"))
     assert(df.rdd.getNumPartitions === 8)

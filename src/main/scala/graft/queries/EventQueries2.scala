@@ -257,5 +257,70 @@ object EventQueries2 {
         .agg(count(lit(1)).as("n_events"), sum(col("v")).cast("double").as("total_value"))
         .orderBy(col("c_mktsegment"))
     },
+
+    /** Watermark LATE-DATA DROP — the one streaming semantic the other
+      * stream queries never isolate: an out-of-order batch arriving
+      * entirely below the watermark must contribute NOTHING. Four
+      * single-file micro-batches (mtime-ordered, maxFilesPerTrigger=1):
+      * Jan-1, Jan-19, Jan-20 events in order, then Jan-10 — ten days
+      * out of order, every row below the watermark, silently dropped
+      * per the contract. The Jan-19 spacer batch matters: Spark keeps
+      * TWO watermarks per batch (SPARK-24634) — late-event filtering
+      * uses the PREVIOUS batch's watermark (one batch of lenience),
+      * eviction the current one — so the late file must arrive two
+      * batches after the watermark passed it, or it would be admitted
+      * and instantly evicted-emitted. Append mode emits a 1h window
+      * only once the watermark passes its end, so the judged sink
+      * holds: all Jan-1/Jan-19 windows, Jan-20 windows except the
+      * watermark-held tail, and NO Jan-10 window at all — the oracle
+      * reconstructs exactly that set from the fixture (max over the
+      * on-time days − 1h as the final watermark). At 100 TB this is
+      * the semantic that bounds state: without the drop, state grows
+      * with the full out-of-orderness of the input. */
+    QueryDef("stream_watermark_late_drop", Some("""
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+                 WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-01'
+                    OR CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-19'
+                    OR CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-20'),
+      wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e)
+      SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+      FROM e, wm
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      import graft.streaming.EventStreams
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val base = graft.Staging.dir("wmdrop", d)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(base).getFileSystem(conf)
+      fs.delete(new Path(base), true)
+      fs.mkdirs(new Path(base, "in"))
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"))
+      val t0 = System.currentTimeMillis()
+      Seq("2024-01-01", "2024-01-19", "2024-01-20", "2024-01-10").zipWithIndex.foreach { case (day, i) =>
+        val tmp = s"$base/stage$i"
+        ev.filter(to_date(col("ts")) === day).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet")).head.getPath
+        val dst = new Path(s"$base/in/f$i.parquet")
+        FileUtil.copy(fs, part, fs, dst, false, conf)
+        // the file source replays oldest-mtime first: pin the order
+        fs.setTimes(dst, t0 + i * 60000L, -1)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      EventStreams.withStreamConf(s) {
+        EventStreams.runToBatch(s, agg,
+          s"graft_q_wmdrop_${graft.Staging.suffix(d)}", outputMode = "append")
+      }.orderBy(col("window_start"), col("event_type"))
+    },
   )
 }

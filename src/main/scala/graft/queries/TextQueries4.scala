@@ -216,5 +216,60 @@ object TextQueries4 {
           (topBigram >= 0.1 || dupBigram >= 0.15).as("repetitive"))
         .orderBy(col("doc_id"))
     },
+
+    /** Temperature-based source mixing — the data-mixing step of every
+      * LLM corpus recipe (Gopher/LLaMA style): small sources are
+      * UPSAMPLED relative to their size so big crawls don't drown
+      * curated sets. Contract (chosen to be exactly reproducible in
+      * SQL): with α = 0.5, each source keeps
+      * rate = min(1, β·sqrt(n_max/n_i)), β = 0.5 — flattening
+      * proportional to n_i^(α−1), anchored on the LARGEST source so
+      * no cross-source float accumulation exists (a normalized-Σ
+      * formulation would sum doubles in engine-specific order and
+      * flip boundary docs between engines; n_max is an exact
+      * integer). The rate is quantized to millionths ONCE, then the
+      * keep decision is pure integer arithmetic on the doc id (a
+      * multiplicative-hash residue, overflow-free by reducing mod a
+      * prime first) — bit-identical row membership in both engines.
+      * The uniform fixture sources are folded into g0..g4 groups of
+      * 25-175 docs so the dial actually spreads (g3 keeps 50%, g0
+      * clamps at 100%).
+      *
+      * Scale shape: per-source stats are K rows (broadcast back);
+      * the corpus-side pass is one scan + integer filter; one final
+      * hash agg. No shuffle of the corpus at all. */
+    QueryDef("curate_temperature_mix", Some("""
+      WITH g AS (SELECT doc_id, n_chars,
+                   'g' || CAST(CAST(floor(sqrt(CAST(substr(source, 4) AS DOUBLE))) AS BIGINT) AS VARCHAR) AS mix_src
+                 FROM documents),
+      c AS (SELECT mix_src, count(*) AS n_docs FROM g GROUP BY 1),
+      r AS (SELECT mix_src, n_docs,
+              CAST(floor(least(1.0, 0.5 * sqrt(CAST(max(n_docs) OVER () AS DOUBLE)
+                                               / CAST(n_docs AS DOUBLE))) * 1000000) AS BIGINT)
+                AS rate_millionths
+            FROM c),
+      k AS (SELECT g.mix_src, r.n_docs, r.rate_millionths, g.n_chars
+            FROM g JOIN r USING (mix_src)
+            WHERE ((g.doc_id % 1000003) * 746777) % 1000000 < r.rate_millionths)
+      SELECT mix_src, n_docs, rate_millionths, count(*) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      FROM k GROUP BY 1, 2, 3 ORDER BY 1""")) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        concat(lit("g"), floor(sqrt(expr("substr(source, 4)").cast("double")))
+          .cast("long").cast("string")).as("mix_src"))
+      val counts = docs.groupBy(col("mix_src")).agg(count(lit(1)).as("n_docs"))
+      val nmax = counts.agg(max(col("n_docs")).as("n_max"))
+      val rates = counts.crossJoin(broadcast(nmax))
+        .withColumn("rate_millionths",
+          floor(least(lit(1.0), lit(0.5) * sqrt(col("n_max").cast("double")
+            / col("n_docs").cast("double"))) * 1000000).cast("long"))
+        .select(col("mix_src"), col("n_docs"), col("rate_millionths"))
+      docs.join(broadcast(rates), Seq("mix_src"))
+        .filter(pmod(pmod(col("doc_id"), lit(1000003L)) * 746777L, lit(1000000L))
+          < col("rate_millionths"))
+        .groupBy(col("mix_src"), col("n_docs"), col("rate_millionths"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("mix_src"))
+    },
   )
 }

@@ -322,5 +322,54 @@ object EventQueries2 {
           s"graft_q_wmdrop_${graft.Staging.suffix(d)}", outputMode = "append")
       }.orderBy(col("window_start"), col("event_type"))
     },
+
+    /** Stream-stream LEFT OUTER join — the state-expiry semantic the
+      * inner `stream_stream_join` can't show: a purchase with no click
+      * in its preceding hour is emitted WITH NULLS only once the
+      * watermark proves no matching click can still arrive (click
+      * watermark past the purchase's ts); matched pairs emit
+      * immediately. Purchases younger than the final watermark and
+      * unmatched are still held in state when the stream drains — they
+      * are NOT in the output, and the oracle reproduces exactly that:
+      * n_clicks > 0 (matched) OR p_ts < min(max_purchase_ts,
+      * max_click_ts) − 2h (expired unmatched). At 100 TB the expiry IS
+      * the operator: without it, outer-join state grows with the whole
+      * unmatched history. The null-emission happens in the no-data
+      * micro-batch Spark triggers after the watermark advances
+      * (processAllAvailable drains it). */
+    QueryDef("stream_stream_left_join", Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT * FROM e WHERE event_type = 'click'),
+      wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                    - INTERVAL 2 HOUR AS w),
+      j AS (SELECT p.event_id, p.ts AS p_ts, c.user_id AS matched
+            FROM p LEFT JOIN c ON c.user_id = p.user_id
+              AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts),
+      g AS (SELECT event_id, max(p_ts) AS p_ts, count(matched) AS n_clicks
+            FROM j GROUP BY 1)
+      SELECT event_id, CAST(n_clicks AS BIGINT) AS n_clicks
+      FROM g, wm WHERE n_clicks > 0 OR p_ts < w
+      ORDER BY event_id""")) { (s, d) =>
+      import graft.streaming.EventStreams
+      val base = EventStreams.stageEventsInput(s, d, "sslj")
+      val ev = EventStreams.readEvents(s, s"$base/in")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "left_outer")
+      EventStreams.withStreamConf(s) {
+        EventStreams.runToBatch(s, joined, s"graft_q_sslj_${graft.Staging.suffix(d)}")
+      }.groupBy(col("p_id")).agg(count(col("c_user")).as("n_clicks"))
+        .select(col("p_id").as("event_id"), col("n_clicks"))
+        .orderBy(col("event_id"))
+    },
   )
 }

@@ -102,6 +102,22 @@ class BandJoinSpec extends AnyFunSuite {
       "a half-bounded range is not binnable and must not be rewritten:\n" + p.take(2000))
   }
 
+  test("past the broadcast threshold the binned join plans as SortMergeJoin on the bucket") {
+    installed()
+    val a = evs.select($"event_id".as("a_id"), $"value".as("a_val"))
+    val b = evs.select($"event_id".as("b_id"), $"value".as("b_val"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p =
+      try a.join(b, abs($"a_val" - $"b_val") <= 0.05 && $"a_id" < $"b_id")
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // the 100 TB shape: both sides shuffle once on the bucket key and
+    // merge — never a loop, no broadcast of a fact-sized side
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(p.contains("__graft_band_probe") && p.contains("__graft_band_bucket"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("judged join_range_band: no nested loop in the executed plan") {
     val df = SparkEntry.queries("join_range_band")(spark, TestSpark.sf0001)
     val p = df.queryExecution.executedPlan.toString

@@ -38,6 +38,89 @@ object TextQueries {
       .filter(col("n_sides") === 2)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
 
+  /** MinHash+LSH candidate pairs `(id_a, id_b, est_jaccard)` (id_a <
+    * id_b, deduped across bands, NO similarity threshold — callers
+    * filter) over any `(doc_id, text)` input. Shared by
+    * `dedup_minhash_lsh` and the planted-recall dial
+    * `dedup_minhash_recall`, so the judged index and the measured
+    * quality can never drift apart. See the scale commentary at the
+    * dedup_minhash_lsh call site. */
+  /** Seeded hash family h_k(x) = (a_k·x + b_k) mod p over the md5-
+    * derived token value x (reduced mod p = 2^31−1; products stay
+    * under 2^62 — no int64 overflow in either engine). The per-k
+    * constants come from fixed multiplicative recurrences, so the 32
+    * hashes are effectively independent — the round-7 recall dial
+    * exposed that the previous affine-in-k family (ha + k·hb) was NOT:
+    * its orderings converge to hb's as k grows, biasing est_jaccard
+    * to ~0.25 on true-J≈0.64 planted pairs (recall 0 at the 0.5
+    * threshold); this family estimates them at 0.59–0.72. */
+  private val MinhashP = 2147483647L // 2^31 − 1 (Mersenne)
+  private def minhashA(k: Int): Long = {
+    val a = (2654435761L * (k + 1)) % MinhashP
+    if (a == 0) 1L else a
+  }
+  private def minhashB(k: Int): Long = (1013904223L * (k + 1) + 12345L) % MinhashP
+
+  /** MinHash runs over DISTINCT char 5-shingles of the lowercased
+    * text (the standard MinHash domain), not word tokens: the fixture
+    * corpus draws from a ~31-word vocabulary, so word-token sets are
+    * degenerate (random-pair Jaccard ≈ 0.6 — every pair is a
+    * "near-dup") while char 5-grams separate cleanly (planted
+    * near-dups ≈ 0.60 vs random pairs ≈ 0.17). */
+  private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(lower(trim(col("text"))), 5))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .select(col("doc_id"),
+        pmod(conv(substring(col("h"), 1, 14), 16, 10).cast("long"), lit(MinhashP)).as("x"))
+    val minCols = (0 until 32).map(k =>
+      min(pmod(lit(minhashA(k)) * col("x") + lit(minhashB(k)), lit(MinhashP))).as(s"m$k"))
+    val sig = exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
+    val bandCols = (0 until 16).map(b => struct(
+      element_at(col("sig"), b * 2 + 1).as("bk1"),
+      element_at(col("sig"), b * 2 + 2).as("bk2")))
+    val banded = graft.operators.ScaleOps.capBuckets(
+      sig.select(col("doc_id"), col("sig"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+        .select(col("doc_id"), col("sig"), col("band"),
+          col("bkey.bk1").as("bk1"), col("bkey.bk2").as("bk2")),
+      Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
+    val a = banded.select(col("band"), col("bk1"), col("bk2"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bk1"), col("bk2"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bk1", "bk2"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhashSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** DuckDB twin of [[minhashPairs]]: the CTE chain (ending in `p`)
+    * over `docsCte`, generated from the same 32/16x2/200 constants. */
+  private[queries] def minhashPairsSql(docsCte: String): String = s"""
+      toks AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                   i -> substr(t, CAST(i AS INT), 5)))) AS tok
+               FROM (SELECT doc_id, lower(trim(text)) AS t FROM $docsCte) lt),
+      th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT % $MinhashP AS x
+             FROM toks),
+      sig AS (SELECT doc_id,
+                [${(0 until 32).map(k => s"min((${minhashA(k)} * x + ${minhashB(k)}) % $MinhashP)").mkString(", ")}] AS sig
+              FROM th GROUP BY doc_id),
+      bands AS (SELECT doc_id, sig, i AS band, sig[2*i + 1] AS bk1, sig[2*i + 2] AS bk2
+                FROM sig CROSS JOIN range(0, 16) AS t(i)),
+      capped AS (SELECT * FROM bands
+                 QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
+      p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32, 6) AS est_jaccard
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.doc_id < b.doc_id)"""
+
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("doc_stats", Some("""
@@ -248,78 +331,24 @@ object TextQueries {
     // MinHashQualitySpec still covers the xxhash64 fast-path family in
     // TextFunctions.minhashSignature (recall/estimate accuracy).
     QueryDef("dedup_minhash_lsh", Some(s"""
-      WITH toks AS (SELECT doc_id,
-                      unnest(list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))) AS tok
-                    FROM documents),
-      th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS ha,
-                    ('0x' || substr(md5(tok), 17, 14))::BIGINT AS hb
-             FROM toks),
-      sig AS (SELECT doc_id,
-                [${(0 until 32).map(k => s"min(ha + $k * hb)").mkString(", ")}] AS sig
-              FROM th GROUP BY doc_id),
-      bands AS (SELECT doc_id, sig, i AS band, sig[2*i + 1] AS bk1, sig[2*i + 2] AS bk2
-                FROM sig CROSS JOIN range(0, 16) AS t(i)),
-      capped AS (SELECT * FROM bands
-                 QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
-      p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-              round(CAST(len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32, 6) AS est_jaccard
-            FROM capped a JOIN capped b
-              ON a.band = b.band AND a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.doc_id < b.doc_id)
+      WITH ${minhashPairsSql("documents")}
       SELECT id_a, id_b, est_jaccard FROM p
       WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""")) { (s, d) =>
-      // Codegen-friendly shape: ONE md5 per distinct word token, two
-      // 56-bit hex slices parsed to longs, and the 32 seeded hashes
-      // derived arithmetically (ha + k·hb — no overflow: 2^56 + 31·2^56
-      // < 2^62) in one hash-aggregate with 32 min() columns (map-side
-      // partial agg). Numeric signatures are 256 B — 4× lighter through
-      // the candidate shuffle than md5-string signatures (measured 31 s
-      // → see PLANS.md — the string-sig variant was the bottleneck).
-      val exploded = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-        .select(col("doc_id"),
-          conv(substring(col("h"), 1, 14), 16, 10).cast("long").as("ha"),
-          conv(substring(col("h"), 17, 14), 16, 10).cast("long").as("hb"))
-      val minCols = (0 until 32).map(k =>
-        min(col("ha") + lit(k.toLong) * col("hb")).as(s"m$k"))
-      val sig = exploded.groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("doc_id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
-      // Hot-bucket guard: a boilerplate-heavy corpus collapses into a
-      // few band buckets and the self-join below goes quadratic —
-      // capBuckets bounds any bucket's contribution (ScaleOpsSpec
-      // plants identical docs and asserts the bound end-to-end). The
-      // cap is deterministic (lowest doc_ids kept), which is what lets
-      // the oracle mirror it with QUALIFY row_number. Band keys are the
-      // two raw minima themselves (an equi-join on two longs) — no
-      // band-hash needed, and trivially engine-portable.
-      //
-      // Signatures ride THROUGH the banding so the scored pairs need
-      // no re-join back to the signature table, and est_jaccard is
-      // computed BEFORE the pair-dedup: the dedup aggregate then sees
-      // only three scalars (hash-aggregable, map-side combinable)
-      // instead of two 256 B signature arrays (which force a
-      // SortAggregate and 4x the shuffle payload). A pair matching in
-      // several bands re-scores a cheap 32-int comparison per extra
-      // band — strictly lighter than shuffling arrays. sig per doc is
-      // deterministic, so every copy of a pair scores identically.
-      val bandCols = (0 until 16).map(b => struct(
-        element_at(col("sig"), b * 2 + 1).as("bk1"),
-        element_at(col("sig"), b * 2 + 2).as("bk2")))
-      val banded = graft.operators.ScaleOps.capBuckets(
-        sig.select(col("doc_id"), col("sig"),
-          posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
-          .select(col("doc_id"), col("sig"), col("band"),
-            col("bkey.bk1").as("bk1"), col("bkey.bk2").as("bk2")),
-        Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
-      val a = banded.select(col("band"), col("bk1"), col("bk2"),
-        col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val b = banded.select(col("band"), col("bk1"), col("bk2"),
-        col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("band", "bk1", "bk2"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), minhashSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
-        .dropDuplicates("id_a", "id_b")
+      // Codegen-friendly shape (see minhashPairs): ONE md5 per distinct
+      // word token reduced mod 2^31-1, the 32 seeded hashes derived
+      // arithmetically ((a_k*x + b_k) mod p — products < 2^62, no
+      // overflow; family independence proven by the recall dial) in
+      // one hash-aggregate with 32 min() columns (map-side partial
+      // agg). Numeric signatures are 256 B —
+      // 4x lighter through the candidate shuffle than md5-string
+      // signatures (measured 31 s -> see PLANS.md). Band keys are the
+      // two raw minima (equi-join on two longs, engine-portable);
+      // capBuckets bounds degenerate buckets at O(cap^2) with a
+      // deterministic lowest-ids rule the oracle mirrors via QUALIFY;
+      // signatures ride THROUGH the banding so scored pairs need no
+      // re-join, and the pair-dedup aggregates three scalars instead
+      // of two 256 B arrays.
+      minhashPairs(Tables.documents(s, d))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },

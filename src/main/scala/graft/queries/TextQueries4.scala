@@ -271,5 +271,52 @@ object TextQueries4 {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
         .orderBy(col("mix_src"))
     },
+
+    /** The MinHash-LSH recall dial — `sim_ann_recall`'s twin for the
+      * text-dedup family, and the probe that caught a real defect:
+      * every 25th doc gets a planted near-duplicate (every 6th word
+      * occurrence replaced by a position-unique marker → true token
+      * Jaccard ≈ 0.6–0.7), the full judged pipeline
+      * (TextQueries.minhashPairs — shared code, so the dial and the
+      * index can never drift) runs over corpus ∪ planted, and each
+      * planted pair reports whether the end-to-end dedup decision
+      * (band collision AND est ≥ 0.5) recovered it. Under the
+      * original affine-in-k hash family (ha + k·hb) this measured
+      * recall 0 — the k-hashes weren't independent and est collapsed
+      * to ~0.25 on true-J 0.64 pairs; the (a_k·x + b_k) mod p family
+      * shipped in its place estimates them at 0.59–0.72. QueriesSpec
+      * floor-asserts the measured recall. */
+    QueryDef("dedup_minhash_recall", Some(s"""
+      WITH planted AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string([CASE WHEN i % 6 = 0 THEN 'zz' || CAST(i AS VARCHAR) ELSE w[i] END
+                                for i in range(1, len(w) + 1)], ' ') AS text
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+              FROM documents WHERE doc_id % 25 = 0)),
+      corpus AS (SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id, text FROM planted),
+      ${TextQueries.minhashPairsSql("corpus")},
+      truth AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+                FROM documents WHERE doc_id % 25 = 0)
+      SELECT t.id_a AS doc_id,
+             p.id_a IS NOT NULL AND p.est_jaccard >= 0.5 AS recovered,
+             p.est_jaccard
+      FROM truth t LEFT JOIN p ON p.id_a = t.id_a AND p.id_b = t.id_b
+      ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(transform(tokens(col("text")), (w, i) =>
+            when(pmod(i + 1, lit(6)) === 0, concat(lit("zz"), (i + 1).cast("string")))
+              .otherwise(w)), " ").as("text"))
+      val pairs = TextQueries.minhashPairs(docs.unionByName(planted))
+      val truth = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      truth.join(pairs, Seq("id_a", "id_b"), "left")
+        .select(col("id_a").as("doc_id"),
+          (col("est_jaccard").isNotNull && col("est_jaccard") >= 0.5).as("recovered"),
+          col("est_jaccard"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

@@ -76,6 +76,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHash planted-near-dup recall meets the floor (the dial that caught the biased family)") {
+    // the judged dedup_minhash_recall plants a true-J≈0.6 near-dup per
+    // 25th doc and asks the END-TO-END pipeline (band collision AND
+    // est >= 0.5) to recover it. Under the original ha + k*hb family
+    // this measured recall 0 (the k-hashes were not independent and
+    // est collapsed to ~0.25); the (a_k*x + b_k) mod p family measures
+    // 0.9 at sf0.01. Floor at 0.7: estimator noise at J just above
+    // the threshold legitimately drops a pair or two.
+    val rows = SparkEntry.queries("dedup_minhash_recall")(spark, sf).collect()
+    assert(rows.length >= 10, "planted set unexpectedly small")
+    val recall = rows.count(_.getBoolean(1)).toDouble / rows.length
+    info(f"minhash planted recall = $recall%.3f (${rows.count(_.getBoolean(1))} / ${rows.length})")
+    assert(recall >= 0.7, f"planted recall $recall%.3f below the 0.7 floor")
+  }
+
   test("dedup_components pointer-jumping converges to true union-find components") {
     import org.apache.spark.sql.Row
     // ground truth: local union-find over the SAME edge set, rebuilt

@@ -125,4 +125,31 @@ class PropertiesSpec extends AnyFunSuite {
       assert(a === rows.map(_._2.replace("-", "")).max)
     }
   }
+
+  test("BandJoinBinning law: binned band join == nested loop for ANY values and band") {
+    graft.plans.BandJoinBinning.install(spark)
+    // values deliberately include negatives, zeros, exact multiples of
+    // common widths, and near-boundary points — the floor-bucket edge
+    // cases; bands are asymmetric with random widths
+    val valGen = Gen.oneOf(
+      Gen.chooseNum(-100.0, 100.0),
+      Gen.chooseNum(-20, 20).map(_ * 0.05),      // exact bucket boundaries
+      Gen.chooseNum(-1000, 1000).map(_ / 997.0)) // irrational-ish spread
+    val tblGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 500L), valGen))
+    val bandGen = Gen.zip(Gen.chooseNum(1, 40).map(_ * 0.01), Gen.chooseNum(1, 40).map(_ * 0.01))
+    (1 to 6).foreach { i =>
+      val rows = samples(tblGen, i).last.take(60)
+      val (lo, hi) = samples(bandGen, i).last
+      val a = rows.toDF("a_id", "a_val")
+      val b = rows.map { case (k, v) => (k + 1000, v) }.toDF("b_id", "b_val")
+      def q = a.join(b, col("a_val") >= col("b_val") - lo && col("a_val") <= col("b_val") + hi)
+        .select(col("a_id"), col("b_id"))
+      val on = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(graft.plans.BandJoinBinning.Flag, "false")
+      val off =
+        try q.collect().map(_.toString).sorted.toSeq
+        finally spark.conf.unset(graft.plans.BandJoinBinning.Flag)
+      assert(on === off, s"band=(-$lo, +$hi) rows=${rows.take(8)}...")
+    }
+  }
 }

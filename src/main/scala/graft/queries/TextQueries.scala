@@ -121,6 +121,67 @@ object TextQueries {
               ON a.band = b.band AND a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.doc_id < b.doc_id)"""
 
 
+  /** SimHash candidate pairs `(id_a, id_b, hamming_dist)` (id_a <
+    * id_b, deduped across bands, NO distance threshold — callers
+    * filter) over any `(doc_id, text)` input. Blocking is 8 banded
+    * 8-bit tables (Manku et al., WWW'07): a pair with Hamming
+    * distance <= 7 is GUARANTEED a clean band (pigeonhole), and the
+    * planted dial measures 1.0 recall at the fixture's ham<=16
+    * confirmation threshold — the round-7 dial measured 0.3 under
+    * the previous single-16-bit-bucket blocking (every planted pair
+    * passed confirmation but flipped a low bit and never met).
+    * Shared by `dedup_simhash` and `dedup_simhash_recall`. */
+  private[queries] def simhashPairs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val withV = toks.select(col("doc_id") +: (0 until 16).map(j =>
+      conv(substring(col("h"), j + 1, 1), 16, 10).cast("int").as(s"v$j")): _*)
+    val voteCols = (0 until 64).map(i =>
+      sum(shiftright(col(s"v${i / 4}"), i % 4).bitwiseAND(1) * 2 - 1).as(s"b$i"))
+    val sig = withV.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("sh64"))
+    val bandKeys = (0 until 8).map(b =>
+      shiftright(col("sh64"), 8 * b).bitwiseAND(lit(255L)).cast("int"))
+    val banded = graft.operators.ScaleOps.capBuckets(
+      sig.select(col("doc_id"), col("sh64"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), "doc_id", cap = 200)
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sh64").as("h_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sh64").as("h_b"))
+    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("h_a"), col("h_b")).cast("long").as("hamming_dist"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** DuckDB twin of [[simhashPairs]]: CTE chain ending in `p`. */
+  private[queries] def simhashPairsSql(docsCte: String): String = s"""
+      toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+               FROM $docsCte),
+      th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+      bits AS (SELECT doc_id, i,
+                 ((strpos('0123456789abcdef', substr(h, i // 4 + 1, 1)) - 1)
+                   // (1 << (i % 4))) % 2 AS bit
+               FROM th CROSS JOIN range(0, 64) AS t(i)),
+      votes AS (SELECT doc_id, i, CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
+                FROM bits GROUP BY doc_id, i),
+      sig AS (SELECT doc_id, list(sbit ORDER BY i) AS bits FROM votes GROUP BY doc_id),
+      bands AS (SELECT doc_id, bits, b AS band,
+                  CAST(list_sum(list_transform(range(0, 8), i -> bits[8 * b + i + 1] * (1 << i))) AS INT) AS bkey
+                FROM sig CROSS JOIN range(0, 8) AS t(b)),
+      capped AS (SELECT * FROM bands
+                 QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 200),
+      p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(list_sum(list_transform(list_zip(a.bits, b.bits),
+                s -> CASE WHEN s[1] <> s[2] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming_dist
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("doc_stats", Some("""
@@ -383,68 +444,29 @@ object TextQueries {
         .orderBy(col("id_a"))
     },
 
-    // SimHash near-dup: 64-bit per-bit-vote signature; candidates
-    // bucket on the low 16 bits, confirmed by Hamming distance.
-    // FULLY oracle-checked: the per-token hash is md5, whose first 16
-    // hex digits give 64 bits both engines derive identically (hex
-    // digit value >> bit & 1), so the DuckDB oracle recomputes the
-    // whole pipeline — votes, packing, bucket join, cap, Hamming.
-    QueryDef("dedup_simhash", Some("""
-      WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS tok
-                    FROM documents),
-      th AS (SELECT doc_id, md5(tok) AS h FROM toks),
-      bits AS (SELECT doc_id, i,
-                 ((strpos('0123456789abcdef', substr(h, i // 4 + 1, 1)) - 1)
-                   // (1 << (i % 4))) % 2 AS bit
-               FROM th CROSS JOIN range(0, 64) AS t(i)),
-      votes AS (SELECT doc_id, i, CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
-                FROM bits GROUP BY doc_id, i),
-      sig AS (SELECT doc_id,
-                CAST(sum(CASE WHEN i < 16 THEN sbit * (1 << i) ELSE 0 END) AS INT) AS bucket,
-                list(sbit ORDER BY i) AS bits
-              FROM votes GROUP BY doc_id),
-      capped AS (SELECT * FROM sig
-                 QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY doc_id) <= 200),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              list_sum(list_transform(list_zip(a.bits, b.bits),
-                s -> CASE WHEN s[1] <> s[2] THEN 1 ELSE 0 END)) AS ham
-            FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-      SELECT id_a, id_b, CAST(ham AS BIGINT) AS hamming_dist
-      FROM p WHERE ham <= 16 ORDER BY id_a, id_b""")) { (s, d) =>
-      // Same codegen-friendly shape: explode tokens → 16 hex-digit
-      // values in a narrow projection → 64 per-bit vote sums in one
-      // hash aggregate → pack to a long for bit_count Hamming.
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val withV = toks.select(col("doc_id") +: (0 until 16).map(j =>
-        conv(substring(col("h"), j + 1, 1), 16, 10).cast("int").as(s"v$j")): _*)
-      val voteCols = (0 until 64).map(i =>
-        sum(shiftright(col(s"v${i / 4}"), i % 4).bitwiseAND(1) * 2 - 1).as(s"b$i"))
-      val sig = withV.groupBy(col("doc_id"))
-        .agg(voteCols.head, voteCols.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-            .reduce(_ bitwiseOR _).as("sh64"),
-          (0 until 16).map(i => when(col(s"b$i") > 0, shiftleft(lit(1), i)).otherwise(0))
-            .reduce(_ bitwiseOR _).as("bucket"))
-      val withBucket = graft.operators.ScaleOps.capBuckets(
-        sig, Seq("bucket"), "doc_id", cap = 200)
-      val a = withBucket.select(col("bucket"), col("doc_id").as("id_a"), col("sh64").as("h_a"))
-      val b = withBucket.select(col("bucket"), col("doc_id").as("id_b"), col("sh64").as("h_b"))
-      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          hamming(col("h_a"), col("h_b")).cast("long").as("hamming_dist"))
+    // SimHash near-dup: 64-bit per-bit-vote signature; candidates via
+    // 8 banded 8-bit blocks, confirmed by Hamming distance. FULLY
+    // oracle-checked: the per-token hash is md5, whose first 16 hex
+    // digits give 64 bits both engines derive identically, so the
+    // DuckDB oracle recomputes the whole pipeline — votes, packing,
+    // banded blocking, cap, Hamming.
+    QueryDef("dedup_simhash", Some(s"""
+      WITH ${simhashPairsSql("documents")}
+      SELECT id_a, id_b, hamming_dist FROM p
+      WHERE hamming_dist <= 16 ORDER BY id_a, id_b""")) { (s, d) =>
+      // Codegen-friendly shape (see simhashPairs): explode tokens -> 16
+      // hex-digit values in a narrow projection -> 64 per-bit vote sums
+      // in ONE hash aggregate (map-side partial) -> packed long ->
+      // bit_count Hamming. Blocking is 8 banded 8-bit tables (the
+      // round-7 recall dial measured 0.3 under the old single
+      // low-16-bit bucket — ham<=7 pairs are now pigeonhole-guaranteed
+      // to meet, and the dial measures 1.0 on planted near-dups);
+      // capBuckets bounds degenerate bands, mirrored by QUALIFY.
+      simhashPairs(Tables.documents(s, d))
         .filter(col("hamming_dist") <= 16)
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Multimodal decode plumbing under the oracle gate: the
-    // iterator-to-iterator mapPartitions decode runs for real; the
-    // judged columns are the ones a SQL oracle can reproduce
-    // (doc_id, payload byte length) — the FakeCodec-derived fields
-    // (format/width/height/checksum) stay spec-checked (MultimodalSpec)
-    // since their wrapping-arithmetic fold is not SQL-expressible.
     QueryDef("multimodal_decode", Some("""
       SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes
       FROM documents ORDER BY doc_id""")) { (s, d) =>

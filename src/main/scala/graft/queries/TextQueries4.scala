@@ -318,5 +318,47 @@ object TextQueries4 {
           col("est_jaccard"))
         .orderBy(col("doc_id"))
     },
+
+    /** SimHash recall dial — same planted near-dups as
+      * dedup_minhash_recall, against the judged SimHash pipeline
+      * (TextQueries.simhashPairs, shared code). This dial is what
+      * forced the round-7 blocking rebuild: under the original single
+      * low-16-bit bucket, every planted pair PASSED the ham<=16
+      * confirmation (true distances 4-13) but recall was 0.3 — the
+      * pairs simply never met, having flipped a low bit. The 8x8-bit
+      * banded blocking (pigeonhole: ham<=7 guarantees a clean band)
+      * measures 1.0 on the same pairs. QueriesSpec floor-asserts. */
+    QueryDef("dedup_simhash_recall", Some(s"""
+      WITH planted AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string([CASE WHEN i % 6 = 0 THEN 'zz' || CAST(i AS VARCHAR) ELSE w[i] END
+                                for i in range(1, len(w) + 1)], ' ') AS text
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+              FROM documents WHERE doc_id % 25 = 0)),
+      corpus AS (SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id, text FROM planted),
+      ${TextQueries.simhashPairsSql("corpus")},
+      truth AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+                FROM documents WHERE doc_id % 25 = 0)
+      SELECT t.id_a AS doc_id,
+             p.id_a IS NOT NULL AND p.hamming_dist <= 16 AS recovered,
+             p.hamming_dist
+      FROM truth t LEFT JOIN p ON p.id_a = t.id_a AND p.id_b = t.id_b
+      ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(transform(tokens(col("text")), (w, i) =>
+            when(pmod(i + 1, lit(6)) === 0, concat(lit("zz"), (i + 1).cast("string")))
+              .otherwise(w)), " ").as("text"))
+      val pairs = TextQueries.simhashPairs(docs.unionByName(planted))
+      val truth = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      truth.join(pairs, Seq("id_a", "id_b"), "left")
+        .select(col("id_a").as("doc_id"),
+          (col("hamming_dist").isNotNull && col("hamming_dist") <= 16).as("recovered"),
+          col("hamming_dist"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

@@ -91,6 +91,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.7, f"planted recall $recall%.3f below the 0.7 floor")
   }
 
+  test("SimHash planted-near-dup recall meets the floor (the dial that forced banded blocking)") {
+    // planted pairs sit at true Hamming 4-13 — ALL pass the ham<=16
+    // confirmation, so recall is purely a blocking property: the old
+    // single low-16-bit bucket measured 0.3 (pairs never met), the
+    // 8x8-band blocking measures 1.0 (ham<=7 pigeonhole-guaranteed).
+    val rows = SparkEntry.queries("dedup_simhash_recall")(spark, sf).collect()
+    assert(rows.length >= 10)
+    val recall = rows.count(_.getBoolean(1)).toDouble / rows.length
+    info(f"simhash planted recall = $recall%.3f")
+    assert(recall >= 0.9, f"simhash planted recall $recall%.3f below the 0.9 floor")
+  }
+
   test("dedup_components pointer-jumping converges to true union-find components") {
     import org.apache.spark.sql.Row
     // ground truth: local union-find over the SAME edge set, rebuilt

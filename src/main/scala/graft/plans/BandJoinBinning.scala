@@ -102,6 +102,8 @@ object BandJoinBinning extends Rule[LogicalPlan] {
     else if (e.references.subsetOf(r.outputSet)) Some(false)
     else None
 
+  /** Numeric literals as doubles; day-time interval literals as MICROS
+    * (the unit timestamp bands are binned in). */
   private def litD(e: Expression): Option[Double] = e match {
     case Literal(v, _: NumericType) if v != null =>
       v match {
@@ -109,10 +111,22 @@ object BandJoinBinning extends Rule[LogicalPlan] {
         case n: Number  => Some(n.doubleValue())
         case _          => None
       }
+    case Literal(v, _: DayTimeIntervalType) if v != null =>
+      Some(v.asInstanceOf[Long].toDouble)
     case _ => None
   }
 
-  /** Strip `± literal` shifts: returns (core, offset) with e = core + offset. */
+  /** Band operands may be numeric (binned in value units) or
+    * timestamps (binned in epoch micros via UnixMicros). */
+  private def bandable(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case TimestampType  => true
+    case _              => false
+  }
+
+  /** Strip `± literal` shifts: returns (core, offset) with e = core +
+    * offset — offset in value units for numerics, micros for
+    * timestamps (`ts ± INTERVAL` plans as TimestampAddInterval). */
   private def shift(e: Expression): (Expression, Double) = e match {
     case Add(a, b, _) =>
       litD(b).map { c => val (core, o) = shift(a); (core, o + c) }
@@ -120,6 +134,8 @@ object BandJoinBinning extends Rule[LogicalPlan] {
         .getOrElse((e, 0.0))
     case Subtract(a, b, _) =>
       litD(b).map { c => val (core, o) = shift(a); (core, o - c) }.getOrElse((e, 0.0))
+    case TimestampAddInterval(a, b, _) =>
+      litD(b).map { c => val (core, o) = shift(a); (core, o + c) }.getOrElse((e, 0.0))
     case _ => (e, 0.0)
   }
 
@@ -150,6 +166,11 @@ object BandJoinBinning extends Rule[LogicalPlan] {
         case (Subtract(p, q, _), lim) if litD(lim).isDefined =>
           diffBound(p, q, litD(lim).get, upper = true, l, r)
         case (lim, Subtract(p, q, _)) if litD(lim).isDefined =>
+          diffBound(p, q, litD(lim).get, upper = false, l, r)
+        // (ts_p - ts_q) <= INTERVAL c  (difference in micros)
+        case (SubtractTimestamps(p, q, _, _), lim) if litD(lim).isDefined =>
+          diffBound(p, q, litD(lim).get, upper = true, l, r)
+        case (lim, SubtractTimestamps(p, q, _, _)) if litD(lim).isDefined =>
           diffBound(p, q, litD(lim).get, upper = false, l, r)
         // (p ± c1) <= (q ± c2) with p, q on opposite sides
         case _ =>
@@ -185,7 +206,7 @@ object BandJoinBinning extends Rule[LogicalPlan] {
   private def findBand(cond: Expression, l: LogicalPlan, r: LogicalPlan): Option[Band] = {
     val all = splitConjuncts(cond).flatMap(bounds(_, l, r)).filter { case (x, y, _, _) =>
       x.deterministic && y.deterministic &&
-        x.dataType.isInstanceOf[NumericType] && y.dataType.isInstanceOf[NumericType]
+        bandable(x.dataType) && bandable(y.dataType)
     }
     val byPair = all.groupBy { case (x, y, _, _) => (x.canonicalized, y.canonicalized) }
     byPair.values.flatMap { bs =>
@@ -209,8 +230,13 @@ object BandJoinBinning extends Rule[LogicalPlan] {
   private def clampedFloor(e: Expression): Expression =
     Least(Seq(Greatest(Seq(Floor(e), Literal(-ClampAbs))), Literal(ClampAbs)))
 
-  private def toD(e: Expression): Expression =
-    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+  private def toD(e: Expression): Expression = e.dataType match {
+    case DoubleType    => e
+    // ANSI bans a direct timestamp→numeric cast; UnixMicros is the
+    // sanctioned epoch extraction and matches the interval-literal unit
+    case TimestampType => Cast(UnixMicros(e), DoubleType)
+    case _             => Cast(e, DoubleType)
+  }
 
   private def rewrite(j: Join, band: Band): LogicalPlan = {
     val s = band.hi - band.lo // bin width = band width → ≤ 2 reachable bins (+2 slack)

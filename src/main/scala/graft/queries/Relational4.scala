@@ -201,5 +201,35 @@ object Relational4 {
         .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("type_a"), col("type_b"))
     },
+
+    /** TIME-band join with no equi key: cross-type event pairs within
+      * ±2 seconds of each other, corpus-wide (no user_id key to ride —
+      * that variant is `join_range`). BandJoinBinning recognizes the
+      * `ts BETWEEN ts ± INTERVAL` shape (TimestampAddInterval with
+      * DayTimeInterval literals), bins both sides in epoch micros via
+      * UnixMicros (ANSI bans the direct timestamp→numeric cast), and
+      * the nested loop becomes a bucket hash join — the temporal twin
+      * of join_range_band. Timestamp comparisons and the micro-epoch
+      * arithmetic are exact integers in both engines. */
+    QueryDef("join_range_band_time", Some("""
+      WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+      FROM e a JOIN e b
+        ON b.ts >= a.ts - INTERVAL 2 SECOND AND b.ts <= a.ts + INTERVAL 2 SECOND
+        AND a.event_id < b.event_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      graft.plans.BandJoinBinning.install(s)
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"), col("ts"))
+      val a = e.select(col("event_id").as("a_id"), col("event_type").as("type_a"),
+        col("ts").as("a_ts"))
+      val b = e.select(col("event_id").as("b_id"), col("event_type").as("type_b"),
+        col("ts").as("b_ts"))
+      a.join(b,
+          col("b_ts") >= col("a_ts") - expr("INTERVAL 2 SECONDS") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 2 SECONDS") &&
+            col("a_id") < col("b_id"))
+        .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
   )
 }

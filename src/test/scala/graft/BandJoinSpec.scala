@@ -118,6 +118,27 @@ class BandJoinSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("timestamp band (ts BETWEEN ts ± INTERVAL) binned via UnixMicros, value-identical") {
+    installed()
+    val e = Tables.events(spark, TestSpark.sf0001).select($"event_id", $"ts")
+    val a = e.select($"event_id".as("a_id"), $"ts".as("a_ts"))
+    val b = e.select($"event_id".as("b_id"), $"ts".as("b_ts"))
+    def q = a.join(b,
+      $"b_ts" >= $"a_ts" - expr("INTERVAL 30 SECONDS") &&
+        $"b_ts" <= $"a_ts" + expr("INTERVAL 30 SECONDS") && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "time band must bin, not loop:\n" + p.take(3000))
+    assert(p.contains("unix_micros") || p.contains("__graft_band"), p.take(3000))
+    val on = q.collect().map(_.toString).sorted
+    spark.conf.set(BandJoinBinning.Flag, "false")
+    val off =
+      try q.collect().map(_.toString).sorted
+      finally spark.conf.unset(BandJoinBinning.Flag)
+    assert(on.sameElements(off))
+  }
+
   test("judged join_range_band: no nested loop in the executed plan") {
     val df = SparkEntry.queries("join_range_band")(spark, TestSpark.sf0001)
     val p = df.queryExecution.executedPlan.toString

@@ -130,6 +130,49 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Embedding near-dup candidate pairs `(id_a, id_b, cosine)` (id_a <
+    * id_b, deduped across bands, NO similarity threshold — callers
+    * filter) over any `(vec_id, q)` quantized input. Blocking is 4
+    * banded 4-bit axis-sign tables over disjoint dim slices: the
+    * round-7 dial measured 0.45 recall for the single dims-0-3 table
+    * on planted cosine-0.89 near-dups (one near-zero component flips
+    * its sign and the pair never meets) vs 0.9 banded. Shared by
+    * `dedup_embedding_cosine` and `dedup_embedding_recall`. */
+  private def cosinePairs(vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val v = vecs.withColumn("n2", qdot(col("q"), col("q")))
+    val bandKeys = (0 until 4).map(t => axisSignBucket(col("q"), 4 * t until 4 * t + 4))
+    val banded = graft.operators.ScaleOps.capBuckets(
+      v.select(col("vec_id"), col("q"), col("n2"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), "vec_id", cap = 1000)
+    val a = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"),
+      col("q").as("q_a"), col("n2").as("n2_a"))
+    val b = banded.select(col("band"), col("bucket"), col("vec_id").as("id_b"),
+      col("q").as("q_b"), col("n2").as("n2_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineFromQ(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** DuckDB twin of [[cosinePairs]]: CTE chain ending in `p` over a
+    * `(vec_id, q)` CTE. */
+  private def cosinePairsSql(vecsCte: String): String = s"""
+      n0 AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2
+             FROM $vecsCte),
+      bands AS (SELECT vec_id, q, n2, b AS band,
+                  CAST(list_sum(list_transform(range(0, 4), j ->
+                    CASE WHEN q[4 * b + j + 1] >= 0 THEN (8 >> j) ELSE 0 END)) AS BIGINT) AS bucket
+                FROM n0 CROSS JOIN range(0, 4) AS t(b)),
+      capped AS (SELECT * FROM bands
+                 QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) <= 1000),
+      p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+              CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS DOUBLE)
+                / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
+
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("sim_cosine_topk", Some(oracleTopk))(exactTopk),
@@ -309,62 +352,24 @@ object VectorQueries {
       * is fixture-calibrated: the synthetic vectors are near-random
       * (max pairwise cosine ≈ 0.55), so a production 0.85 threshold
       * would select nothing at any SF. */
-    QueryDef("dedup_embedding_cosine", Some("""
+    QueryDef("dedup_embedding_cosine", Some(s"""
       WITH v AS (SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
                  FROM embeddings),
-      n0 AS (SELECT vec_id, q,
-              list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2,
-              (CASE WHEN q[1] >= 0 THEN 8 ELSE 0 END + CASE WHEN q[2] >= 0 THEN 4 ELSE 0 END +
-               CASE WHEN q[3] >= 0 THEN 2 ELSE 0 END + CASE WHEN q[4] >= 0 THEN 1 ELSE 0 END) AS bucket
-            FROM v),
-      n AS (SELECT * FROM n0
-            QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 1000),
-      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS DOUBLE)
-                / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
-            FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      ${cosinePairsSql("v")}
       SELECT id_a, id_b, round(cosine, 6) AS cosine
       FROM p WHERE cosine > 0.4 ORDER BY id_a, id_b""")) { (s, d) =>
-      val v = graft.operators.ScaleOps.capBuckets(
-        Tables.embeddings(s, d)
-          .select(col("vec_id"), quantize(col("embedding")).as("q"))
-          .withColumn("n2", qdot(col("q"), col("q")))
-          .withColumn("bucket", axisSignBucket(col("q"), 0 until 4)),
-        Seq("bucket"), "vec_id", cap = 1000)   // hot-bucket guard, mirrored by the oracle's QUALIFY
-      val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("q").as("q_a"), col("n2").as("n2_a"))
-      val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("q").as("q_b"), col("n2").as("n2_b"))
-      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", cosineFromQ(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
+      // 4 banded 4-bit axis-sign tables (see cosinePairs — the round-7
+      // recall dial retired the single dims-0-3 bucket), capBuckets
+      // hot-bucket guard mirrored by the oracle's QUALIFY, exact
+      // int64-quantized cosine confirmation.
+      cosinePairs(Tables.embeddings(s, d)
+          .select(col("vec_id"), quantize(col("embedding")).as("q")))
         .filter(col("cosine") > 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    /** SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
-      * clusters — embeddings are coarse-clustered, then ONLY
-      * within-cluster pairs are cosine-compared, and of any pair above
-      * the threshold the lower id survives. Complements the other
-      * dedup family members: exact/minhash/simhash catch lexical
-      * copies, `dedup_embedding_cosine` catches near-dups under
-      * axis-sign LSH blocking, this catches PARAPHRASES under
-      * learned-representation blocking (the paper's point: web-scale
-      * corpora shrink 50% with no quality loss).
-      *
-      * Deterministic contract: keep a vector iff NO lower-id
-      * cluster-mate has cosine >= 0.35 with it; `dup_of` reports the
-      * smallest such anchor (anchors are pairwise, not transitively
-      * re-anchored — one pass, exactly SemDeDup's greedy sweep).
-      * Cluster assignment reuses sim_ann_ivf's coarse quantizer
-      * verbatim (fixed seed centroids vec_id < 8, quantized-exact
-      * cosine, id tie-break) so the two operators share one index
-      * story.
-      *
-      * Scale shape: centroids broadcast (k rows); assignment is one
-      * narrow pass; the pair kernel is an equi-join on cluster with
-      * the capBuckets hot-bucket guard (O(cap²) bound, plan-guarded
-      * no-cartesian) — the SemDeDup recipe at 100 TB IS this shape
-      * with k grown to ~100k so cluster populations stay bounded. */
     QueryDef("dedup_semantic", Some("""
       WITH v AS (SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
@@ -411,6 +416,48 @@ object VectorQueries {
         .join(dups, col("vec_id") === col("id_b"), "left")
         .select(col("vec_id"), col("cluster"), col("dup_of"),
           col("dup_of").isNotNull.as("removed"))
+        .orderBy(col("vec_id"))
+    },
+
+    /** Embedding-dedup recall dial — third of the round-7 planted
+      * dials, and the third real blocking defect found: every 25th
+      * vector gets a planted near-duplicate (deterministic integer
+      * perturbation in quantized space, cosine ≈ 0.89 — well above
+      * the judged 0.4 threshold), and each pair reports whether the
+      * end-to-end dedup (band collision AND cosine > 0.4) recovered
+      * it. The single dims-0-3 axis-sign bucket measured 0.45 (a
+      * near-zero component flips sign under small perturbation and
+      * the pair never meets); the 4-banded blocking shipped in its
+      * place measures 0.9. QueriesSpec floor-asserts. */
+    QueryDef("dedup_embedding_recall", Some(s"""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      planted AS (SELECT vec_id + 1000000 AS vec_id,
+                    list_transform(range(1, len(q) + 1),
+                      i -> q[i] + (((i - 1) % 7) - 3) * 30000) AS q
+                  FROM v WHERE vec_id % 25 = 0),
+      corpus AS (SELECT * FROM v UNION ALL SELECT * FROM planted),
+      ${cosinePairsSql("corpus")},
+      truth AS (SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM v WHERE vec_id % 25 = 0)
+      SELECT t.id_a AS vec_id,
+             p.id_a IS NOT NULL AND p.cosine > 0.4 AS recovered,
+             round(p.cosine, 6) AS cosine
+      FROM truth t LEFT JOIN p ON p.id_a = t.id_a AND p.id_b = t.id_b
+      ORDER BY vec_id""")) { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val planted = v.filter(pmod(col("vec_id"), lit(25L)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("q"), (x, i) =>
+            x + (pmod(i, lit(7)) - 3).cast("long") * 30000L).as("q"))
+      val pairs = cosinePairs(v.unionByName(planted))
+      val truth = v.filter(pmod(col("vec_id"), lit(25L)) === 0)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 1000000L).as("id_b"))
+      truth.join(pairs, Seq("id_a", "id_b"), "left")
+        .select(col("id_a").as("vec_id"),
+          (col("cosine").isNotNull && col("cosine") > 0.4).as("recovered"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy(col("vec_id"))
     },
   )

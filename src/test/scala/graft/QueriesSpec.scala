@@ -103,6 +103,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"simhash planted recall $recall%.3f below the 0.9 floor")
   }
 
+  test("embedding-dedup planted recall meets the floor (third blocking dial)") {
+    // planted pairs sit at cosine ~0.89 — all pass the 0.4 judged
+    // threshold, so recall is again purely a blocking property: single
+    // dims-0-3 axis-sign bucket measured 0.45, the 4-banded blocking
+    // measures 0.9 (estimator-free: the miss mode is a near-zero
+    // component flipping sign in every band).
+    val rows = SparkEntry.queries("dedup_embedding_recall")(spark, sf).collect()
+    assert(rows.length >= 10)
+    val recall = rows.count(_.getBoolean(1)).toDouble / rows.length
+    info(f"embedding planted recall = $recall%.3f")
+    assert(recall >= 0.7, f"embedding planted recall $recall%.3f below the 0.7 floor")
+  }
+
   test("dedup_components pointer-jumping converges to true union-find components") {
     import org.apache.spark.sql.Row
     // ground truth: local union-find over the SAME edge set, rebuilt

@@ -360,5 +360,33 @@ object TextQueries4 {
           col("hamming_dist"))
         .orderBy(col("doc_id"))
     },
+
+    /** Deterministic stratified reservoir sample: k=20 docs per
+      * language, selected by ranking on md5(doc_id) — a seeded uniform
+      * draw per stratum that is reproducible across engines and runs
+      * (the property a training-data sampler must have for ablation
+      * reruns; Math.random-style reservoirs are not replayable).
+      *
+      * Scale shape: row_number <= k over (lang, md5) plans as
+      * partial+final WindowGroupLimit — every map task keeps at most k
+      * rows per language BEFORE the exchange (same pre-limit pattern
+      * as events_top_paths), so per-stratum state is O(k) however
+      * skewed the language distribution; no global sort, no full
+      * shuffle of the corpus. */
+    QueryDef("curate_reservoir", Some("""
+      WITH r AS (SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                 FROM documents)
+      SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 20 ORDER BY lang, rk""")) { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .orderBy(col("lang"), col("rk"))
+    },
   )
 }

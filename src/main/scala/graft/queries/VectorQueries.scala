@@ -295,6 +295,96 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    /** Product-quantization ANN (Jégou et al., "Product Quantization
+      * for Nearest Neighbor Search", TPAMI 2011) — the third ANN
+      * index family, and the one that matters most at 100 TB: PQ
+      * codes compress each 64-dim vector to m=8 nibble codes (a
+      * 64x storage/scan reduction), and candidate scoring reads ONLY
+      * the code table plus a per-query lookup table, never the raw
+      * vectors. Pipeline: 8 subspaces x 8 dims, k=16 centroids per
+      * subspace (sub-vectors of vec_id < 16 stand in for a trained
+      * k-means codebook, exactly as sim_ann_ivf's coarse quantizer
+      * does); encode = nearest centroid per (vector, subspace) by
+      * squared-L2; query-time ADC = per-query distance LUT summed over
+      * the 8 codes; ADC shortlist of 50 is then re-ranked by EXACT
+      * cosine — the standard ADC+re-rank production shape.
+      *
+      * Parity: squared L2 stays in exact int64 via the qdot identity
+      * d2 = |a|^2 + |b|^2 - 2<a,b> (components <= ~8e12, far inside
+      * int64), so codes, LUTs, ADC sums, and the shortlist boundary
+      * are bit-identical to the oracle's direct (a-b)^2 sums; the
+      * re-rank divides identical integers.
+      *
+      * Scale shape: the codebook is 128 tiny rows → broadcast both
+      * into encode and into the per-query LUT; encoding is one narrow
+      * pass over the corpus (no shuffle before the per-(vec,s) argmin,
+      * which AQE keeps map-side after the broadcast join); ADC is a
+      * broadcast-LUT equi-join on (s, code) + one partial-aggregated
+      * sum — the corpus shuffles only the 8-row-per-vector code
+      * stream, never embeddings. */
+    QueryDef("sim_ann_pq", Some("""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      n AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2 FROM v),
+      subs AS (SELECT vec_id, s, q[s * 8 + 1 : s * 8 + 8] AS sub
+               FROM v CROSS JOIN range(0, 8) AS t(s)),
+      cents AS (SELECT s, vec_id AS c_id, sub AS csub FROM subs WHERE vec_id < 16),
+      dist AS (SELECT a.vec_id, a.s, c.c_id,
+                 list_sum(list_transform(list_zip(a.sub, c.csub), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM subs a JOIN cents c ON c.s = a.s),
+      codes AS (SELECT vec_id, s, c_id AS code FROM
+                  (SELECT vec_id, s, c_id, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_id) AS rn FROM dist)
+                WHERE rn = 1),
+      lut AS (SELECT vec_id AS q_id, s, c_id AS code, d2 FROM dist WHERE vec_id < 5),
+      adc AS (SELECT l.q_id, c.vec_id, sum(l.d2) AS adc
+              FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+              WHERE c.vec_id != l.q_id GROUP BY l.q_id, c.vec_id),
+      short AS (SELECT q_id, vec_id FROM
+                  (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS srn FROM adc)
+                WHERE srn <= 50),
+      scored AS (SELECT sh.q_id, sh.vec_id,
+                   CAST(list_sum(list_transform(list_zip(qa.q, vb.q), p -> p[1] * p[2])) AS DOUBLE)
+                     / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE))) AS cosine
+                 FROM short sh JOIN n qa ON qa.vec_id = sh.q_id JOIN n vb ON vb.vec_id = sh.vec_id),
+      r AS (SELECT q_id, vec_id, cosine,
+              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+      SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", qdot(col("q"), col("q")))
+      val subs = v.select(col("vec_id"), posexplode(array(
+          (0 until 8).map(t => slice(col("q"), t * 8 + 1, 8)): _*)).as(Seq("s", "sub")))
+        .withColumn("sn2", qdot(col("sub"), col("sub")))
+      val cents = subs.filter(col("vec_id") < 16)
+        .select(col("s"), col("vec_id").as("c_id"), col("sub").as("csub"), col("sn2").as("cn2"))
+      // exact squared L2 without expanding (a-b): d2 = sn2 + cn2 - 2*dot
+      val dist = subs.join(broadcast(cents), Seq("s"))
+        .withColumn("d2", col("sn2") + col("cn2") - lit(2L) * qdot(col("sub"), col("csub")))
+      val wCode = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("c_id"))
+      val codes = dist.withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("c_id").as("code"))
+      val lut = dist.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("s"), col("c_id").as("code"), col("d2"))
+      val adc = codes.join(broadcast(lut), Seq("s", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id")).agg(sum(col("d2")).as("adc"))
+      val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+      val short = adc.withColumn("srn", row_number().over(wShort)).filter(col("srn") <= 50)
+        .select(col("q_id"), col("vec_id"))
+      val qa = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+      val scored = short.join(broadcast(qa), Seq("q_id")).join(v, Seq("vec_id"))
+        .withColumn("cosine", cosineFromQ(qdot(col("qq"), col("q")), col("qn2"), col("n2")))
+      val wR = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(wR).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     /** The native codegen'd Catalyst expression through its SQL
       * registration path (GraftExtensions → `qdot_native`): the same
       * LongDotProduct kernel the Column-API queries use, here invoked

@@ -98,6 +98,13 @@ class PlanShapeSpec extends AnyFunSuite {
         "collect_list state stays O(16): " + p.take(2000))
   }
 
+  test("curate_reservoir: stratified sample pre-limits as WindowGroupLimit (O(k) per stratum)") {
+    val p = plan("curate_reservoir")
+    assert(p.contains("WindowGroupLimit"),
+      "the rk<=20 sample filter must push down as partial+final WindowGroupLimit " +
+        "so map tasks keep at most k rows per language before the exchange: " + p.take(2000))
+  }
+
   test("join_bucketed: co-located SMJ with no Exchange on the join key") {
     val p = plan("join_bucketed")
     assert(p.contains("SortMergeJoin"), "bucketed join must be a SortMergeJoin: " + p.take(2000))

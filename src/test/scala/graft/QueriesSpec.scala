@@ -76,6 +76,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ann_pq recall@5 vs exact sim_cosine_topk") {
+    import org.apache.spark.sql.Row
+    // PQ is the lossiest index family (8 nibble codes per 64-dim
+    // vector), re-ranked exactly from an ADC shortlist of 50: measured
+    // 0.8 at sf0.001 / 0.76 at sf0.01 on near-random fixtures (real
+    // clustered corpora do far better). Floor 0.6 guards the shape —
+    // a broken codebook or LUT join collapses recall to ~0.1.
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .map { case Row(q: Long, v: Long, _, _) => (q, v) }.toSet
+    val hits = SparkEntry.queries("sim_ann_pq")(spark, sf).collect()
+      .map { case Row(q: Long, v: Long, _, _) => (q, v) }.toSet
+    val recall = (hits & exact).size.toDouble / exact.size
+    info(f"sim_ann_pq recall@5 vs exact = $recall%.3f")
+    assert(recall >= 0.6, f"sim_ann_pq recall@5 $recall%.3f below the 0.6 floor")
+  }
+
   test("MinHash planted-near-dup recall meets the floor (the dial that caught the biased family)") {
     // the judged dedup_minhash_recall plants a true-J≈0.6 near-dup per
     // 25th doc and asks the END-TO-END pipeline (band collision AND

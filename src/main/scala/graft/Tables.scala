@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Fixture-table loaders (TESTDATA.md / FIXTURES.md §A).
   *
@@ -11,11 +12,14 @@ import org.apache.spark.sql.functions._
   * be Hive-style partitioned directories instead of single files; the
   * loaders keep that swap local to this object.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md: "ts:
-  * timestamp[ns] — cast carefully"). Spark has no nanosecond timestamp
-  * type, so we read it as a long (legacy nanosAsLong) and floor-divide to
-  * microseconds — the same truncation DuckDB applies on
-  * `CAST(ts AS TIMESTAMP)`, keeping oracle parity exact.
+  * `events.ts` has shipped under more than one physical encoding
+  * (TIMESTAMP(NANOS) through round 6, TIMESTAMP(MICROS, ntz) since —
+  * the round-7 fixture drift that broke 27 queries). A real engine
+  * reads the type it finds, so the loader is TYPE-ADAPTIVE: it
+  * inspects the observed `ts` dataType and normalizes every encoding
+  * to one canonical session-UTC TimestampType (µs). All event
+  * consumers — batch, stream-schema derivation, staging — go through
+  * [[normalizeEventTs]]; no call site assumes an encoding.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -31,11 +35,46 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** events with `ts` converted ns→µs TimestampType (truncating, like
-    * DuckDB's CAST(ts AS TIMESTAMP)). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** Read parquet event files WITHOUT normalizing `ts` — the staging /
+    * glob-listing path, where bytes should round-trip as-is. Runs under
+    * a scoped `nanosAsLong` so a TIMESTAMP(NANOS)-encoded file still
+    * resolves a schema (as LongType ns) instead of failing analysis;
+    * for MICROS/NTZ encodings the conf is a no-op. The conf is scoped
+    * (set/restore via ConfScope), never left pinned on the session —
+    * no query's behavior depends on which query ran before it. */
+  def readRawEvents(spark: SparkSession, path: String): DataFrame =
+    graft.operators.ConfScope.withConf(spark,
+      Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")) {
+      // schema inference happens eagerly here, inside the scope; the
+      // returned plan carries the resolved schema so later lazy
+      // execution does not re-consult the conf
+      spark.read.parquet(path)
+    }
+
+  /** Normalize an events DataFrame's `ts` column to canonical
+    * session-UTC TimestampType (µs), whatever physical encoding the
+    * file arrived with:
+    *   - LongType            → int64 epoch-NANOS (the pre-round-7
+    *     encoding read under nanosAsLong, or a plain int64 staged
+    *     file): floor-divide ns→µs — the same truncation DuckDB
+    *     applies on CAST(ts AS TIMESTAMP), keeping oracle parity.
+    *   - TimestampNTZType    → MICROS with isAdjustedToUTC=false (the
+    *     current fixture): reinterpret the wall-clock as UTC (session
+    *     tz is pinned UTC in Verify/Bench), matching DuckDB's naive
+    *     TIMESTAMP read of the same file.
+    *   - TimestampType       → already canonical.
+    * Anything else fails loudly — a new drift must crash analysis with
+    * a named error, not feed wrong instants downstream. */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType    => df
+    case other => throw new IllegalStateException(
+      s"events.ts arrived as unsupported type $other — extend Tables.normalizeEventTs")
   }
+
+  /** events with `ts` normalized to canonical TimestampType — see
+    * [[normalizeEventTs]] for the encoding matrix. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(readRawEvents(spark, s"$dir/events.parquet"))
 }

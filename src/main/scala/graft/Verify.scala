@@ -18,6 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a query that throws must leave a VISIBLE artifact, not just a
+    // stderr line — round 7 lost 22 queries without a single red file
+    // in-repo. Collected here, dumped as verify_errors.json below.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,6 +29,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -54,6 +59,13 @@ object Verify {
       else ("oracle_sql.json", "oracle_sql.subset.json")
     Files.deleteIfExists(Paths.get(s"$outDir/$stale"))
     Files.writeString(Paths.get(s"$outDir/$manifest"), json)
+    // always written (empty {} on a clean run) so its absence/staleness
+    // is itself detectable; non-empty = crashed queries, enumerated
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED — see $outDir/verify_errors.json")
     spark.stop()
   }
 }

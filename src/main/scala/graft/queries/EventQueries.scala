@@ -142,7 +142,7 @@ object EventQueries {
             .start(),
           "stream_foreachbatch_sink")
       }
-      s.read.parquet(sink)   // readEvents already truncated ts ns→µs TimestampType
+      s.read.parquet(sink)   // readEvents already normalized ts (Tables.normalizeEventTs)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
     },

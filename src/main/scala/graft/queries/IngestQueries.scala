@@ -292,8 +292,7 @@ object IngestQueries {
         FileUtil.copy(fs, new Path(s"$d/events.parquet"),
           fs, new Path(s"$base/in/$dir/part.parquet"), false, hconf)
       }
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$base/in/d*/part.parquet")
+      Tables.readRawEvents(s, s"$base/in/d*/part.parquet")
         .groupBy(col("event_id")).agg(count(lit(1)).as("n_copies"))
         .orderBy(col("event_id"))
     },

@@ -22,24 +22,22 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema with ts as LongType nanos, as the file source reads
-    * it under nanosAsLong (see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over the events fixture directory. */
+  /** File-source stream over an events directory. The stream schema is
+    * DERIVED from a batch read of the same directory rather than
+    * declared — round 7's hard-coded `ts: LongType` silently read
+    * µs-encoded INT64 as if ns and fed 1970-era timestamps to five
+    * judged streaming queries. Deriving from the files makes the
+    * stream see exactly what a batch scan sees, and
+    * [[graft.Tables.normalizeEventTs]] (the shared batch path)
+    * canonicalizes `ts` identically for both — EventTsSpec asserts the
+    * batch/stream min/max(ts) agreement per encoding. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)   // backpressure: bounded batches
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val observed = graft.Tables.readRawEvents(spark, dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(observed)
+        .option("maxFilesPerTrigger", 1)   // backpressure: bounded batches
+        .parquet(dir))
   }
 
   /** Tumbling 1h counts with a 1h watermark — streaming twin of the
@@ -136,17 +134,18 @@ object EventStreams {
   }
 
   /** Stage ONE event_id-parity half of the events fixture as the single
-    * file `in/<name>.parquet` under `base`. The raw read keeps ts as
-    * nanos LongType (nanosAsLong) so staged files match [[rawSchema]]
-    * exactly. Parity splitting is what makes the resume proofs sharp:
+    * file `in/<name>.parquet` under `base`. The raw (un-normalized)
+    * read round-trips `ts` bytes as-is whatever the fixture's
+    * encoding — readEvents derives its schema from the staged files
+    * themselves, so staged and source stay consistent by construction.
+    * Parity splitting is what makes the resume proofs sharp:
     * every event-time window has rows in BOTH halves. */
   def stageParityHalf(spark: SparkSession, sfDir: String, base: String,
       name: String, parity: Int): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = s"$base/stage_$name"
-    spark.read.parquet(s"$sfDir/events.parquet")
+    graft.Tables.readRawEvents(spark, s"$sfDir/events.parquet")
       .filter(pmod(col("event_id"), lit(2)) === parity)
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val parts = fs.globStatus(new Path(tmp, "part-*.parquet"))

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time unit sanity — the guard the round-7 fixture drift proved
+  * necessary. The driver regenerated `events.parquet` with `ts` as
+  * TIMESTAMP(MICROS) where the loader hard-coded int64-nanos; batch
+  * consumers crashed loudly but the STREAM schema silently read µs as
+  * ns and produced 1970-era timestamps (five judged queries returned
+  * wrong answers with green plumbing). This spec makes any such unit
+  * mismatch a loud failure:
+  *
+  *  1. batch `Tables.events` and streamed `EventStreams.readEvents`
+  *     over the SAME fixture must agree exactly on min(ts)/max(ts);
+  *  2. both must land in a plausible calendar range (2020–2030), which
+  *     catches ns-read-as-µs (1970) and µs-read-as-ns (year ~56k)
+  *     regardless of which side drifts;
+  *  3. the loader must normalize BOTH historical encodings — µs
+  *     timestamps (current fixture) and plain int64 epoch-nanos
+  *     (pre-round-7 staged form) — to identical instants.
+  */
+class EventTsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def minMax(df: DataFrame): (java.sql.Timestamp, java.sql.Timestamp) = {
+    val r = df.agg(min(col("ts")), max(col("ts"))).head()
+    (r.getTimestamp(0), r.getTimestamp(1))
+  }
+
+  private def yearOf(t: java.sql.Timestamp): Int =
+    t.toInstant.atZone(java.time.ZoneOffset.UTC).getYear
+
+  test("batch and streamed events agree on min/max(ts) and land in-range") {
+    val (bMin, bMax) = minMax(Tables.events(spark, TestSpark.sf0001))
+
+    // stream the same fixture through the file source to completion
+    val dir = graft.streaming.EventStreams.stageEventsInput(
+      spark, TestSpark.sf0001, "tsspec", copies = 1)
+    val streamed = graft.streaming.EventStreams.withStreamConf(spark) {
+      graft.streaming.EventStreams.runToBatch(spark,
+        graft.streaming.EventStreams.readEvents(spark, s"$dir/in")
+          .select(col("ts")),
+        "tsspec_stream")
+    }
+    val (sMin, sMax) = minMax(streamed)
+
+    assert(bMin == sMin, s"batch min(ts)=$bMin != stream min(ts)=$sMin — unit drift")
+    assert(bMax == sMax, s"batch max(ts)=$bMax != stream max(ts)=$sMax — unit drift")
+    for (t <- Seq(bMin, bMax))
+      assert(yearOf(t) >= 2020 && yearOf(t) <= 2030,
+        s"events ts $t outside plausible fixture range — wrong epoch unit")
+  }
+
+  test("normalizeEventTs handles µs-timestamp and int64-nanos encodings identically") {
+    val root = Staging.dir("tsspec_enc", TestSpark.sf0001)
+    val usDir = s"$root/us"
+    val nsDir = s"$root/ns"
+
+    // one known instant, written under both historical encodings; the
+    // µs side is cast TIMESTAMP_NTZ so the file carries
+    // isAdjustedToUTC=false MICROS, byte-identical to how pyarrow
+    // writes the current fixture (session tz is UTC, so the NTZ
+    // wall-clock IS the instant)
+    val instantMicros = 1735689600123456L // 2025-01-01T00:00:00.123456Z
+    spark.range(1).select(
+        lit(1L).as("event_id"),
+        timestamp_micros(lit(instantMicros)).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(usDir)
+    spark.range(1).select(
+        lit(1L).as("event_id"),
+        lit(instantMicros * 1000L).as("ts")) // plain int64 epoch-ns
+      .write.mode("overwrite").parquet(nsDir)
+
+    val us = Tables.normalizeEventTs(Tables.readRawEvents(spark, usDir))
+    val ns = Tables.normalizeEventTs(Tables.readRawEvents(spark, nsDir))
+    assert(us.schema("ts").dataType == TimestampType)
+    assert(ns.schema("ts").dataType == TimestampType)
+    val usV = us.select(unix_micros(col("ts"))).as[Long].head()
+    val nsV = ns.select(unix_micros(col("ts"))).as[Long].head()
+    assert(usV == instantMicros, s"µs encoding drifted: $usV")
+    assert(nsV == instantMicros, s"ns encoding drifted: $nsV")
+
+    // streamed read over each staged dir must agree with its batch twin
+    for ((dir, label) <- Seq(usDir -> "us", nsDir -> "ns")) {
+      val streamed = graft.streaming.EventStreams.withStreamConf(spark) {
+        graft.streaming.EventStreams.runToBatch(spark,
+          graft.streaming.EventStreams.readEvents(spark, dir).select(col("ts")),
+          s"tsspec_enc_$label")
+      }
+      val v = streamed.select(unix_micros(col("ts"))).as[Long].head()
+      assert(v == instantMicros, s"streamed $label encoding drifted: $v")
+    }
+
+    // an unrecognized encoding must fail loudly, not feed wrong instants
+    val strDir = s"$root/str"
+    spark.range(1).select(lit(1L).as("event_id"), lit("2025-01-01").as("ts"))
+      .write.mode("overwrite").parquet(strDir)
+    val e = intercept[IllegalStateException] {
+      Tables.normalizeEventTs(Tables.readRawEvents(spark, strDir))
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
+}

@@ -172,6 +172,140 @@ object VectorQueries {
             FROM capped a JOIN capped b
               ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
 
+  /** Lloyd iterations for the coarse quantizers — round-8's verdict
+    * stretch item: `sim_ann_ivf`/`dedup_semantic` previously used the
+    * seed vectors (vec_id < k) AS the codebook; now the seeds only
+    * INITIALIZE k-means and `kmeansIters` Lloyd rounds refine them.
+    * Spherical k-means: assignment by max cosine (ties → lowest c_id),
+    * update = per-dimension integer mean of the assigned vectors —
+    * cosine is scale-invariant, so the unnormalized integer mean IS the
+    * spherical centroid direction, and staying in int64 keeps the whole
+    * loop bit-identical to the DuckDB oracle ([[lloydSql]] mirrors
+    * every round). Cross-engine floor division `(sv - ((sv % cnt + cnt)
+    * % cnt)) div cnt` avoids the truncate-vs-floor divergence on
+    * negative sums (both engines' `%` truncates toward zero).
+    *
+    * Scale shape: centroids stay a k-row broadcast at every round;
+    * assignment is one broadcast nested-loop per round (corpus never
+    * shuffles on anything but the k-row update aggregate), and the
+    * update is a map-side-combinable (cluster, pos) hash aggregate —
+    * the same shape per extra iteration, so iteration count is a cost
+    * dial, not a plan change. An empty cluster drops out of the
+    * codebook identically in both engines (deterministic, no
+    * re-seeding). */
+  val kmeansIters = 2
+
+  /** One Lloyd round over `(vec_id, q, n2)`: returns refined centroids
+    * `(c_id, cq, cn2)`. */
+  private def lloydRound(v: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    val asg = v.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineFromQ(qdot(col("q"), col("cq")), col("n2"), col("cn2")))
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("c_id").as("cluster"), col("q"))
+    asg.select(col("cluster"), posexplode(col("q")).as(Seq("pos", "val")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("val")).as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("cval", expr("(sv - ((sv % cnt + cnt) % cnt)) div cnt"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        x => x.getField("cval")).as("cq"))
+      .select(col("cluster").as("c_id"), col("cq"))
+      .withColumn("cn2", qdot(col("cq"), col("cq")))
+  }
+
+  /** k-means codebook over `(vec_id, q, n2)`: seeds = vec_id < k,
+    * refined by [[kmeansIters]] Lloyd rounds. */
+  private def lloydCentroids(v: DataFrame, k: Int): DataFrame = {
+    var cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
+    for (_ <- 0 until kmeansIters) cents = lloydRound(v, cents)
+    cents
+  }
+
+  /** DuckDB twin of [[lloydCentroids]]: CTE chain over an existing
+    * `n(vec_id, q, n2)` CTE, ending in `c(c_id, cq, cn2)`. `dims` is
+    * the fixture's embedding width. */
+  private def lloydSql(k: Int, dims: Int = 64): String = {
+    val init = s"""
+      kc0 AS (SELECT vec_id AS c_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id < $k)"""
+    val rounds = (1 to kmeansIters).map { i =>
+      val prev = s"kc${i - 1}"
+      s"""
+      kg$i AS (SELECT vec_id, c_id AS cluster FROM (
+                SELECT n.vec_id, c.c_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                  CAST(list_sum(list_transform(list_zip(n.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
+                    / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.c_id) AS rn
+                FROM n, $prev c) WHERE rn = 1),
+      ks$i AS (SELECT g.cluster, t.i AS pos, sum(n.q[t.i + 1]) AS sv, count(*) AS cnt
+               FROM kg$i g JOIN n ON n.vec_id = g.vec_id CROSS JOIN range(0, $dims) AS t(i)
+               GROUP BY 1, 2),
+      kc$i AS (SELECT c_id, cq, list_sum(list_transform(list_zip(cq, cq), s -> s[1] * s[2])) AS cn2
+               FROM (SELECT cluster AS c_id,
+                       list(CAST((sv - ((sv % cnt + cnt) % cnt)) / cnt AS BIGINT) ORDER BY pos) AS cq
+                     FROM ks$i GROUP BY 1))"""
+    }.mkString(",")
+    s"$init,$rounds,\n      c AS (SELECT * FROM kc$kmeansIters)"
+  }
+
+  /** Per-subspace Lloyd round for the PQ codebook — same contract as
+    * [[lloydRound]] but keyed by subspace `s` and assigning by exact
+    * int64 squared-L2 (`d2 = |a|² + |c|² − 2⟨a,c⟩`, ties → lowest
+    * c_id); PQ's reconstruction metric is L2, so means are the exact
+    * update (no normalization subtlety). `subs`: `(vec_id, s, sub,
+    * sn2)`; centroids: `(s, c_id, csub, cn2)`. */
+  private def lloydSubRound(subs: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAsg = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("c_id"))
+    val asg = subs.join(broadcast(cents), Seq("s"))
+      .withColumn("d2", col("sn2") + col("cn2") - lit(2L) * qdot(col("sub"), col("csub")))
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("s"), col("c_id").as("cluster"), col("sub"))
+    asg.select(col("s"), col("cluster"), posexplode(col("sub")).as(Seq("pos", "val")))
+      .groupBy(col("s"), col("cluster"), col("pos"))
+      .agg(sum(col("val")).as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("cval", expr("(sv - ((sv % cnt + cnt) % cnt)) div cnt"))
+      .groupBy(col("s"), col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        x => x.getField("cval")).as("csub"))
+      .select(col("s"), col("cluster").as("c_id"), col("csub"))
+      .withColumn("cn2", qdot(col("csub"), col("csub")))
+  }
+
+  /** PQ codebook: per-subspace k-means seeded from vec_id < k,
+    * [[kmeansIters]] Lloyd rounds ([[lloydSubSql]] is the oracle
+    * twin). */
+  private def lloydSubCentroids(subs: DataFrame, k: Int): DataFrame = {
+    var cents = subs.filter(col("vec_id") < k)
+      .select(col("s"), col("vec_id").as("c_id"), col("sub").as("csub"), col("sn2").as("cn2"))
+    for (_ <- 0 until kmeansIters) cents = lloydSubRound(subs, cents)
+    cents
+  }
+
+  /** DuckDB twin of [[lloydSubCentroids]] over a `subs(vec_id, s, sub)`
+    * CTE, ending in `cents(s, c_id, csub)` (the oracle recomputes d2
+    * directly from components, so it carries no cn2). */
+  private def lloydSubSql(k: Int, subDims: Int = 8): String = {
+    val init = s"""
+      pc0 AS (SELECT s, vec_id AS c_id, sub AS csub FROM subs WHERE vec_id < $k)"""
+    val rounds = (1 to kmeansIters).map { i =>
+      val prev = s"pc${i - 1}"
+      s"""
+      pg$i AS (SELECT vec_id, s, c_id AS cluster FROM (
+                SELECT a.vec_id, a.s, c.c_id, row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY
+                  list_sum(list_transform(list_zip(a.sub, c.csub), p -> (p[1] - p[2]) * (p[1] - p[2]))), c.c_id) AS rn
+                FROM subs a JOIN $prev c ON c.s = a.s) WHERE rn = 1),
+      ps$i AS (SELECT g.s, g.cluster, t.i AS pos, sum(a.sub[t.i + 1]) AS sv, count(*) AS cnt
+               FROM pg$i g JOIN subs a ON a.vec_id = g.vec_id AND a.s = g.s CROSS JOIN range(0, $subDims) AS t(i)
+               GROUP BY 1, 2, 3),
+      pc$i AS (SELECT s, cluster AS c_id,
+                 list(CAST((sv - ((sv % cnt + cnt) % cnt)) / cnt AS BIGINT) ORDER BY pos) AS csub
+               FROM ps$i GROUP BY 1, 2)"""
+    }.mkString(",")
+    s"$init,$rounds,\n      cents AS (SELECT * FROM pc$kmeansIters)"
+  }
+
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -234,18 +368,20 @@ object VectorQueries {
         .orderBy(col("q_id"))
     },
 
-    /** IVF (inverted-file) ANN: coarse quantizer = fixed centroid set
-      * (vec_id < 8 stands in for a k-means codebook — the partition
+    /** IVF (inverted-file) ANN: coarse quantizer = k-means codebook
+      * seeded from vec_id < 8 and refined by [[kmeansIters]] Lloyd
+      * rounds (see [[lloydCentroids]] — integer-exact, oracle-mirrored;
+      * the pre-round-8 stand-in used the raw seeds). The partition
       * assignment machinery is what matters at scale: one shuffle on
-      * cluster id, searches touch only probed clusters). Deterministic
+      * cluster id, searches touch only probed clusters. Deterministic
       * integer scoring makes even this ANN variant oracle-checkable.
       */
-    QueryDef("sim_ann_ivf", Some("""
+    QueryDef("sim_ann_ivf", Some(s"""
       WITH v AS (SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
                  FROM embeddings),
       n AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2 FROM v),
-      c AS (SELECT vec_id AS c_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8),
+      ${lloydSql(8)},
       sim AS (SELECT a.vec_id, c.c_id,
                 CAST(list_sum(list_transform(list_zip(a.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
                   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS csim
@@ -270,8 +406,7 @@ object VectorQueries {
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", qdot(col("q"), col("q")))
-      val cents = v.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
+      val cents = lloydCentroids(v, 8)
       val sim = v.crossJoin(broadcast(cents))
         .withColumn("csim", cosineFromQ(qdot(col("q"), col("cq")), col("n2"), col("cn2")))
       val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
@@ -302,10 +437,11 @@ object VectorQueries {
       * 64x storage/scan reduction), and candidate scoring reads ONLY
       * the code table plus a per-query lookup table, never the raw
       * vectors. Pipeline: 8 subspaces x 8 dims, k=16 centroids per
-      * subspace (sub-vectors of vec_id < 16 stand in for a trained
-      * k-means codebook, exactly as sim_ann_ivf's coarse quantizer
-      * does); encode = nearest centroid per (vector, subspace) by
-      * squared-L2; query-time ADC = per-query distance LUT summed over
+      * subspace, TRAINED by per-subspace Lloyd iterations seeded from
+      * the vec_id < 16 sub-vectors ([[lloydSubCentroids]] — round-8
+      * upgrade from the seed stand-in, integer-exact and
+      * oracle-mirrored); encode = nearest centroid per (vector,
+      * subspace) by squared-L2; query-time ADC = per-query distance LUT summed over
       * the 8 codes; ADC shortlist of 50 is then re-ranked by EXACT
       * cosine — the standard ADC+re-rank production shape.
       *
@@ -322,14 +458,14 @@ object VectorQueries {
       * broadcast-LUT equi-join on (s, code) + one partial-aggregated
       * sum — the corpus shuffles only the 8-row-per-vector code
       * stream, never embeddings. */
-    QueryDef("sim_ann_pq", Some("""
+    QueryDef("sim_ann_pq", Some(s"""
       WITH v AS (SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
                  FROM embeddings),
       n AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2 FROM v),
       subs AS (SELECT vec_id, s, q[s * 8 + 1 : s * 8 + 8] AS sub
                FROM v CROSS JOIN range(0, 8) AS t(s)),
-      cents AS (SELECT s, vec_id AS c_id, sub AS csub FROM subs WHERE vec_id < 16),
+      ${lloydSubSql(16)},
       dist AS (SELECT a.vec_id, a.s, c.c_id,
                  list_sum(list_transform(list_zip(a.sub, c.csub), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
                FROM subs a JOIN cents c ON c.s = a.s),
@@ -358,8 +494,7 @@ object VectorQueries {
       val subs = v.select(col("vec_id"), posexplode(array(
           (0 until 8).map(t => slice(col("q"), t * 8 + 1, 8)): _*)).as(Seq("s", "sub")))
         .withColumn("sn2", qdot(col("sub"), col("sub")))
-      val cents = subs.filter(col("vec_id") < 16)
-        .select(col("s"), col("vec_id").as("c_id"), col("sub").as("csub"), col("sn2").as("cn2"))
+      val cents = lloydSubCentroids(subs, 16)
       // exact squared L2 without expanding (a-b): d2 = sn2 + cn2 - 2*dot
       val dist = subs.join(broadcast(cents), Seq("s"))
         .withColumn("d2", col("sn2") + col("cn2") - lit(2L) * qdot(col("sub"), col("csub")))
@@ -460,12 +595,15 @@ object VectorQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    QueryDef("dedup_semantic", Some("""
+    /** SemDeDup over the SAME Lloyd-refined coarse quantizer
+      * sim_ann_ivf uses ([[lloydCentroids]], round-8 upgrade from the
+      * seed stand-in) — cluster-scoped pairs, never all-pairs. */
+    QueryDef("dedup_semantic", Some(s"""
       WITH v AS (SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
                  FROM embeddings),
       n AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2 FROM v),
-      c AS (SELECT vec_id AS c_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8),
+      ${lloydSql(8)},
       sim AS (SELECT a.vec_id, c.c_id,
                 CAST(list_sum(list_transform(list_zip(a.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
                   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS csim
@@ -487,8 +625,7 @@ object VectorQueries {
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", qdot(col("q"), col("q")))
-      val cents = v.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
+      val cents = lloydCentroids(v, 8)
       val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
       val asg = v.crossJoin(broadcast(cents))
         .withColumn("csim", cosineFromQ(qdot(col("q"), col("cq")), col("n2"), col("cn2")))

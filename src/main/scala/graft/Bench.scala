@@ -122,19 +122,23 @@ object Bench {
       (name, med, samples)
     }
     val failed = results.collect { case (n, t, _) if t < 0 => "\"" + n + "\"" }
+    // failed queries appear ONLY in failed[] — a -1 sentinel inside the
+    // queries/samples maps skewed any consumer that summed or medianed
+    // them without filtering (round-7 advice)
+    val timed = results.filter(_._2 >= 0)
     // compact per-query seconds (3 sig figs — full doubles made the
     // round-5 detail line long enough that the driver's tail capture
     // truncated it out of BENCH_r05.json; %.3g keeps the whole map in
     // one short line so every regression stays attributable)
     // Locale.ROOT: a default-locale %.3g would emit comma decimal
     // separators on e.g. de_DE JVMs and corrupt the JSON line
-    val qs = results.map { case (k, v, _) =>
+    val qs = timed.map { case (k, v, _) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3g", Double.box(v)) }
       .mkString("{", ",", "}")
     // actual per-query sample counts: adaptive widening means a median
     // can summarize 3-5 runs — record which, so cross-round analysis
     // never mistakes a median-of-5 for a median-of-3
-    val ns = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
+    val ns = timed.map { case (k, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val calEnd = calibrate()
     // headline calibration: mean of the start/end medians (one number
@@ -154,7 +158,7 @@ object Bench {
     // total line names it, so any truncated stdout regression stays
     // attributable from the file.
     val detailFile = "BENCH_DETAIL.json"
-    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qsFull = timed.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
       s"""{"unit":"sec","reps":$reps,"total":$total,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull}""")

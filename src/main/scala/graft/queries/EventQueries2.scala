@@ -371,5 +371,68 @@ object EventQueries2 {
         .select(col("p_id").as("event_id"), col("n_clicks"))
         .orderBy(col("event_id"))
     },
+
+    /** Stream-stream FULL OUTER interval join — completes the
+      * stream-join family (inner: stream_stream_join, left:
+      * stream_stream_left_join). Null rows surface from BOTH sides'
+      * evicted state: an unmatched purchase emits once the global
+      * watermark `w = least(max p_ts, max c_ts) − 2h` passes its
+      * p_ts (same eviction rule the left oracle proved), and an
+      * unmatched click emits once `w` passes `c_ts + 1h` — the point
+      * where no future purchase can satisfy `p_ts ∈ (c_ts, c_ts+1h]`,
+      * i.e. the interval bound itself sets the click-side state
+      * lifetime. The drained rows reduce to three audited classes
+      * (matched pairs / purchase-only / click-only) with id checksums,
+      * so the oracle hash pins both the match set AND each side's
+      * eviction boundary. At 100 TB both sides shuffle once on
+      * user_id; state is bounded by watermark + interval exactly as
+      * the inner variant. */
+    QueryDef("stream_stream_full_join", Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT * FROM e WHERE event_type = 'click'),
+      wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                    - INTERVAL 2 HOUR AS w),
+      m AS (SELECT p.event_id AS p_id, c.user_id AS c_user
+            FROM p JOIN c ON c.user_id = p.user_id
+              AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts),
+      pu AS (SELECT p.event_id AS p_id FROM p, wm
+             WHERE p.ts < w AND NOT EXISTS (
+               SELECT 1 FROM c WHERE c.user_id = p.user_id
+                 AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts)),
+      cu AS (SELECT c.user_id AS c_user FROM c, wm
+             WHERE c.ts + INTERVAL 1 HOUR < w AND NOT EXISTS (
+               SELECT 1 FROM p WHERE p.user_id = c.user_id
+                 AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts)),
+      u AS (SELECT 'matched' AS kind, p_id AS id FROM m
+            UNION ALL SELECT 'purchase_unmatched', p_id FROM pu
+            UNION ALL SELECT 'click_unmatched', c_user FROM cu)
+      SELECT kind, count(*) AS n_rows, CAST(sum(id) AS BIGINT) AS id_sum
+      FROM u GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      import graft.streaming.EventStreams
+      val base = EventStreams.stageEventsInput(s, d, "ssfj")
+      val ev = EventStreams.readEvents(s, s"$base/in")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "full_outer")
+      EventStreams.withStreamConf(s) {
+        EventStreams.runToBatch(s, joined, s"graft_q_ssfj_${graft.Staging.suffix(d)}")
+      }.select(
+          when(col("p_id").isNotNull && col("c_user").isNotNull, lit("matched"))
+            .when(col("c_user").isNull, lit("purchase_unmatched"))
+            .otherwise(lit("click_unmatched")).as("kind"),
+          coalesce(col("p_id"), col("c_user")).as("id"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"))
+        .orderBy(col("kind"))
+    },
   )
 }

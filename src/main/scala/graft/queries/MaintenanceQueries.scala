@@ -269,5 +269,43 @@ object MaintenanceQueries {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("version"), col("dt"))
     },
+
+    /** Corrupt-object tolerance — the round-8 theme (upstream data
+      * drift/damage) as a judged operator. At 100 TB a lake WILL hold
+      * the occasional truncated or garbage object (failed multipart
+      * upload, bit rot); a scan that dies on the first bad footer
+      * can't finish a day's work. Staging plants two NON-parquet
+      * garbage files (one truncated-magic-bytes, one plain text)
+      * among the customer table's real part files; the read uses the
+      * file-source `ignoreCorruptFiles` OPTION (per-read, not session
+      * conf — the same no-bare-conf discipline as the events loader)
+      * so the scan skips exactly the bad objects and returns every
+      * good row. The oracle is the intact source table: rows+hash
+      * prove skip-corrupt loses nothing and invents nothing.
+      * MaintenanceSpec asserts the negative control (the same read
+      * WITHOUT the option throws). */
+    QueryDef("maintenance_corrupt_skip", Some("""
+      SELECT c_custkey, c_name, c_nationkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer ORDER BY c_custkey""")) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      val root = Staging.dir("corrupt", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$root/t")
+      // plant garbage WITH .parquet names so the file listing includes
+      // them — one truncated footer (magic bytes only), one text blob
+      for ((name, bytes) <- Seq(
+          "part-corrupt-a.parquet" -> "PAR1".getBytes("UTF-8"),
+          "part-corrupt-b.parquet" -> "this is not a parquet file".getBytes("UTF-8"))) {
+        val out = fs.create(new Path(s"$root/t/$name"), true)
+        out.write(bytes); out.close()
+      }
+      s.read.option("ignoreCorruptFiles", "true").parquet(s"$root/t")
+        .orderBy(col("c_custkey"))
+    },
   )
 }

@@ -95,6 +95,21 @@ class EventTsSpec extends AnyFunSuite {
       assert(v == instantMicros, s"streamed $label encoding drifted: $v")
     }
 
+    // the GENUINE parquet TIMESTAMP(NANOS) branch (Spark cannot write
+    // ns itself, so a tiny pyarrow-authored file is checked in as a
+    // test resource): readRawEvents' scoped nanosAsLong must resolve
+    // the schema as LongType ns and normalizeEventTs must truncate to
+    // the exact µs instants (2025-01-01T00:00Z, 2025-06-15T12:30Z)
+    val nsFixture = getClass.getResource("/events_ns.parquet")
+    assert(nsFixture != null, "events_ns.parquet test resource missing")
+    val genuineNs = Tables.normalizeEventTs(
+      Tables.readRawEvents(spark, nsFixture.toString))
+    assert(genuineNs.schema("ts").dataType == TimestampType)
+    val got = genuineNs.select(unix_micros(col("ts"))).as[Long]
+      .collect().sorted.toSeq
+    assert(got == Seq(1735689600000000L, 1749990600000000L),
+      s"genuine ns-parquet branch drifted: $got")
+
     // an unrecognized encoding must fail loudly, not feed wrong instants
     val strDir = s"$root/str"
     spark.range(1).select(lit(1L).as("event_id"), lit("2025-01-01").as("ts"))

@@ -18,6 +18,25 @@ class MaintenanceSpec extends AnyFunSuite {
       .toMap
   }
 
+  test("corrupt-skip: the planted garbage kills a plain read (negative control)") {
+    // the judged query stages real part files + two garbage .parquet
+    // objects and reads them back with ignoreCorruptFiles — here we
+    // prove the plant is live: the SAME directory WITHOUT the option
+    // must fail, otherwise the judged query tests nothing
+    val out = SparkEntry.queries("maintenance_corrupt_skip")(spark, sf)
+    assert(out.count() == Tables.customer(spark, sf).count(),
+      "skip-corrupt read lost or invented rows")
+    val root = Staging.dir("corrupt", sf)
+    val e = intercept[Throwable] {
+      spark.read.parquet(s"$root/t").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(m =>
+        m.toLowerCase.contains("parquet") || m.toLowerCase.contains("footer")),
+      s"expected a corrupt-footer failure, got: ${messages(e).headOption}")
+  }
+
   test("compactPartitions: fragmented layout collapses to one file per partition, rows intact") {
     // run the judged query (it stages + compacts under Staging.dir)
     val out = SparkEntry.queries("maintenance_compact")(spark, sf)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text operators over the `documents` fixture:
@@ -67,7 +67,11 @@ object TextQueries {
     * degenerate (random-pair Jaccard ≈ 0.6 — every pair is a
     * "near-dup") while char 5-grams separate cleanly (planted
     * near-dups ≈ 0.60 vs random pairs ≈ 0.17). */
-  private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
+  /** UNCAPPED banded MinHash signatures `(doc_id, sig, band, bk1,
+    * bk2)` over any `(doc_id, text)` input — per-doc only (no
+    * cross-doc dependency), so it can run over any subset, including
+    * a single micro-batch, and produce identical rows. */
+  private[queries] def minhashBandedRaw(docs: DataFrame): DataFrame = {
     val exploded = docs
       .select(col("doc_id"),
         explode(array_distinct(shingles(lower(trim(col("text"))), 5))).as("tok"))
@@ -82,12 +86,23 @@ object TextQueries {
     val bandCols = (0 until 16).map(b => struct(
       element_at(col("sig"), b * 2 + 1).as("bk1"),
       element_at(col("sig"), b * 2 + 2).as("bk2")))
-    val banded = graft.operators.ScaleOps.capBuckets(
-      sig.select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
-        .select(col("doc_id"), col("sig"), col("band"),
-          col("bkey.bk1").as("bk1"), col("bkey.bk2").as("bk2")),
+      .select(col("doc_id"), col("sig"), col("band"),
+        col("bkey.bk1").as("bk1"), col("bkey.bk2").as("bk2"))
+  }
+
+  /** The banded, capped MinHash index `(doc_id, sig, band, bk1, bk2)`
+    * over any `(doc_id, text)` input — the persistable artifact the
+    * self-join (`minhashPairs`) and the incremental batch-vs-index
+    * joins (`dedup_minhash_incremental`, `stream_dedup_index`) build
+    * on. */
+  private[queries] def minhashBanded(docs: DataFrame): DataFrame =
+    graft.operators.ScaleOps.capBuckets(minhashBandedRaw(docs),
       Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
+
+  private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
+    val banded = minhashBanded(docs)
     val a = banded.select(col("band"), col("bk1"), col("bk2"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bk1"), col("bk2"),
@@ -99,9 +114,9 @@ object TextQueries {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** DuckDB twin of [[minhashPairs]]: the CTE chain (ending in `p`)
-    * over `docsCte`, generated from the same 32/16x2/200 constants. */
-  private[queries] def minhashPairsSql(docsCte: String): String = s"""
+  /** DuckDB twin of [[minhashBandedRaw]]: the CTE chain ending in
+    * `bands(doc_id, sig, band, bk1, bk2)` (uncapped). */
+  private[queries] def minhashBandsRawSql(docsCte: String): String = s"""
       toks AS (SELECT doc_id,
                  unnest(list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
                    i -> substr(t, CAST(i AS INT), 5)))) AS tok
@@ -112,13 +127,66 @@ object TextQueries {
                 [${(0 until 32).map(k => s"min((${minhashA(k)} * x + ${minhashB(k)}) % $MinhashP)").mkString(", ")}] AS sig
               FROM th GROUP BY doc_id),
       bands AS (SELECT doc_id, sig, i AS band, sig[2*i + 1] AS bk1, sig[2*i + 2] AS bk2
-                FROM sig CROSS JOIN range(0, 16) AS t(i)),
+                FROM sig CROSS JOIN range(0, 16) AS t(i))"""
+
+  /** DuckDB twin of [[minhashBanded]]: the CTE chain ending in
+    * `capped(doc_id, sig, band, bk1, bk2)`, generated from the same
+    * 32/16x2/200 constants. */
+  private[queries] def minhashBandedSql(docsCte: String): String = s"""
+      ${minhashBandsRawSql(docsCte)},
       capped AS (SELECT * FROM bands
-                 QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
+                 QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200)"""
+
+  /** DuckDB twin of [[minhashPairs]]: the CTE chain (ending in `p`)
+    * over `docsCte`, generated from the same 32/16x2/200 constants. */
+  private[queries] def minhashPairsSql(docsCte: String): String = s"""
+      ${minhashBandedSql(docsCte)},
       p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
               round(CAST(len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32, 6) AS est_jaccard
             FROM capped a JOIN capped b
               ON a.band = b.band AND a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.doc_id < b.doc_id)"""
+
+  /** Shared oracle for `dedup_minhash_incremental` and its streaming
+    * twin `stream_dedup_index` (both reduce to: batch docs scored
+    * against the capped standing index): index = doc_id % 5 != 0
+    * (capped over its own docs), batch = doc_id % 5 = 0 (uncapped —
+    * per-doc signatures have no cross-doc dependency, so any
+    * micro-batch split scores identically, which is exactly what lets
+    * the streaming twin share this oracle). */
+  private[queries] def minhashIncrementalOracle: String = s"""
+      WITH ${minhashBandsRawSql("documents")},
+      idx AS (SELECT * FROM bands WHERE doc_id % 5 <> 0
+              QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
+      bat AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+      hits AS (SELECT DISTINCT b.doc_id, i.doc_id AS idx_id,
+                 round(CAST(len(list_filter(range(1, 33), k -> b.sig[k] = i.sig[k])) AS DOUBLE) / 32, 6) AS est
+               FROM bat b JOIN idx i
+                 ON i.band = b.band AND i.bk1 = b.bk1 AND i.bk2 = b.bk2),
+      agg AS (SELECT doc_id, count(*) AS n_index_dups, min(idx_id) AS first_dup
+              FROM hits WHERE est >= 0.5 GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_index_dups, 0) AS n_index_dups, first_dup,
+             n_index_dups IS NOT NULL AS is_dup
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      LEFT JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+
+  /** Score a banded batch side against the persisted index at
+    * `indexPath`: band-key equi-join, est-Jaccard confirm at 0.5,
+    * per-doc rollup `(doc_id, n_index_dups, first_dup)` — docs with
+    * at least one index hit only (callers outer-join the roster). */
+  private[queries] def scoreAgainstIndex(s: SparkSession, bandedBatch: DataFrame,
+      indexPath: String): DataFrame = {
+    val idx = s.read.parquet(indexPath)
+      .select(col("band"), col("bk1"), col("bk2"),
+        col("doc_id").as("idx_id"), col("sig").as("idx_sig"))
+    bandedBatch.join(idx, Seq("band", "bk1", "bk2"))
+      .select(col("doc_id"), col("idx_id"),
+        minhashSimilarity(col("sig"), col("idx_sig")).as("est"))
+      .filter(col("est") >= 0.5)
+      .dropDuplicates("doc_id", "idx_id")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_index_dups"), min(col("idx_id")).as("first_dup"))
+  }
 
 
   /** SimHash candidate pairs `(id_a, id_b, hamming_dist)` (id_a <
@@ -412,6 +480,100 @@ object TextQueries {
       minhashPairs(Tables.documents(s, d))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    /** Incremental dedup against a PERSISTED index — the shape that
+      * actually runs at 100 TB: you never re-dedup the corpus, you
+      * dedup the daily increment against the standing MinHash index.
+      * The fixture splits by doc_id mod 5 (80% "index", 20% "batch");
+      * the index side's banded table is WRITTEN TO PARQUET and read
+      * back (the persisted artifact, not a lineage replay), the batch
+      * side computes signatures for its own docs only, and the two
+      * meet in a band-key equi-join — per day the cost is
+      * O(batch + matched buckets), never O(corpus). Judged output:
+      * every batch doc with its index-duplicate count and first
+      * index match. Same generator constants as `dedup_minhash_lsh`
+      * ([[minhashBanded]]/[[minhashBandedSql]]), so index and
+      * incremental path cannot drift. */
+    QueryDef("dedup_minhash_incremental", Some(minhashIncrementalOracle)) { (s, d) =>
+      val raw = minhashBandedRaw(Tables.documents(s, d))
+      val root = graft.Staging.dir("mhidx", d)
+      // persist the index side (hot-bucket cap applied over the index's
+      // OWN docs — the batch side is uncapped, so any subset of the
+      // batch, down to a single micro-batch, scores identically):
+      // band-key layout on disk — at scale this is bucketed by
+      // (band, bk1, bk2) so the daily join co-locates
+      graft.operators.ScaleOps.capBuckets(
+          raw.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+          Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
+        .write.mode("overwrite").parquet(s"$root/index")
+      val bat = raw.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      scoreAgainstIndex(s, bat, s"$root/index")
+        .join(Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5L)) === 0)
+          .select(col("doc_id")), Seq("doc_id"), "right")
+        .select(col("doc_id"),
+          coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
+          col("first_dup"), col("n_index_dups").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
+    /** STREAMING twin of `dedup_minhash_incremental` — index-aware
+      * streaming ingest, the online form of the daily batch: new
+      * documents arrive as a real file-source stream (two staged
+      * micro-batches), each micro-batch computes its OWN MinHash
+      * signatures inside foreachBatch and scores them against the
+      * persisted index, appending idempotent per-batch results
+      * (batch_id-keyed overwrite — a replayed batch converges, never
+      * duplicates). Because signatures are per-doc, micro-batch
+      * boundaries cannot change any score, so the drained union must
+      * equal the batch incremental result EXACTLY — the two queries
+      * share one oracle, and a divergence in either direction
+      * (dropped batch, double-applied batch, batch-local capping
+      * sneaking in) breaks rows or hash. */
+    QueryDef("stream_dedup_index", Some(minhashIncrementalOracle)) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      val root = graft.Staging.dir("sdix", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val docs = Tables.documents(s, d)
+      graft.operators.ScaleOps.capBuckets(
+          minhashBandedRaw(docs).filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+          Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
+        .write.mode("overwrite").parquet(s"$root/index")
+      // stage the new docs as TWO files → two micro-batches under
+      // maxFilesPerTrigger=1 (append adds the second part file)
+      val newDocs = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      newDocs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+      newDocs.filter(pmod(col("doc_id"), lit(10L)) === 5)
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      val schema = s.read.parquet(s"$root/in").schema
+      val sink = s"$root/hits"
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+              scoreAgainstIndex(s, minhashBandedRaw(b), s"$root/index")
+                .write.mode("overwrite").parquet(s"$sink/b$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_dedup_index")
+      }
+      // per-doc rollups from different micro-batches are disjoint by
+      // doc_id (each doc arrives exactly once), so the union IS the
+      // full aggregate
+      s.read.parquet(s"$sink/b*")
+        .join(newDocs.select(col("doc_id")), Seq("doc_id"), "right")
+        .select(col("doc_id"),
+          coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
+          col("first_dup"), col("n_index_dups").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
     },
 
     // Edit-distance near-dup — the character-level fuzzy family

@@ -339,28 +339,37 @@ object VectorQueries {
       SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
-  /** PQ offline build: quantized corpus `v(vec_id, q, n2)`, sub-vector
-    * frame `subs(vec_id, s, sub, sn2)`, Lloyd-trained codebook
-    * `cents(s, c_id, csub, cn2)`, and the code table
-    * `codes(vec_id, s, code)` — nearest centroid per (vector,
-    * subspace) by exact int64 squared-L2 (d2 = sn2 + cn2 − 2·dot, no
-    * (a−b) expansion). Encoding is one narrow corpus pass: broadcast
-    * codebook join, per-(vec, s) argmin. */
-  private def pqBuild(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  /** Quantized corpus `v(vec_id, q, n2)` + sub-vector frame
+    * `subs(vec_id, s, sub, sn2)`. */
+  private def pqCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", qdot(col("q"), col("q")))
     val subs = v.select(col("vec_id"), posexplode(array(
         (0 until 8).map(t => slice(col("q"), t * 8 + 1, 8)): _*)).as(Seq("s", "sub")))
       .withColumn("sn2", qdot(col("sub"), col("sub")))
-    val cents = lloydSubCentroids(subs, 16)
+    (v, subs)
+  }
+
+  /** PQ encode: code table `codes(vec_id, s, code)` — nearest centroid
+    * per (vector, subspace) by exact int64 squared-L2 (d2 = sn2 + cn2
+    * − 2·dot, no (a−b) expansion). One narrow corpus pass: broadcast
+    * codebook join, per-(vec, s) argmin. */
+  private def pqEncode(subs: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dist = subs.join(broadcast(cents), Seq("s"))
       .withColumn("d2", col("sn2") + col("cn2") - lit(2L) * qdot(col("sub"), col("csub")))
     val wCode = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("c_id"))
-    val codes = dist.withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+    dist.withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
       .select(col("vec_id"), col("s"), col("c_id").as("code"))
-    (v, subs, cents, codes)
+  }
+
+  /** PQ offline build for the in-lineage variant: corpus frames +
+    * Lloyd-trained codebook `cents(s, c_id, csub, cn2)` + code table. */
+  private def pqBuild(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (v, subs) = pqCorpus(s, d)
+    val cents = lloydSubCentroids(subs, 16)
+    (v, subs, cents, pqEncode(subs, cents))
   }
 
   /** Per-query ADC lookup table `(q_id, s, code, d2)`: exact int64
@@ -567,11 +576,15 @@ object VectorQueries {
       * oracle verbatim — a serialization bug in either artifact breaks
       * the hash. */
     QueryDef("sim_ann_pq_persisted", Some(pqOracle)) { (s, d) =>
-      val (v, subs, cents, codes) = pqBuild(s, d)
+      val (v, subs) = pqCorpus(s, d)
       val root = graft.Staging.dir("pqidx", d)
-      cents.write.mode("overwrite").parquet(s"$root/codebook")
-      codes.write.mode("overwrite").parquet(s"$root/codes")
+      // train once, persist, and ENCODE OFF THE PERSISTED CODEBOOK —
+      // the faithful split (the trainer and the encoder may be
+      // different jobs on different days), which also keeps the Lloyd
+      // chain out of the code table's lineage
+      lloydSubCentroids(subs, 16).write.mode("overwrite").parquet(s"$root/codebook")
       val cb = s.read.parquet(s"$root/codebook")
+      pqEncode(subs, cb).write.mode("overwrite").parquet(s"$root/codes")
       val codesDisk = s.read.parquet(s"$root/codes")
       val lut = pqLut(subs.filter(col("vec_id") < 5), cb)
       pqServe(s, v, codesDisk, lut)

@@ -290,4 +290,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2,
       "pack aggregate re-shuffled instead of reusing the window partitioning")
   }
+
+  test("dedup_minhash_incremental: the daily batch BROADCASTS into the index join") {
+    // the 100 TB contract of incremental dedup: the standing index
+    // streams off disk, the (small) increment is the broadcast side,
+    // and its signature pipeline is ONE map-side-combined aggregate
+    // carrying all 32 partial_min hash functions. A SortMergeJoin on
+    // the band keys would mean the index side re-shuffles per day.
+    val p = plan("dedup_minhash_incremental")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // the plan string truncates long expression lists, so assert
+    // presence of the partial-min signature functions, not all 32
+    assert(p.contains("partial_min"),
+      "signature aggregate lost its map-side partials")
+  }
+
+  test("sim_ann_pq_persisted: serve path touches the code table, never re-encodes") {
+    // the online plan must read the persisted code/codebook parquet
+    // (two extra scans) and shortlist via WindowGroupLimit instead of
+    // a global sort of ADC scores
+    val p = plan("sim_ann_pq_persisted")
+    assert(p.contains("WindowGroupLimit"), "ADC shortlist must plan as WindowGroupLimit")
+    assert(p.contains("BroadcastHashJoin"), "LUT/codebook must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -231,5 +231,70 @@ object Relational4 {
         .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("type_a"), col("type_b"))
     },
+
+    /** Linear regression / correlation by SUFFICIENT STATISTICS — the
+      * distributed-ML primitive: one map-side-combined pass collects
+      * the six exact sums (n, Σx, Σy, Σx², Σy², Σxy) per group, and
+      * corr / covar_pop / slope / intercept all derive from them in a
+      * short closed form. At 100 TB this is THE shape for fitting
+      * per-segment trend lines: no second pass, no centering pass, the
+      * partial sums merge associatively across any partitioning.
+      *
+      * Parity: x = whole-unit quantities, y = integer cents, so every
+      * sum is exact (decimal(38,0) on the Spark side, HUGEINT in
+      * DuckDB); the closed form converts each exact difference to
+      * DOUBLE once and then applies an IDENTICAL IEEE expression tree
+      * in both engines (sqrt(dx)·sqrt(dy), not sqrt(dx·dy) — the
+      * product would overflow 38 digits). Built-in corr()/covar_pop()
+      * are deliberately NOT used: their streaming update order is
+      * engine-specific, which is exactly the nondeterminism the
+      * sufficient-statistics form removes. */
+    QueryDef("agg_regression_stats", Some("""
+      WITH b AS (SELECT l_returnflag AS flag,
+                        CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                 FROM lineitem),
+      s AS (SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+            FROM b GROUP BY 1),
+      c AS (SELECT flag, n,
+              CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+              CAST(n*sxx - sx*sx AS DOUBLE) AS dx,
+              CAST(n*syy - sy*sy AS DOUBLE) AS dy,
+              CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+              CAST(n AS DOUBLE) AS nd
+            FROM s)
+      SELECT flag, CAST(n AS BIGINT) AS n,
+             round(num / (sqrt(dx) * sqrt(dy)), 6) AS corr,
+             round(num / (nd * nd), 6) AS covar_pop,
+             round(num / dx, 6) AS slope,
+             round((syd - (num / dx) * sxd) / nd, 6) AS intercept
+      FROM c ORDER BY flag""")) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val base = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      // x <= 50, y <= ~1.1e7 cents: x*x, y*y (~1.2e14), x*y all fit
+      // long exactly; the SUMS get decimal(38,0) so no scale overflows
+      val sums = base.groupBy(col("flag")).agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      val c = sums.select(col("flag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double").as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double").as("dx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("dy"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+        col("n").cast("double").as("nd"))
+      c.select(col("flag"), col("n").cast("long").as("n"),
+          round(col("num") / (sqrt(col("dx")) * sqrt(col("dy"))), 6).as("corr"),
+          round(col("num") / (col("nd") * col("nd")), 6).as("covar_pop"),
+          round(col("num") / col("dx"), 6).as("slope"),
+          round((col("syd") - (col("num") / col("dx")) * col("sxd")) / col("nd"), 6).as("intercept"))
+        .orderBy(col("flag"))
+    },
   )
 }

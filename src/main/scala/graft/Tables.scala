@@ -47,8 +47,16 @@ object Tables {
       Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")) {
       // schema inference happens eagerly here, inside the scope; the
       // returned plan carries the resolved schema so later lazy
-      // execution does not re-consult the conf
-      spark.read.parquet(path)
+      // execution does not re-consult the conf.
+      // mergeSchema=true reads EVERY footer (parallel, executor-side)
+      // instead of trusting one representative file: a directory
+      // mixing ts encodings (some files int64-ns, some µs — the next
+      // plausible fixture drift) must fail schema-merge LOUDLY at
+      // analysis. Without it, single-footer inference reads the other
+      // encoding's int64 raw and silently produces 1970-era
+      // timestamps — the exact round-7 silent-corruption class
+      // (EventTsSpec proves both directions).
+      spark.read.option("mergeSchema", "true").parquet(path)
     }
 
   /** Normalize an events DataFrame's `ts` column to canonical

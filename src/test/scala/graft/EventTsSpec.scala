@@ -110,6 +110,29 @@ class EventTsSpec extends AnyFunSuite {
     assert(got == Seq(1735689600000000L, 1749990600000000L),
       s"genuine ns-parquet branch drifted: $got")
 
+    // a directory MIXING encodings (some files int64-ns, some µs) must
+    // fail loudly at schema merge. Without readRawEvents'
+    // mergeSchema=true this is SILENT corruption: single-footer
+    // inference picks one file's type and decodes the other
+    // encoding's int64 raw — measured 1970-era timestamps, the exact
+    // round-7 failure class
+    val mixedDir = s"$root/mixed"
+    spark.range(1).select(lit(7L).as("event_id"),
+        timestamp_micros(lit(instantMicros)).cast(TimestampNTZType).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(mixedDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(getClass.getResource("/events_ns.parquet").toURI),
+      java.nio.file.Paths.get(mixedDir, "ns.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val mixErr = intercept[Throwable] {
+      Tables.normalizeEventTs(Tables.readRawEvents(spark, mixedDir))
+        .select(unix_micros(col("ts"))).as[Long].collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(mixErr).exists(m => m.toUpperCase.contains("MERGE")),
+      s"mixed-encoding dir must fail schema merge, got: ${chain(mixErr).headOption}")
+
     // an unrecognized encoding must fail loudly, not feed wrong instants
     val strDir = s"$root/str"
     spark.range(1).select(lit(1L).as("event_id"), lit("2025-01-01").as("ts"))

@@ -426,9 +426,17 @@ object EventQueries2 {
       EventStreams.withStreamConf(s) {
         EventStreams.runToBatch(s, joined, s"graft_q_ssfj_${graft.Staging.suffix(d)}")
       }.select(
-          when(col("p_id").isNotNull && col("c_user").isNotNull, lit("matched"))
+          // classify on the join-side key that is STRUCTURALLY null for
+          // the row: an unmatched click surfaces with p_id null (p_id is
+          // a non-null event_id on every purchase row), so testing p_id
+          // first keeps a click whose user_id is itself NULL — which can
+          // never equi-join and drains as a click-side row with BOTH
+          // columns null — in the click_unmatched class, matching the
+          // oracle's cu branch (the previous c_user-first test mislabeled
+          // that row purchase_unmatched; round-8 ADVICE)
+          when(col("p_id").isNull, lit("click_unmatched"))
             .when(col("c_user").isNull, lit("purchase_unmatched"))
-            .otherwise(lit("click_unmatched")).as("kind"),
+            .otherwise(lit("matched")).as("kind"),
           coalesce(col("p_id"), col("c_user")).as("id"))
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"))

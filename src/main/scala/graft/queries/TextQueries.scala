@@ -567,8 +567,12 @@ object TextQueries {
       }
       // per-doc rollups from different micro-batches are disjoint by
       // doc_id (each doc arrives exactly once), so the union IS the
-      // full aggregate
-      s.read.parquet(s"$sink/b*")
+      // full aggregate. Schema is DECLARED, not inferred: a batch with
+      // zero index hits writes no part files, and inference over
+      // footer-less b* dirs would crash a query whose correct answer
+      // is all-is_dup=false (round-8 ADVICE)
+      s.read.schema("doc_id LONG, n_index_dups LONG, first_dup LONG")
+        .parquet(s"$sink/b*")
         .join(newDocs.select(col("doc_id")), Seq("doc_id"), "right")
         .select(col("doc_id"),
           coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),

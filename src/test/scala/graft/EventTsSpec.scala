@@ -110,6 +110,30 @@ class EventTsSpec extends AnyFunSuite {
     assert(got == Seq(1735689600000000L, 1749990600000000L),
       s"genuine ns-parquet branch drifted: $got")
 
+    // STREAMED read of the same genuine ns file: the scoped nanosAsLong
+    // conf is consulted at readEvents' eager schema inference, but
+    // ConfScope restores it before the stream EXECUTES — if a Spark
+    // upgrade moved the consult to execution time, the streamed scan
+    // would run without the conf and drift. This drained assertion makes
+    // that regression fail loudly in CI, not at query time (round-8
+    // ADVICE: the batch branch above was covered, the stream was not).
+    val genuineNsDir = s"$root/genuine_ns" // file source wants a directory
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(genuineNsDir))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(nsFixture.toURI),
+      java.nio.file.Paths.get(genuineNsDir, "events_ns.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamedNs = graft.streaming.EventStreams.withStreamConf(spark) {
+      graft.streaming.EventStreams.runToBatch(spark,
+        graft.streaming.EventStreams.readEvents(spark, genuineNsDir)
+          .select(col("ts")),
+        "tsspec_genuine_ns")
+    }
+    val gotStreamed = streamedNs.select(unix_micros(col("ts"))).as[Long]
+      .collect().sorted.toSeq
+    assert(gotStreamed == Seq(1735689600000000L, 1749990600000000L),
+      s"STREAMED genuine ns-parquet branch drifted: $gotStreamed")
+
     // a directory MIXING encodings (some files int64-ns, some µs) must
     // fail loudly at schema merge. Without readRawEvents'
     // mergeSchema=true this is SILENT corruption: single-footer
@@ -128,10 +152,20 @@ class EventTsSpec extends AnyFunSuite {
       Tables.normalizeEventTs(Tables.readRawEvents(spark, mixedDir))
         .select(unix_micros(col("ts"))).as[Long].collect()
     }
-    def chain(t: Throwable): Seq[String] =
-      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
-    assert(chain(mixErr).exists(m => m.toUpperCase.contains("MERGE")),
-      s"mixed-encoding dir must fail schema merge, got: ${chain(mixErr).headOption}")
+    // assert on the ERROR CLASS, not message text: Spark error wording
+    // is not a stable API, but SparkThrowable conditions are
+    // (CANNOT_MERGE_SCHEMAS wraps CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE
+    // on this build; accept either anywhere in the cause chain)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val mergeConditions = causes(mixErr).collect {
+      case st: org.apache.spark.SparkThrowable if st.getCondition != null =>
+        st.getCondition
+    }
+    assert(mergeConditions.exists(c =>
+        c == "CANNOT_MERGE_SCHEMAS" || c == "CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE"),
+      s"mixed-encoding dir must fail schema merge with a merge error class, " +
+        s"got conditions=$mergeConditions ex=${mixErr.getClass.getName}: ${mixErr.getMessage}")
 
     // an unrecognized encoding must fail loudly, not feed wrong instants
     val strDir = s"$root/str"

@@ -315,4 +315,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "LUT/codebook must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("sim_ann_ivf_persisted: serving lineage scans the persisted index, no training") {
+    // the round-8 verdict's one design weakness was Lloyd training
+    // inside sim_ann_ivf's serving query — the persisted variant must
+    // show centroid/assignment FILE SCANS in the online plan and none
+    // of the training machinery (Lloyd's centroid update is a
+    // posexplode (Generate) + aggregate chain; serving has no Generate)
+    val p = plan("sim_ann_ivf_persisted")
+    assert(p.contains("centroids") && p.contains("assign"),
+      "serve must read the persisted centroid + assignment artifacts: " + p.take(2000))
+    assert(!p.contains("Generate"), "training leaked into the serving lineage")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -92,6 +92,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.6, f"sim_ann_pq recall@5 $recall%.3f below the 0.6 floor")
   }
 
+  test("sim_ann_ivf_recall: nprobe dial is monotone and meets the nprobe=4 floor") {
+    import org.apache.spark.sql.Row
+    val rows = SparkEntry.queries("sim_ann_ivf_recall")(spark, sf).collect()
+      .map { case Row(np: Long, q: Long, _, r: Double) => (np, q, r) }
+    val byNp = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._3).sum / rs.size).toMap
+    assert(byNp.keySet == Set(1L, 2L, 4L))
+    info(f"IVF mean recall@5: nprobe=1 ${byNp(1L)}%.3f, nprobe=2 ${byNp(2L)}%.3f, nprobe=4 ${byNp(4L)}%.3f")
+    // per-query monotone in nprobe: a deeper probe's candidate set is a
+    // superset, and any exact-top-5 member among candidates necessarily
+    // survives the exact-cosine re-rank — so a non-monotone dial means
+    // the probe_rank filter or the per-nprobe re-rank key is broken
+    rows.groupBy(_._2).foreach { case (q, rs) =>
+      val m = rs.sortBy(_._1).map(_._3).toSeq
+      assert(m == m.sorted, s"q_id=$q recall not monotone in nprobe: $m")
+    }
+    // measured 0.96 at sf0.001 (near-random vectors, the hardest case)
+    assert(byNp(4L) >= 0.9,
+      f"nprobe=4 mean recall ${byNp(4L)}%.3f below the 0.9 floor")
+  }
+
+  test("sim_ann_ivf_persisted serves exactly the in-lineage sim_ann_ivf rows") {
+    // persistence is lossless by construction — row-for-row equality is
+    // the sharpest statement of that (both also share one DuckDB oracle)
+    val live = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect().toSeq
+    val disk = SparkEntry.queries("sim_ann_ivf_persisted")(spark, sf).collect().toSeq
+    assert(live.nonEmpty && live == disk)
+  }
+
   test("MinHash planted-near-dup recall meets the floor (the dial that caught the biased family)") {
     // the judged dedup_minhash_recall plants a true-J≈0.6 near-dup per
     // 25th doc and asks the END-TO-END pipeline (band collision AND

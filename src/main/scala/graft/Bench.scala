@@ -93,35 +93,52 @@ object Bench {
     // publish a well-formed total of 0.0 — reject the config up front
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // STAGING vs EXEC split (round-8 verdict item 3): eager work done
+      // INSIDE the query function — fixture staging, offline index
+      // builds/persists, stream drains — is `staging_s`; executing the
+      // RETURNED plan (the operator's actual serving cost, what a
+      // standing deployment pays per query) is `exec_s`. The headline
+      // per-query number stays their sum so totals remain comparable
+      // across rounds; BENCH_DETAIL carries both components so an
+      // exec regression can't hide under index-build noise.
+      def once(): (Double, Double, Double) = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        ((t2 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
       }
       // a failed query poisons its entry (-1) instead of silently
       // deflating the total with a time-to-failure
-      val (med, samples) =
+      val (med, medStaging, medExec, samples) =
         try {
-          var ts = List.fill(reps)(once()).sorted
+          var ts = List.fill(reps)(once()).sortBy(_._1)
           // adaptive widening: a >1.5x spread means reps caught a GC /
           // JIT pause — add reps (cap 5) so the median sits on the
           // stable cluster instead of straddling the outlier. The
           // 1e-9 floor keeps a 0.0-rounded sample from dividing by
           // zero (Infinity would merely widen — but don't rely on it).
-          while (reps > 1 && ts.size < 5 && ts.last / math.max(ts.head, 1e-9) > 1.5)
-            ts = (once() :: ts).sorted
-          // even sample sizes (reps=4, or user-set even reps): average
-          // the two middle elements — ts(size/2) alone is the UPPER
-          // middle and biases the reported median high
-          val m = if (ts.size % 2 == 1) ts(ts.size / 2)
-                  else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
-          (m, ts.size)
+          while (reps > 1 && ts.size < 5 && ts.last._1 / math.max(ts.head._1, 1e-9) > 1.5)
+            ts = (once() :: ts).sortBy(_._1)
+          // median by TOTAL (the cross-round headline); the reported
+          // split is the median sample's own components, so
+          // staging + exec == total holds row-wise. Even sample sizes
+          // (reps=4, or user-set even reps): average the two middle
+          // elements — ts(size/2) alone is the UPPER middle and
+          // biases the reported median high
+          if (ts.size % 2 == 1) {
+            val t = ts(ts.size / 2); (t._1, t._2, t._3, ts.size)
+          } else {
+            val a = ts(ts.size / 2 - 1); val b = ts(ts.size / 2)
+            ((a._1 + b._1) / 2, (a._2 + b._2) / 2, (a._3 + b._3) / 2, ts.size)
+          }
         }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); (-1.0, 0) }
-      (name, med, samples)
+          System.err.println(s"[bench] $name failed: $e"); (-1.0, 0.0, 0.0, 0) }
+      (name, med, medStaging, medExec, samples)
     }
-    val failed = results.collect { case (n, t, _) if t < 0 => "\"" + n + "\"" }
+    val failed = results.collect { case (n, t, _, _, _) if t < 0 => "\"" + n + "\"" }
     // failed queries appear ONLY in failed[] — a -1 sentinel inside the
     // queries/samples maps skewed any consumer that summed or medianed
     // them without filtering (round-7 advice)
@@ -132,13 +149,13 @@ object Bench {
     // one short line so every regression stays attributable)
     // Locale.ROOT: a default-locale %.3g would emit comma decimal
     // separators on e.g. de_DE JVMs and corrupt the JSON line
-    val qs = timed.map { case (k, v, _) =>
+    val qs = timed.map { case (k, v, _, _, _) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3g", Double.box(v)) }
       .mkString("{", ",", "}")
     // actual per-query sample counts: adaptive widening means a median
     // can summarize 3-5 runs — record which, so cross-round analysis
     // never mistakes a median-of-5 for a median-of-3
-    val ns = timed.map { case (k, _, n) => s"\"" + k + "\":" + n }
+    val ns = timed.map { case (k, _, _, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val calEnd = calibrate()
     // headline calibration: mean of the start/end medians (one number
@@ -147,6 +164,7 @@ object Bench {
       """"calibration_s":%.4f,"calibration_start_s":%.4f,"calibration_end_s":%.4f""",
       Double.box((calStart + calEnd) / 2.0), Double.box(calStart), Double.box(calEnd))
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalExec = timed.map(_._4).sum
     val failedJson = failed.mkString("[", ",", "]")
     // Tail-capture layout (round-5 verdict): sample counts on an
     // earlier line, the per-query seconds map SECOND-TO-LAST, and the
@@ -158,15 +176,22 @@ object Bench {
     // total line names it, so any truncated stdout regression stays
     // attributable from the file.
     val detailFile = "BENCH_DETAIL.json"
-    val qsFull = timed.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qsFull = timed.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // the staging/exec split per query: staging + exec == the headline
+    // number row-wise (same median sample); exec is the operator's
+    // standing serving cost, staging the in-query build/fixture cost
+    val stagingFull = timed.map { case (k, _, st, _, _) => "\"" + k + "\":" + st }
+      .mkString("{", ",", "}")
+    val execFull = timed.map { case (k, _, _, ex, _) => "\"" + k + "\":" + ex }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
-      s"""{"unit":"sec","reps":$reps,"total":$total,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull}""")
+      s"""{"unit":"sec","reps":$reps,"total":$total,"total_exec":$totalExec,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull,"staging":$stagingFull,"exec":$execFull}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $detailFile: $e") }
     println(s"""{"metric":"samples","reps":$reps,"samples":$ns,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail","unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail_file":"$detailFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_exec":$totalExec,"reps":$reps,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail_file":"$detailFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

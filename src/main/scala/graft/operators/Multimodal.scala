@@ -6,10 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads ride as
   * opaque `binary` columns with typed metadata; decode/feature-extract
   * runs per-partition over iterators (constant memory per task, no
-  * driver collect). The actual codec is STUBBED — media libraries are
-  * not in this container — behind [[FakeCodec]], a deterministic fake
-  * with the real Spark-side plumbing (schema, batching, partitioning)
-  * in place, so swapping in a real decoder is a one-function change.
+  * driver collect).
+  *
+  * The decode path is REAL for the formats the JDK ships codecs for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — [[ImageCodec]]): it sniffs
+  * the payload's magic bytes, decodes genuine width/height/pixels, and
+  * the `multimodal_image_meta` query judges those decoded values
+  * against an oracle that derives them from the staging generator's
+  * parameters. Payloads NO in-container codec recognizes (audio/video,
+  * or the text-bytes stand-ins) fall back to [[FakeCodec]], a
+  * deterministic stub that keeps the plumbing exercised — swapping in
+  * an external decoder remains a one-function change.
   */
 object Multimodal {
 
@@ -39,6 +46,61 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec over the JDK's bundled `javax.imageio` readers
+    * (PNG, JPEG, GIF, BMP — no external media libraries needed).
+    * Executor-side, allocation-per-payload only; the in-memory cache
+    * flag avoids ImageIO's default temp-file spill per decode. */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Encode a solid-`rgb` `width`x`height` PNG — the deterministic
+      * staging generator for the judged decode query: PNG is lossless,
+      * so every decoded property (dims, any pixel) is derivable by the
+      * oracle from these three parameters alone. */
+    def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode metadata from real payload bytes: format sniffed from the
+      * magic bytes, width/height from the decoded frame, `checksum` =
+      * the (0,0) pixel's 24-bit RGB — a value the oracle can predict
+      * for generated fixtures. Unrecognized payloads (no JDK reader
+      * claims them: audio/video/raw text) fall back to [[FakeCodec]]. */
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+      if (bytes.isEmpty) return FakeCodec.decode(id, bytes)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) FakeCodec.decode(id, bytes)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val img = r.read(0)
+            MediaMeta(
+              doc_id = id,
+              n_bytes = bytes.length.toLong,
+              format = r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+              width = img.getWidth,
+              height = img.getHeight,
+              checksum = (img.getRGB(0, 0) & 0xFFFFFF).toLong)
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
   /** documents.text cast to a binary payload column — the fixture's
     * stand-in for real media bytes. */
   def payloads(spark: SparkSession, dir: String): DataFrame =
@@ -47,14 +109,16 @@ object Multimodal {
 
   /** Per-partition decode: iterator-to-iterator (streams batches, no
     * materialization), the Scala analogue of a vectorized decode UDF.
-    * One task per input split; at 100 TB parallelism follows the scan. */
+    * One task per input split; at 100 TB parallelism follows the scan.
+    * Real-first: [[ImageCodec]] decodes any payload a JDK image reader
+    * recognizes; everything else takes the [[FakeCodec]] stub path. */
   def decodeMeta(df: DataFrame): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        FakeCodec.decode(id, if (bytes == null) Array.empty else bytes)
+        ImageCodec.decode(id, if (bytes == null) Array.empty else bytes)
       })
   }
 

@@ -672,5 +672,44 @@ object TextQueries {
         substring(sha2(col("text").cast("binary"), 256), 1, 8).as("content_bucket"))
         .orderBy(col("doc_id"))
     },
+
+    /** REAL image decode under the oracle gate (round-8 verdict item 5):
+      * stage one deterministic solid-color PNG per document — encoded
+      * executor-side by the JDK's own `javax.imageio` PNG writer, with
+      * width/height/color pure functions of doc_id — write the payloads
+      * to a parquet binary column, then DECODE THE BYTES BACK with
+      * [[graft.operators.Multimodal.ImageCodec]] (format sniffed from
+      * magic bytes, dims and the (0,0) pixel read from the decoded
+      * frame). PNG is lossless, so the oracle derives every judged
+      * value from the generator parameters alone: a broken encoder,
+      * a parquet binary round-trip bug, or a codec that misreads
+      * dims/pixels each breaks the hash. Payloads the JDK cannot decode
+      * still take the FakeCodec stub path (multimodal_decode). Scale
+      * shape: encode and decode are both iterator-to-iterator
+      * mapPartitions over the scan — parallelism follows the files,
+      * nothing collects. */
+    QueryDef("multimodal_image_meta", Some("""
+      SELECT doc_id, 'png' AS format,
+             CAST(1 + doc_id % 16 AS BIGINT) AS width,
+             CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS height,
+             CAST((doc_id * 2654435761) % 16777216 AS BIGINT) AS pixel00
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      import s.implicits._
+      val root = graft.Staging.dir("png", d)
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + ((id / 16) % 16).toInt
+          val rgb = ((id * 2654435761L) % 16777216L).toInt
+          (id, graft.operators.Multimodal.ImageCodec.encodePng(w, h, rgb))
+        }).toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(s"$root/img")
+      graft.operators.Multimodal.decodeMeta(s.read.parquet(s"$root/img")).toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("checksum").as("pixel00"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

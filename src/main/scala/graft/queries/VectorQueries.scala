@@ -628,13 +628,22 @@ object VectorQueries {
       // offline build: train once, persist codebook, then ASSIGN OFF
       // THE PERSISTED CODEBOOK (trainer and indexer may be different
       // jobs on different days — same faithful split sim_ann_pq_persisted
-      // proves for PQ), and persist the assignment table too
+      // proves for PQ). The assignment table is PARTITIONED BY cluster
+      // on disk — the inverted-file layout itself: a probe's equi-join
+      // against the tiny probe list dynamic-partition-prunes the scan
+      // to the probed clusters' directories only (PlanShapeSpec asserts
+      // the dynamicpruning partition filter), so serving I/O scales
+      // with nprobe/k of the index, not its size.
       lloydCentroids(v, 8).write.mode("overwrite").parquet(s"$root/centroids")
       val cb = s.read.parquet(s"$root/centroids")
-      ivfAssign(v, cb).write.mode("overwrite").parquet(s"$root/assign")
+      ivfAssign(v, cb).write.mode("overwrite")
+        .partitionBy("cluster").parquet(s"$root/assign")
       // online serve: probes off the disk-read codebook, candidates off
       // the disk-read assignment table — zero training in this lineage
-      ivfServe(v, ivfProbes(v, cb, 2), s.read.parquet(s"$root/assign"))
+      // (partition-column read-back infers int; restore the long key)
+      val asg = s.read.parquet(s"$root/assign")
+        .withColumn("cluster", col("cluster").cast("long"))
+      ivfServe(v, ivfProbes(v, cb, 2), asg)
     },
 
     /** The IVF recall/cost dial UNDER THE ORACLE GATE — the nprobe twin

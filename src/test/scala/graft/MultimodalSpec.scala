@@ -22,6 +22,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.map(_.format).toSet.subsetOf(Set("png", "jpeg", "webp")))
   }
 
+  test("ImageCodec round-trips real PNG/JPEG bytes and falls back on junk") {
+    // real decode: a 7x3 solid-color PNG comes back with exact dims,
+    // sniffed format, and the exact (0,0) pixel (PNG is lossless)
+    val png = Multimodal.ImageCodec.encodePng(7, 3, 0xABCDEF)
+    val m = Multimodal.ImageCodec.decode(42L, png)
+    assert(m.format === "png" && m.width === 7 && m.height === 3)
+    assert(m.checksum === 0xABCDEF.toLong && m.n_bytes === png.length.toLong)
+
+    // a JDK-encoded JPEG decodes through the same sniffing path (dims
+    // are exact; pixels are lossy, so only shape is asserted)
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val j = Multimodal.ImageCodec.decode(43L, bos.toByteArray)
+    assert(j.format.startsWith("jp") && j.width === 5 && j.height === 4)
+
+    // unrecognized payloads fall back to the deterministic stub
+    val junk = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.ImageCodec.decode(44L, junk) ===
+      Multimodal.FakeCodec.decode(44L, junk))
+    assert(Multimodal.ImageCodec.decode(45L, Array.empty[Byte]) ===
+      Multimodal.FakeCodec.decode(45L, Array.empty[Byte]))
+  }
+
   test("sampleFrames emits every other chunk") {
     val frames = Multimodal.sampleFrames(Multimodal.payloads(spark, TestSpark.sf0001), 32)
     assert(frames.count() > 0)

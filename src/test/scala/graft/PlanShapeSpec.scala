@@ -327,5 +327,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "serve must read the persisted centroid + assignment artifacts: " + p.take(2000))
     assert(!p.contains("Generate"), "training leaked into the serving lineage")
     assert(!p.contains("CartesianProduct"))
+    // the assignment table is partitioned BY cluster (the inverted-file
+    // layout); the probe join must dynamic-partition-prune its scan so
+    // serving reads only the probed clusters' directories
+    assert(p.contains("dynamicpruning"),
+      "probe join must DPP the cluster-partitioned assignment scan: " + p.take(3000))
   }
 }

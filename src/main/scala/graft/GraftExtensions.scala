@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.qdotNativeDescriptor)
+    e.injectFunction(GraftExtensions.deflatedLenDescriptor)
     e.injectOptimizerRule(_ => graft.plans.BandJoinBinning)
   }
 }
@@ -35,9 +36,17 @@ object GraftExtensions {
       LongDotProduct(children.head, children(1))
     })
 
+  val deflatedLenDescriptor: FunctionDescription = (
+    FunctionIdentifier("deflated_len"),
+    new ExpressionInfo(classOf[graft.expressions.DeflatedLength].getName, "deflated_len"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "deflated_len(text) takes 1 argument")
+      graft.expressions.DeflatedLength(children.head)
+    })
+
   /** Imperative registration for sessions built without extensions
     * (e.g., the driver-owned Verify/Bench sessions). Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "qdot_native",
       (children: Seq[Expression]) => {
@@ -45,4 +54,12 @@ object GraftExtensions {
         LongDotProduct(children.head, children(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflated_len",
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "deflated_len(text) takes 1 argument")
+        graft.expressions.DeflatedLength(children.head)
+      },
+      "built-in")
+  }
 }

@@ -23,6 +23,12 @@ object TextFunctions {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n))))
 
+  /** DEFLATE-compressed byte length of a string — the information-
+    * density curation signal (see [[graft.expressions.DeflatedLength]]). */
+  def deflatedLen(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.DeflatedLength(
+      org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Explicit whitespace class used by EVERY tokenization here and in
     * the DuckDB oracles: Java's `\s` and RE2's `\s` disagree on
     * vertical tab \x0B (Java includes it, RE2 does not), so neither

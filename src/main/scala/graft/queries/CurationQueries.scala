@@ -1,0 +1,308 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 corpus-curation operators: exact duplicated-substring span
+  * detection (the Lee et al. 2021 "Deduplicating Training Data Makes
+  * Language Models Better" dedup flavor — ExactSubstr — that the
+  * shingle/MinHash family does not cover), a DEFLATE information-density
+  * quality signal, and link-analysis rank over an interaction graph
+  * (the host-graph quality prior of web-corpus pipelines, computed here
+  * over the events fixture's transition graph).
+  *
+  * Scale shapes (100 TB): substring-span detection is one Generate +
+  * ONE corpus-wide shuffle on the gram key + a per-doc local merge;
+  * PageRank pays corpus-size cost only in edge EXTRACTION (one
+  * window shuffle + one map-side-combined aggregate) — the iterations
+  * run on the aggregated graph, which is broadcast-small relative to
+  * the corpus exactly as web host-graphs are small relative to pages.
+  */
+object CurationQueries {
+
+  /** Duplicated-gram window length (characters). Lee et al. use 50
+    * UTF-8 bytes on web corpora; 20 chars suits the ~300-char fixture
+    * docs while keeping the same machinery. */
+  private val K = 20
+
+  /** Duplicated K-gram START positions `(doc_id, pos)` — the shared
+    * kernel of span DETECTION and span REMOVAL (they cannot drift
+    * apart). One Generate, then ONE corpus-wide shuffle on the gram
+    * string for the occurrence count. */
+  private def dupPositions(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= K,
+            sequence(lit(1), length(col("text")) - lit(K - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("text").substr(col("pos").cast("int"), lit(K)).as("gram"))
+      .select(col("doc_id"), col("pos"),
+        count(lit(1)).over(Window.partitionBy(col("gram"))).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("doc_id"), col("pos"))
+
+  /** Oracle-side twin of [[dupPositions]]: CTEs `g` (all positions) and
+    * `d` (duplicated positions), shared verbatim by both substring
+    * oracles. */
+  private val DupPosSql: String = s"""
+      g AS (
+        SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), $K) AS gram
+        FROM documents CROSS JOIN generate_series(1, 8192) AS t(i)
+        WHERE i <= length(text) - ${K - 1}
+      ), d AS (
+        SELECT doc_id, pos FROM
+          (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n_occ FROM g)
+        WHERE n_occ > 1
+      )"""
+
+  /** PageRank fixed-point scale: ranks are integer parts-per-million.
+    * All arithmetic is bigint with truncating division (`div` here,
+    * `//` in the DuckDB oracle — identical on the all-positive
+    * operands), so the judged values are EXACT, not IEEE-order
+    * dependent. Max intermediate: r(≤1e6) · 85 · w — far below 2^63. */
+  private val Scale = 1000000L
+  private val Iters = 3
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ExactSubstr dedup (Lee et al. 2021): maximal character spans that
+    // occur more than once in the corpus (across OR within documents —
+    // self-repetition is duplication too, per the paper). Mechanism:
+    // every doc position opens a K-char gram; a gram occurring >1 time
+    // marks its position duplicated; runs of consecutive duplicated
+    // positions merge to maximal spans [min_pos, max_pos + K - 1].
+    //
+    // Plan shape: one Generate (positions), one shuffle on the gram
+    // string (the corpus-wide occurrence count — THE unavoidable cost,
+    // linear in total characters; the suffix-array formulation pays the
+    // same bytes), then a doc_id window whose hash partitioning also
+    // satisfies the (doc_id, grp) island aggregate — no further
+    // shuffle. At 100 TB the gram key would carry xxhash64(gram)
+    // (8-byte vs 20-byte shuffle width, collision-confirmed within
+    // bucket); here the exact string keeps DuckDB-oracle parity.
+    QueryDef("dedup_substring_spans", Some(s"""
+      WITH $DupPosSql, isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM d
+      )
+      SELECT doc_id, min(pos) AS span_start, max(pos) + ${K - 1} AS span_end,
+             max(pos) + ${K - 1} - min(pos) + 1 AS span_len
+      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""")) { (s, d) =>
+      // gaps-and-islands: consecutive duplicated positions share
+      // pos - row_number(); hash partitioning on doc_id from the window
+      // already satisfies the (doc_id, grp) aggregate — no new shuffle.
+      dupPositions(Tables.documents(s, d))
+        .withColumn("grp", col("pos") -
+          row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + lit(K - 1)).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_len"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // ExactSubstr REMOVAL — the second half of the Lee et al. operator:
+    // excise every duplicated region and emit the cleaned text. The
+    // removal set is the COVERAGE union of duplicated K-grams (each
+    // duplicated start position covers [pos, pos+K-1]; positions gap
+    // ≤ K merge into one region — note this differs from the detection
+    // query's maximal-run islands, whose spans may overlap), so
+    // removals never double-count. Cleaned text is reassembled from
+    // the surviving segments with an order-pinned concat — string
+    // equality is hash-gated against the oracle, so the rebuild is
+    // judged byte-for-byte.
+    //
+    // Scale: the kernel is the shared dupPositions shuffle; everything
+    // after is doc-local windows plus a per-doc aggregate whose state
+    // is O(regions per doc), never O(corpus).
+    QueryDef("dedup_substring_removal", Some(s"""
+      WITH $DupPosSql, m0 AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $K
+                    THEN 0 ELSE 1 END AS brk
+        FROM d
+      ), mg AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        FROM m0
+      ), merged AS (
+        SELECT doc_id, min(pos) AS m_start, max(pos) + ${K - 1} AS m_end
+        FROM mg GROUP BY doc_id, grp
+      ), pre AS (
+        SELECT doc_id,
+               coalesce(lag(m_end) OVER (PARTITION BY doc_id ORDER BY m_start), 0) + 1 AS s,
+               m_start - 1 AS e
+        FROM merged
+      ), tails AS (
+        SELECT t.doc_id, t.s, CAST(length(dd.text) AS BIGINT) AS e
+        FROM (SELECT doc_id, max(m_end) + 1 AS s FROM merged GROUP BY doc_id) t
+        JOIN documents dd USING (doc_id)
+      ), segs AS (
+        SELECT doc_id, s, e FROM pre WHERE e >= s
+        UNION ALL
+        SELECT doc_id, s, e FROM tails WHERE e >= s
+      ), agg AS (
+        SELECT sg.doc_id,
+               string_agg(substr(dd.text, CAST(sg.s AS INT), CAST(sg.e - sg.s + 1 AS INT)),
+                          '' ORDER BY sg.s) AS cleaned
+        FROM segs sg JOIN documents dd USING (doc_id) GROUP BY sg.doc_id
+      ), stats AS (
+        SELECT doc_id, count(*) AS n_regions,
+               CAST(sum(m_end - m_start + 1) AS BIGINT) AS removed_chars
+        FROM merged GROUP BY doc_id
+      )
+      SELECT dd.doc_id,
+             CAST(coalesce(st.n_regions, 0) AS BIGINT) AS n_regions,
+             CAST(coalesce(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+             CASE WHEN st.doc_id IS NULL THEN dd.text ELSE coalesce(a.cleaned, '') END AS cleaned_text,
+             CAST(length(CASE WHEN st.doc_id IS NULL THEN dd.text
+                              ELSE coalesce(a.cleaned, '') END) AS BIGINT) AS cleaned_len
+      FROM documents dd
+      LEFT JOIN stats st ON st.doc_id = dd.doc_id
+      LEFT JOIN agg a ON a.doc_id = dd.doc_id
+      ORDER BY dd.doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val merged = dupPositions(docs)
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(byPos) <= K, lit(0)).otherwise(lit(1)))
+        .withColumn("grp",
+          sum(col("brk")).over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("m_start"), (max(col("pos")) + lit(K - 1)).as("m_end"))
+      val byStart = Window.partitionBy(col("doc_id")).orderBy(col("m_start"))
+      val pre = merged
+        .select(col("doc_id"),
+          (coalesce(lag(col("m_end"), 1).over(byStart), lit(0L)) + 1).as("s"),
+          (col("m_start") - 1).as("e"))
+        .filter(col("e") >= col("s"))
+      val tails = merged.groupBy(col("doc_id"))
+        .agg((max(col("m_end")) + 1).as("s"))
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("s"), length(col("text")).cast("long").as("e"))
+        .filter(col("e") >= col("s"))
+      val cleaned = pre.unionByName(tails)
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("s"),
+          col("text").substr(col("s").cast("int"), (col("e") - col("s") + 1).cast("int")).as("seg"))
+        .groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("s"), col("seg")))),
+            x => x.getField("seg")), "").as("cleaned"))
+      val stats = merged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_regions"),
+          sum(col("m_end") - col("m_start") + 1).as("removed_chars"))
+      docs
+        .join(stats, Seq("doc_id"), "left")
+        .join(cleaned, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+          coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+          when(col("n_regions").isNull, col("text"))
+            .otherwise(coalesce(col("cleaned"), lit(""))).as("cleaned_text"))
+        .withColumn("cleaned_len", length(col("cleaned_text")).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+
+    // DEFLATE information-density quality signal (rows-only: no SQL
+    // engine exposes zlib — bounds and monotonicity are spec-asserted
+    // in CurationSpec instead). The judged output keeps the raw
+    // deflated length AND the per-doc ratio plus a quality class; the
+    // whole pipeline is one codegen'd projection over the scan.
+    QueryDef("doc_compression_ratio", None) { (s, d) =>
+      val deflated = graft.functions.TextFunctions.deflatedLen(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          deflated.as("deflated_len"),
+          round(deflated / octet_length(col("text")), 6).as("ratio"))
+        .withColumn("density_class",
+          when(col("ratio") < 0.35, "highly_repetitive")
+            .when(col("ratio") < 0.55, "repetitive")
+            .otherwise("natural"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Weighted PageRank over the event-type transition graph: nodes are
+    // event types, edge u→v weighted by how often v follows u in a
+    // user's timeline (lead() per user on (ts, event_id) — a total
+    // order, so the edge multiset is deterministic). This is the
+    // host-graph quality prior of web-corpus curation (rank domains,
+    // filter low-rank ones) computed on the fixture's interaction data.
+    //
+    // Fixed-point integer arithmetic end to end (parts-per-million,
+    // truncating division on both engines) makes 3 damped iterations
+    // (d = 0.85) exactly reproducible — no IEEE summation-order drift.
+    // Dangling mass is dropped, not redistributed (documented
+    // simplification; every fixture node has out-edges anyway).
+    //
+    // Scale: the lead() window shuffles the corpus once on user; the
+    // transition aggregate is map-side combined down to |types|² rows;
+    // iterations touch ONLY that aggregated graph (broadcast joins) —
+    // at web scale the host graph's millions of nodes are still
+    // broadcast-small next to billions of pages.
+    QueryDef("graph_pagerank", Some(s"""
+      WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+      ), e AS (
+        SELECT event_type AS src, next_type AS dst, count(*) AS w
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+      ), ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+      nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      r0 AS (SELECT node, $Scale // n AS r FROM nodes, nn),
+      r1 AS (SELECT n2.node, (15 * $Scale) // (100 * (SELECT n FROM nn))
+                   + COALESCE(c.s, 0) AS r
+             FROM nodes n2 LEFT JOIN
+               (SELECT e.dst AS node, CAST(sum((r0.r * 85 * e.w) // (100 * ow.out_w)) AS BIGINT) AS s
+                FROM r0 JOIN e ON e.src = r0.node JOIN ow ON ow.src = e.src
+                GROUP BY e.dst) c ON c.node = n2.node),
+      r2 AS (SELECT n2.node, (15 * $Scale) // (100 * (SELECT n FROM nn))
+                   + COALESCE(c.s, 0) AS r
+             FROM nodes n2 LEFT JOIN
+               (SELECT e.dst AS node, CAST(sum((r1.r * 85 * e.w) // (100 * ow.out_w)) AS BIGINT) AS s
+                FROM r1 JOIN e ON e.src = r1.node JOIN ow ON ow.src = e.src
+                GROUP BY e.dst) c ON c.node = n2.node),
+      r3 AS (SELECT n2.node, (15 * $Scale) // (100 * (SELECT n FROM nn))
+                   + COALESCE(c.s, 0) AS r
+             FROM nodes n2 LEFT JOIN
+               (SELECT e.dst AS node, CAST(sum((r2.r * 85 * e.w) // (100 * ow.out_w)) AS BIGINT) AS s
+                FROM r2 JOIN e ON e.src = r2.node JOIN ow ON ow.src = e.src
+                GROUP BY e.dst) c ON c.node = n2.node)
+      SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM r3 ORDER BY node""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outW = edges.groupBy(col("src").as("ow_src"))
+        .agg(sum(col("w")).cast("long").as("out_w"))
+      val edgesW = edges.join(outW, col("src") === col("ow_src")).drop("ow_src")
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct()
+      val nn = nodes.agg(count(lit(1)).cast("long").as("n"))
+      var ranks = nodes.crossJoin(nn)
+        .select(col("node"), expr(s"$Scale div n").as("r"))
+      for (_ <- 1 to Iters) {
+        val contribs = ranks
+          .join(edgesW, col("node") === col("src"))
+          .select(col("dst"), expr("(r * 85 * w) div (100 * out_w)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).cast("long").as("s"))
+        ranks = nodes.crossJoin(nn)
+          .join(contribs, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (expr(s"(15 * $Scale) div (100 * n)") + coalesce(col("s"), lit(0L))).as("r"))
+      }
+      ranks.select(col("node"), col("r").as("rank_ppm")).orderBy(col("node"))
+    }
+  )
+}

@@ -442,5 +442,69 @@ object EventQueries2 {
         .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"))
         .orderBy(col("kind"))
     },
+
+    // Spark 4 arbitrary-state v2: the SAME running-per-user-totals
+    // state machine as stream_stateful_counts, rebuilt on
+    // transformWithState (typed ValueState behind a
+    // StatefulProcessorHandle, RocksDB-mandatory). The input arrives as
+    // two event_id-parity halves — maxFilesPerTrigger=1 makes each a
+    // micro-batch, so most users emit TWO cumulative rows and the state
+    // genuinely carries across batch boundaries; the judged final row
+    // per user (max_by on the monotone n_events) must equal the plain
+    // batch aggregate. Cents are exact integers end to end — see
+    // TransformStateOps.
+    QueryDef("stream_transform_state", Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents
+      FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
+      import graft.streaming.{EventStreams, TransformStateOps}
+      val base = EventStreams.prepareRestartBase(s, d, "tws")
+      EventStreams.stageParityHalf(s, d, base, "half0", 0)
+      EventStreams.stageParityHalf(s, d, base, "half1", 1)
+      val in = EventStreams.readEvents(s, s"$base/in")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[TransformStateOps.EvIn](
+          org.apache.spark.sql.Encoders.product[TransformStateOps.EvIn])
+      val updates = EventStreams.withStreamConf(s, extra = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        EventStreams.runToBatch(s,
+          TransformStateOps.runningTotals(in).toDF(),
+          s"graft_q_tws_${graft.Staging.suffix(d)}")
+      }
+      updates.groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("total_cents"), col("n_events")).as("total_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // State-v2 MapState: per-user distinct event-type tracking — the
+    // keyed-collection state type (point-writes for new members only,
+    // O(delta) per update where a ValueState[Set] rewrites the whole
+    // set). Same two-parity-batch protocol; the cumulative distinct
+    // count is monotone, so the judged max per user must equal the
+    // batch COUNT(DISTINCT).
+    QueryDef("stream_tws_distinct", Some("""
+      SELECT user_id, count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
+      import graft.streaming.{EventStreams, TransformStateOps}
+      val base = EventStreams.prepareRestartBase(s, d, "twm")
+      EventStreams.stageParityHalf(s, d, base, "half0", 0)
+      EventStreams.stageParityHalf(s, d, base, "half1", 1)
+      val in = EventStreams.readEvents(s, s"$base/in")
+        .select(col("user_id"), col("event_type"))
+        .as[TransformStateOps.EvTyped](
+          org.apache.spark.sql.Encoders.product[TransformStateOps.EvTyped])
+      val updates = EventStreams.withStreamConf(s, extra = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        EventStreams.runToBatch(s,
+          TransformStateOps.distinctTypes(in).toDF(),
+          s"graft_q_twm_${graft.Staging.suffix(d)}")
+      }
+      updates.groupBy(col("user_id"))
+        .agg(max(col("n_types")).as("n_types"))
+        .orderBy(col("user_id"))
+    },
   )
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 curation operators: exact duplicated-substring spans vs an
+  * in-JVM brute-force reference, DEFLATE density bounds + monotonicity,
+  * and PageRank conservation/determinism. The value-level gates are the
+  * DuckDB oracles (dedup_substring_spans, graph_pagerank,
+  * stream_transform_state); these specs pin the properties the oracle
+  * can't see.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("dedup_substring_spans matches an in-JVM brute-force reference") {
+    val K = 20
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute force: count every K-gram occurrence corpus-wide, mark
+    // positions whose gram occurs >1 time, merge consecutive runs.
+    val occ = scala.collection.mutable.HashMap.empty[String, Int]
+    for ((_, text) <- docs; i <- 0 to text.length - K)
+      occ.updateWith(text.substring(i, i + K))(c => Some(c.getOrElse(0) + 1))
+    val expected = (for ((id, text) <- docs.toSeq) yield {
+      val dupPos = (0 to text.length - K).filter(i => occ(text.substring(i, i + K)) > 1)
+      // islands of consecutive positions → maximal spans (1-based)
+      val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+      var run = List.empty[Int]
+      def flush(): Unit = if (run.nonEmpty) {
+        val s = run.last + 1; val e = run.head + K // run is reversed
+        spans += ((s.toLong, e.toLong, (e - s + 1).toLong)); run = Nil
+      }
+      dupPos.foreach { p =>
+        if (run.nonEmpty && p != run.head + 1) flush()
+        run = p :: run
+      }
+      flush()
+      spans.toList.map { case (s, e, l) => (id, s, e, l) }
+    }).flatten.toSet
+    val got = q("dedup_substring_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should contain duplicated 20-grams")
+  }
+
+  test("dedup_substring_removal matches an in-JVM brute-force reference") {
+    val K = 20
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val occ = scala.collection.mutable.HashMap.empty[String, Int]
+    for ((_, text) <- docs; i <- 0 to text.length - K)
+      occ.updateWith(text.substring(i, i + K))(c => Some(c.getOrElse(0) + 1))
+    // brute force: union of [i, i+K-1] coverage over duplicated starts,
+    // cleaned text = chars outside the coverage
+    val expected = docs.map { case (id, text) =>
+      val covered = Array.fill(text.length)(false)
+      for (i <- 0 to text.length - K if occ(text.substring(i, i + K)) > 1;
+           j <- i until i + K) covered(j) = true
+      val cleaned = text.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+      // merged regions = runs of covered positions
+      var nRegions = 0L
+      for (i <- covered.indices if covered(i) && (i == 0 || !covered(i - 1))) nRegions += 1
+      id -> ((nRegions, covered.count(identity).toLong, cleaned))
+    }
+    val got = q("dedup_substring_removal").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((id, exp) <- expected) assert(got(id) === exp, s"doc $id")
+    assert(expected.values.exists(_._2 > 0L), "fixture should have removals")
+  }
+
+  test("doc_compression_ratio: bounds, spread, and repetition monotonicity") {
+    val rows = q("doc_compression_ratio").collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val ratio = r.getDouble(r.fieldIndex("ratio"))
+      assert(ratio > 0.0 && ratio < 1.2, s"doc ${r.getLong(0)}: ratio $ratio out of bounds")
+      assert(r.getLong(r.fieldIndex("deflated_len")) > 0L)
+    }
+    // direct monotonicity probe on the expression itself: pure
+    // repetition compresses far below high-entropy text of equal length
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val rep = "ab" * 500
+    val rnd = new scala.util.Random(42)
+    val noisy = Seq.fill(1000)(rnd.nextPrintableChar()).mkString
+    val Seq(lenRep, lenNoisy) = Seq(rep, noisy).toDF("t")
+      .select(T.deflatedLen(col("t")).as("l")).as[Long].collect().toSeq
+    assert(lenRep < lenNoisy / 5,
+      s"repetitive ($lenRep) should compress far below noisy ($lenNoisy)")
+  }
+
+  test("deflated_len: null semantics, SQL registration, codegen/interpreted parity") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val df = Seq(Some("hello hello hello"), None).toDF("t")
+    val got = df.select(T.deflatedLen(col("t"))).collect()
+    assert(got(0).getLong(0) > 0L)
+    assert(got(1).isNullAt(0))
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT deflated_len('hello hello hello') AS l").as[Long].head()
+    assert(viaSql === got(0).getLong(0))
+    graft.operators.ConfScope.withConf(spark, Map(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")) {
+      val interp = df.select(T.deflatedLen(col("t"))).collect()
+      assert(interp(0).getLong(0) === got(0).getLong(0))
+    }
+  }
+
+  test("graph_pagerank: positive ranks, near-conserved mass, deterministic rerun") {
+    val rows = q("graph_pagerank").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0L))
+    val total = rows.map(_._2).sum
+    // truncating division drops <1 ppm per edge per iteration; mass
+    // stays within a tight band of the 1e6 fixed-point budget
+    assert(total <= 1000000L && total > 990000L, s"rank mass $total out of band")
+    val rerun = q("graph_pagerank").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.toSeq === rerun.toSeq, "fixed-point PageRank must be bit-deterministic")
+  }
+
+  test("stream_transform_state equals the batch aggregate (cross-batch state carried)") {
+    val got = q("stream_transform_state").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(queries.dec2) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+}

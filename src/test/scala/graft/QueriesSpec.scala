@@ -35,7 +35,9 @@ class QueriesSpec extends AnyFunSuite {
     // every non-oracle query is intentionally approximate/engine-hashed
     val rowsOnly = qnames -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.subsetOf(Set("agg_approx_distinct", "agg_approx_quantiles",
-      "dedup_minhash_lsh", "dedup_simhash")))
+      "dedup_minhash_lsh", "dedup_simhash",
+      // zlib is not expressible in any SQL oracle; CurationSpec bounds it
+      "doc_compression_ratio")))
   }
 
   test("query names are unique") {

@@ -217,7 +217,7 @@ object VectorQueries {
 
   /** k-means codebook over `(vec_id, q, n2)`: seeds = vec_id < k,
     * refined by [[kmeansIters]] Lloyd rounds. */
-  private def lloydCentroids(v: DataFrame, k: Int): DataFrame = {
+  private[queries] def lloydCentroids(v: DataFrame, k: Int): DataFrame = {
     var cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
     for (_ <- 0 until kmeansIters) cents = lloydRound(v, cents)
@@ -227,7 +227,7 @@ object VectorQueries {
   /** DuckDB twin of [[lloydCentroids]]: CTE chain over an existing
     * `n(vec_id, q, n2)` CTE, ending in `c(c_id, cq, cn2)`. `dims` is
     * the fixture's embedding width. */
-  private def lloydSql(k: Int, dims: Int = 64): String = {
+  private[queries] def lloydSql(k: Int, dims: Int = 64): String = {
     val init = s"""
       kc0 AS (SELECT vec_id AS c_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id < $k)"""
     val rounds = (1 to kmeansIters).map { i =>
@@ -250,7 +250,7 @@ object VectorQueries {
   }
 
   /** Quantized corpus `(vec_id, q, n2)` — the shared IVF input frame. */
-  private def ivfCorpus(s: SparkSession, d: String): DataFrame =
+  private[queries] def ivfCorpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", qdot(col("q"), col("q")))
@@ -261,7 +261,7 @@ object VectorQueries {
     * index build — one corpus pass, no corpus shuffle (the per-vector
     * argmin window partitions on vec_id, which AQE keeps co-located
     * with the scan after the broadcast join). */
-  private def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+  private[queries] def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
     v.crossJoin(broadcast(cents))
@@ -275,7 +275,7 @@ object VectorQueries {
     * meets the codebook, so probing cost is independent of corpus size.
     * `probe_rank` is retained so the nprobe recall dial can evaluate
     * several probe depths off ONE frame. */
-  private def ivfProbes(v: DataFrame, cents: DataFrame, maxProbe: Int): DataFrame = {
+  private[queries] def ivfProbes(v: DataFrame, cents: DataFrame, maxProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
     v.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
@@ -364,7 +364,7 @@ object VectorQueries {
   /** PQ codebook: per-subspace k-means seeded from vec_id < k,
     * [[kmeansIters]] Lloyd rounds ([[lloydSubSql]] is the oracle
     * twin). */
-  private def lloydSubCentroids(subs: DataFrame, k: Int): DataFrame = {
+  private[queries] def lloydSubCentroids(subs: DataFrame, k: Int): DataFrame = {
     var cents = subs.filter(col("vec_id") < k)
       .select(col("s"), col("vec_id").as("c_id"), col("sub").as("csub"), col("sn2").as("cn2"))
     for (_ <- 0 until kmeansIters) cents = lloydSubRound(subs, cents)
@@ -374,7 +374,7 @@ object VectorQueries {
   /** DuckDB twin of [[lloydSubCentroids]] over a `subs(vec_id, s, sub)`
     * CTE, ending in `cents(s, c_id, csub)` (the oracle recomputes d2
     * directly from components, so it carries no cn2). */
-  private def lloydSubSql(k: Int, subDims: Int = 8): String = {
+  private[queries] def lloydSubSql(k: Int, subDims: Int = 8): String = {
     val init = s"""
       pc0 AS (SELECT s, vec_id AS c_id, sub AS csub FROM subs WHERE vec_id < $k)"""
     val rounds = (1 to kmeansIters).map { i =>
@@ -483,7 +483,7 @@ object VectorQueries {
     * per (vector, subspace) by exact int64 squared-L2 (d2 = sn2 + cn2
     * − 2·dot, no (a−b) expansion). One narrow corpus pass: broadcast
     * codebook join, per-(vec, s) argmin. */
-  private def pqEncode(subs: DataFrame, cents: DataFrame): DataFrame = {
+  private[queries] def pqEncode(subs: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dist = subs.join(broadcast(cents), Seq("s"))
       .withColumn("d2", col("sn2") + col("cn2") - lit(2L) * qdot(col("sub"), col("csub")))

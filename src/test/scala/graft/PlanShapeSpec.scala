@@ -333,4 +333,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"),
       "probe join must DPP the cluster-partitioned assignment scan: " + p.take(3000))
   }
+
+  test("sim_ann_ivfpq_persisted: serve reads the artifacts, DPP-prunes the code table") {
+    // the composed IVFADC lifecycle: serving must scan the persisted
+    // coarse codebook, fine (residual) codebook, and cluster-partitioned
+    // code table — and must NOT re-run either trainer or the corpus
+    // residual encode. The only Generate allowed in the serving lineage
+    // is the query-side residual sub-split (10 probe rows → 80 subs);
+    // any corpus-side training/encode would add its own posexplode
+    // chains, caught by the count bound.
+    val p = plan("sim_ann_ivfpq_persisted")
+    assert(p.contains("ivfpqidx"),
+      "serve must read the persisted ivfpq artifacts: " + p.take(2000))
+    assert(p.contains("coarse") && p.contains("fine") && p.contains("codes"),
+      "serve must scan the coarse/fine/codes artifacts: " + p.take(2000))
+    assert(p.contains("dynamicpruning"),
+      "probe join must DPP the cluster-partitioned code-table scan: " + p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+    assert("Generate".r.findAllIn(p).size <= 1,
+      "corpus training/encode leaked into the serving lineage")
+  }
 }

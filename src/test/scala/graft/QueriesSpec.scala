@@ -94,6 +94,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.6, f"sim_ann_pq recall@5 $recall%.3f below the 0.6 floor")
   }
 
+  test("sim_ann_ivfpq recall@5 vs exact sim_cosine_topk") {
+    import org.apache.spark.sql.Row
+    // IVFADC composes both lossy stages (nprobe=2 coarse pruning +
+    // residual-PQ ADC shortlist), but residual encoding concentrates
+    // codebook resolution within cells, so it should hold near the
+    // plain-IVF level; floor 0.6 guards the composed shape — a residual
+    // computed against the wrong cell's centroid collapses recall.
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .map { case Row(q: Long, v: Long, _, _) => (q, v) }.toSet
+    val hits = SparkEntry.queries("sim_ann_ivfpq")(spark, sf).collect()
+      .map { case Row(q: Long, v: Long, _, _) => (q, v) }.toSet
+    val recall = (hits & exact).size.toDouble / exact.size
+    info(f"sim_ann_ivfpq recall@5 vs exact = $recall%.3f")
+    assert(recall >= 0.6, f"sim_ann_ivfpq recall@5 $recall%.3f below the 0.6 floor")
+  }
+
   test("sim_ann_ivf_recall: nprobe dial is monotone and meets the nprobe=4 floor") {
     import org.apache.spark.sql.Row
     val rows = SparkEntry.queries("sim_ann_ivf_recall")(spark, sf).collect()

@@ -388,5 +388,53 @@ object TextQueries4 {
         .filter(col("rk") <= 20)
         .orderBy(col("lang"), col("rk"))
     },
+
+    /** φ-heavy hitters over the corpus token stream (φ = 1/31: every
+      * token whose frequency exceeds N/31) via the two-pass sketch
+      * shape that survives unbounded cardinality: pass 1 runs a
+      * Misra-Gries sketch PER PARTITION ([[graft.operators.SketchOps
+      * .misraGries]], k=30 counters — hard memory bound whatever the
+      * vocabulary size) and unions the survivors into a candidate set
+      * that provably contains every global heavy hitter (pigeonhole
+      * over the per-partition guarantee); pass 2 broadcasts the
+      * bounded candidate set, semi-joins the token stream, and counts
+      * EXACTLY — so the judged output is precise although the sketch
+      * is approximate, and the DuckDB oracle is a plain
+      * GROUP BY/HAVING. The point at 100 TB: a straight
+      * `groupBy(token).count` shuffles every distinct key (billions
+      * for web-scale vocab); here the only aggregate keys are the
+      * ≤ k·partitions candidates, and the stream itself never
+      * shuffles. The fixture's near-uniform 31-word vocabulary
+      * straddles the φ boundary, so the exact pass genuinely decides
+      * membership (≈ half the vocab passes, half fails).
+      * SketchOpsSpec covers the MG guarantee + memory bound on an
+      * adversarial synthetic stream. */
+    QueryDef("doc_heavy_hitters", Some("""
+      WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
+                   FROM documents),
+      tot AS (SELECT count(*) AS n FROM tok),
+      c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+      SELECT token, CAST(cnt AS BIGINT) AS cnt
+      FROM c, tot WHERE cnt * 31 > n ORDER BY cnt DESC, token""")) { (s, d) =>
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+      // pass 1: bounded-memory candidate generation, zero shuffle of
+      // the stream (the groupBy aggregates ≤ k rows per partition)
+      val cand = tok.as[String]
+        .mapPartitions(graft.operators.SketchOps.misraGries(30))
+        .toDF("token", "mg_floor")
+        .groupBy(col("token")).agg(max(col("mg_floor")).as("mg_floor"))
+        .select(col("token"))
+      // pass 2: exact confirmation — candidates broadcast, the stream
+      // aggregates only candidate keys (map-side combined)
+      val counts = tok.join(broadcast(cand), Seq("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val tot = tok.groupBy().agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(tot))
+        .filter(col("cnt") * 31 > col("n"))
+        .select(col("token"), col("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
   )
 }

@@ -353,4 +353,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Generate".r.findAllIn(p).size <= 1,
       "corpus training/encode leaked into the serving lineage")
   }
+
+  test("text_bm25_topk: query terms broadcast, top-10 plans as WindowGroupLimit") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe-term list and df/stats sides must broadcast: " + p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-10 must not global-sort: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -711,5 +711,44 @@ object TextQueries {
           col("checksum").as("pixel00"))
         .orderBy(col("doc_id"))
     },
+
+    /** Raw-bytes ingestion through Spark's `binaryFile` source — the
+      * missing first hop of the multimodal story: media lands as LOOSE
+      * FILES (one blob per asset), not as parquet columns, and the
+      * engine must lift files into a binary column before any decode
+      * runs. Staging writes one `<doc_id>.bin` per document
+      * EXECUTOR-SIDE (foreachPartition — the driver never touches the
+      * bytes); the judged query is the `binaryFile` read itself:
+      * pathGlobFilter prunes at listing time, the filename key is
+      * recovered with one regexp, and (size, md5) of the content
+      * column are hash-gated against the oracle recomputing both from
+      * the source table — any byte lost or reordered in the
+      * file-staging round-trip breaks the hash. At 100 TB this is the
+      * asset-manifest build: listing parallelizes over executors and
+      * each task reads only its files. */
+    QueryDef("multimodal_binary_ingest", Some("""
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      import s.implicits._
+      val root = graft.Staging.dir("binfiles", d)
+      val dir = java.nio.file.Paths.get(root, "files")
+      java.nio.file.Files.createDirectories(dir)
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, text) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, "files", s"$id.bin"),
+              text.getBytes("UTF-8"))
+          }
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(s"$root/files")
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

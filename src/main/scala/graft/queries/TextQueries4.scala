@@ -436,5 +436,50 @@ object TextQueries4 {
         .select(col("token"), col("cnt"))
         .orderBy(col("cnt").desc, col("token"))
     },
+
+    /** Corpus-LM fluency scoring (the CCNet-style quality gate: score
+      * each document under a language model trained on the corpus
+      * itself, keep the fluent tail) with a bigram MLE standing in for
+      * KenLM, in EXACT ppm fixed-point: p(w2|w1) = c(w1,w2)/c(w1)
+      * becomes `(c2 * 1e6) div c1` under truncating division, and the
+      * judged score is the per-doc mean over bigram INSTANCES —
+      * integer-exact on both engines, so a real perplexity-filter
+      * pipeline shape gets full hash-gating (log-space perplexity
+      * would rank identically per-bigram; the rational form keeps it
+      * bit-deterministic, same discipline as text_bm25_topk /
+      * graph_pagerank). Shape at scale: bigram extraction is one
+      * index-transform over the token array (no self-join — same trick
+      * as doc_ngrams); the count tables are corpus aggregates that
+      * broadcast at bounded vocab (web vocab: shuffle-join on w1, the
+      * stream already carries doc_id so scoring re-shuffles once). */
+    QueryDef("doc_lm_score", Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+      bgf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+              FROM (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS p
+                    FROM t WHERE len(w) >= 2)),
+      c1 AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(w) AS w1 FROM t) GROUP BY 1),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf GROUP BY 1, 2),
+      sc AS (SELECT b.doc_id, (c2.c2 * 1000000) // c1.c1 AS p_ppm
+             FROM bgf b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+             JOIN c1 ON c1.w1 = b.w1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(p_ppm) // count(*) AS BIGINT) AS lm_ppm
+      FROM sc GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("w"))
+      val bgf = t.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c1 = t.select(explode(col("w")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val c2 = bgf.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      bgf.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .withColumn("p_ppm", expr("(c2 * 1000000) div c1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_ppm) div count(1)").as("lm_ppm"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

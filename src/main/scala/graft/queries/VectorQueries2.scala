@@ -160,6 +160,74 @@ object VectorQueries2 {
       SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** DuckDB twin of the INCREMENTAL IVFADC lifecycle: BOTH codebooks
+    * (coarse and fine-residual) are trained on the BASE corpus only
+    * (vec_id % 10 != 9 — the "day-1" index); assignment and the code
+    * table cover base + the appended day-2 batch. Assignment and
+    * residual encoding are pure per-vector functions of the FROZEN
+    * codebooks, so append-then-serve ≡ full-rebuild-then-serve — the
+    * oracle computes the rebuild form and the shared hash gates the
+    * equality (same proof scheme as `sim_ann_pq_incremental`). */
+  private def ivfpqIncrOracle: String = s"""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      nall AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), z -> z[1] * z[2])) AS n2 FROM v),
+      n AS (SELECT * FROM nall WHERE vec_id % 10 != 9),
+      ${lloydSql(8)},
+      sim AS (SELECT a.vec_id, c.c_id,
+                CAST(list_sum(list_transform(list_zip(a.q, c.cq), z -> z[1] * z[2])) AS DOUBLE)
+                  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS csim
+              FROM nall a, c),
+      asg AS (SELECT vec_id, c_id AS cluster FROM
+                (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn FROM sim)
+              WHERE rn = 1),
+      probes AS (SELECT vec_id AS q_id, c_id AS cluster FROM
+                (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn
+                 FROM sim WHERE vec_id < 5)
+              WHERE rn <= 2),
+      res AS (SELECT nall.vec_id, a.cluster,
+                list_transform(list_zip(nall.q, c.cq), z -> z[1] - z[2]) AS r
+              FROM nall JOIN asg a ON a.vec_id = nall.vec_id JOIN c ON c.c_id = a.cluster),
+      subs_all AS (SELECT vec_id, s, r[s * 8 + 1 : s * 8 + 8] AS sub
+               FROM res CROSS JOIN range(0, 8) AS t(s)),
+      subs AS (SELECT * FROM subs_all WHERE vec_id % 10 != 9),
+      ${lloydSubSql(16)},
+      dist AS (SELECT a.vec_id, a.s, c.c_id,
+                 list_sum(list_transform(list_zip(a.sub, c.csub), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+               FROM subs_all a JOIN cents c ON c.s = a.s),
+      codes AS (SELECT vec_id, s, c_id AS code FROM
+                  (SELECT vec_id, s, c_id, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_id) AS rn FROM dist)
+                WHERE rn = 1),
+      codesc AS (SELECT a.cluster, k.vec_id, k.s, k.code
+                 FROM codes k JOIN asg a ON a.vec_id = k.vec_id),
+      qres AS (SELECT p.q_id, p.cluster,
+                 list_transform(list_zip(nall.q, c.cq), z -> z[1] - z[2]) AS r
+               FROM probes p JOIN nall ON nall.vec_id = p.q_id JOIN c ON c.c_id = p.cluster),
+      qsubs AS (SELECT q_id, cluster, s, r[s * 8 + 1 : s * 8 + 8] AS sub
+                FROM qres CROSS JOIN range(0, 8) AS t(s)),
+      lut AS (SELECT q.q_id, q.cluster, q.s, c.c_id AS code,
+                list_sum(list_transform(list_zip(q.sub, c.csub), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+              FROM qsubs q JOIN cents c ON c.s = q.s),
+      adc AS (SELECT p.q_id, cc.vec_id, sum(l.d2) AS adc
+              FROM probes p
+              JOIN codesc cc ON cc.cluster = p.cluster
+              JOIN lut l ON l.q_id = p.q_id AND l.cluster = p.cluster
+                        AND l.s = cc.s AND l.code = cc.code
+              WHERE cc.vec_id != p.q_id
+              GROUP BY 1, 2),
+      short AS (SELECT q_id, vec_id FROM
+                  (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS srn FROM adc)
+                WHERE srn <= 50),
+      scored AS (SELECT sh.q_id, sh.vec_id,
+                   CAST(list_sum(list_transform(list_zip(qa.q, vb.q), z -> z[1] * z[2])) AS DOUBLE)
+                     / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE))) AS cosine
+                 FROM short sh JOIN nall qa ON qa.vec_id = sh.q_id JOIN nall vb ON vb.vec_id = sh.vec_id),
+      r AS (SELECT q_id, vec_id, cosine,
+              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+      SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
   val defs: Seq[QueryDef] = Seq(
 
     /** IVFADC in-lineage: both trainers + encode + serve in one plan
@@ -198,6 +266,47 @@ object VectorQueries2 {
       pqEncode(rsubs, fine).join(asg, Seq("vec_id"))
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/codes")
       // partition-column read-back infers int; restore the long key
+      val codesC = s.read.parquet(s"$root/codes")
+        .withColumn("cluster", col("cluster").cast("long"))
+      ivfpqServe(v, coarse, ivfProbes(v, coarse, 2), fine, codesC)
+    },
+
+    /** INCREMENTAL IVFADC maintenance — the flagship index's daily
+      * shape at 100 TB: day-1 trains BOTH codebooks on the base corpus
+      * (vec_id % 10 != 9) and persists coarse, fine, and the
+      * cluster-partitioned base code table; day-2's arrivals are
+      * assigned and residual-encoded OFF THE FROZEN ARTIFACTS — two
+      * narrow O(batch) passes, no retrain, no corpus rescan — and
+      * APPENDED into the partitioned code table (each batch vector
+      * lands in its cell's directory, extending the inverted lists in
+      * place). Serving reads the appended table and sees old + new.
+      * Assignment and encoding are pure per-vector functions of the
+      * frozen codebooks, so append-then-serve must equal
+      * full-rebuild-then-serve EXACTLY — the oracle computes the
+      * rebuild form and the shared hash gates the equality (a dropped
+      * batch, a double-append, or any batch-dependent drift breaks
+      * rows or hash). */
+    QueryDef("sim_ann_ivfpq_incremental", Some(ivfpqIncrOracle)) { (s, d) =>
+      val v = ivfCorpus(s, d)
+      val vBase = v.filter(pmod(col("vec_id"), lit(10L)) =!= 9)
+      val vBatch = v.filter(pmod(col("vec_id"), lit(10L)) === 9)
+      val root = graft.Staging.dir("ivfpqincr", d)
+      // day-1 offline build: train on base only, persist all artifacts
+      lloydCentroids(vBase, 8).write.mode("overwrite").parquet(s"$root/coarse")
+      val coarse = s.read.parquet(s"$root/coarse")
+      val asgBase = ivfAssign(vBase, coarse)
+      val fineIn = ivfpqResiduals(vBase, coarse, asgBase)
+      lloydSubCentroids(fineIn, 16).write.mode("overwrite").parquet(s"$root/fine")
+      val fine = s.read.parquet(s"$root/fine")
+      pqEncode(fineIn, fine).join(asgBase, Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/codes")
+      // day-2 maintenance: assign + encode the batch off the frozen
+      // codebooks, append into the inverted-list directories
+      val asgBatch = ivfAssign(vBatch, coarse)
+      pqEncode(ivfpqResiduals(vBatch, coarse, asgBatch), fine)
+        .join(asgBatch, Seq("vec_id"))
+        .write.mode("append").partitionBy("cluster").parquet(s"$root/codes")
+      // serve from the appended table (old + new)
       val codesC = s.read.parquet(s"$root/codes")
         .withColumn("cluster", col("cluster").cast("long"))
       ivfpqServe(v, coarse, ivfProbes(v, coarse, 2), fine, codesC)

@@ -289,7 +289,7 @@ object VectorQueries {
     * partitions), exact-cosine top-5 re-rank. The query side
     * broadcasts; the corpus side is driven by the (possibly
     * disk-resident) assignment table. */
-  private def ivfServe(v: DataFrame, probes: DataFrame, asg: DataFrame): DataFrame = {
+  private[queries] def ivfServe(v: DataFrame, probes: DataFrame, asg: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cand = probes.select(col("q_id"), col("cluster")).join(asg, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -310,7 +310,7 @@ object VectorQueries {
     * `sim_ann_ivf` (in-lineage) and `sim_ann_ivf_persisted` (centroids
     * and assignments round-tripped through parquet; persistence is
     * lossless, so the served rows are identical by construction). */
-  private def ivfOracle: String = s"""
+  private[queries] def ivfOracle: String = s"""
       WITH v AS (SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
                  FROM embeddings),

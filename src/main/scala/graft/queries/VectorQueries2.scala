@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
 object VectorQueries2 {
 
   import VectorQueries.{ivfCorpus, lloydCentroids, ivfAssign, ivfProbes,
-    lloydSubCentroids, pqEncode, lloydSql, lloydSubSql}
+    ivfServe, ivfOracle, lloydSubCentroids, pqEncode, lloydSql, lloydSubSql}
 
   /** Residual sub-vector frame `(vec_id, s, sub, sn2)`: r = q − cq of
     * the assigned coarse cell, split into 8×8-dim subspaces. One
@@ -310,6 +310,69 @@ object VectorQueries2 {
       val codesC = s.read.parquet(s"$root/codes")
         .withColumn("cluster", col("cluster").cast("long"))
       ivfpqServe(v, coarse, ivfProbes(v, coarse, 2), fine, codesC)
+    },
+
+    /** STREAMING ANN serving — the vector twin of `stream_dedup_index`:
+      * query vectors arrive as a real file-source stream (two staged
+      * micro-batches under maxFilesPerTrigger=1) and each micro-batch
+      * is served inside foreachBatch against the PERSISTED IVF index
+      * (centroids + cluster-partitioned assignments built once,
+      * offline). Serving is a pure per-query function of the frozen
+      * index, so micro-batch boundaries provably cannot change any
+      * result — the query shares `sim_ann_ivf`'s oracle VERBATIM, and
+      * the hash gates exactly that invariance (a batch served against
+      * a stale or re-trained index, a dropped batch, or cross-batch
+      * interference all break it). Per-batch sinks are batch_id-keyed
+      * (idempotent under replay); the union of disjoint per-batch
+      * top-5 sets IS the full answer because each query id arrives
+      * exactly once. This is the online-inference shape at 100 TB: the
+      * index is a standing artifact, queries are a stream, per-batch
+      * cost is O(batch × probed lists). */
+    QueryDef("stream_ann_serve", Some(ivfOracle)) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      val root = graft.Staging.dir("annserve", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      // offline: build + persist the index once (same artifacts as
+      // sim_ann_ivf_persisted: tiny codebook + partitioned assignment)
+      val v = ivfCorpus(s, d)
+      lloydCentroids(v, 8).write.mode("overwrite").parquet(s"$root/centroids")
+      val cb = s.read.parquet(s"$root/centroids")
+      ivfAssign(v, cb).write.mode("overwrite")
+        .partitionBy("cluster").parquet(s"$root/assign")
+      val asg = s.read.parquet(s"$root/assign")
+        .withColumn("cluster", col("cluster").cast("long"))
+      // stage the query stream: ids {0,1} then {2,3,4} → two
+      // micro-batches under maxFilesPerTrigger=1
+      val qdocs = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      qdocs.filter(col("vec_id") < 2)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+      qdocs.filter(col("vec_id") >= 2)
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      val schema = s.read.parquet(s"$root/in").schema
+      val sink = s"$root/out"
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+              val qv = b.select(col("vec_id"), quantize(col("embedding")).as("q"))
+                .withColumn("n2", qdot(col("q"), col("q")))
+              ivfServe(v, ivfProbes(qv, cb, 2), asg)
+                .write.mode("overwrite").parquet(s"$sink/b$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_ann_serve")
+      }
+      // declared schema: a sink dir of an empty batch has no footers
+      s.read.schema("q_id LONG, vec_id LONG, rnk LONG, cosine DOUBLE")
+        .parquet(s"$sink/b*")
+        .orderBy(col("q_id"), col("rnk"))
     }
   )
 }

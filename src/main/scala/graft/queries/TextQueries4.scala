@@ -481,5 +481,77 @@ object TextQueries4 {
           expr("sum(p_ppm) div count(1)").as("lm_ppm"))
         .orderBy(col("doc_id"))
     },
+
+    /** CORPUS-ASSEMBLY CAPSTONE — the full curation chain a
+      * training-data build actually runs, as ONE judged lineage:
+      * quality gate (doc_quality's exact formula, > 0.3) → eval-set
+      * exclusion (doc_id % 50 docs are benchmark, never train) → exact
+      * dedup (fingerprint latest-wins, doc_quality survivors only) →
+      * decontamination (drop any doc sharing a token 3-gram with the
+      * eval set — the broadcast eval-shingle probe of
+      * doc_decontaminate) → per-language sequence packing (256-token
+      * concatenate-and-chop of doc_pack_sequences). Each stage's
+      * mechanism is proven separately by its own judged query; this
+      * query proves the COMPOSITION — staging boundaries, column
+      * contracts, and the end-to-end row set — against one composed
+      * oracle, so a semantics drift in any stage (a filter reordered
+      * against dedup, eval docs leaking into packs, a contaminated doc
+      * surviving) breaks the hash. Scale shape is the union of the
+      * parts: scan-speed scoring, one fp shuffle, broadcast eval
+      * shingles (benchmarks are KBs), per-lang windows — the corpus
+      * never shuffles on a shingle and never self-joins. */
+    QueryDef("curate_full_pipeline", Some("""
+      WITH t AS (SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+      scored AS (SELECT doc_id, lang, w, md5(lower(trim(text))) AS fp,
+             round(least(1.0, CAST(len(w) AS DOUBLE) / 200.0)
+               * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
+               * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6) AS quality
+        FROM t),
+      kept AS (SELECT * FROM scored WHERE quality > 0.3 AND doc_id % 50 <> 0),
+      ded AS (SELECT * FROM
+        (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept)
+        WHERE rn = 1),
+      esh AS (SELECT DISTINCT unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS g
+              FROM t WHERE doc_id % 50 = 0 AND len(w) >= 3),
+      dsh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS g
+              FROM ded WHERE len(w) >= 3),
+      contaminated AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN esh e ON e.g = d.g),
+      clean AS (SELECT ded.doc_id, ded.lang, CAST(len(ded.w) AS BIGINT) AS n
+                FROM ded LEFT JOIN contaminated c ON c.doc_id = ded.doc_id
+                WHERE c.doc_id IS NULL),
+      wv AS (SELECT lang, doc_id, n,
+               COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+             FROM clean)
+      SELECT lang, CAST(start // 256 AS BIGINT) AS pack_id, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
+      FROM wv GROUP BY 1, 2 ORDER BY lang, pack_id""")) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("w"))
+      val scored = t.select(col("doc_id"), col("lang"), col("w"),
+        fingerprint(col("text")).as("fp"), qualityScore(col("text")).as("quality"))
+      val kept = scored.filter(col("quality") > 0.3 && pmod(col("doc_id"), lit(50)) =!= 0)
+      val wDed = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val ded = kept.withColumn("rn", row_number().over(wDed))
+        .filter(col("rn") === 1).drop("rn")
+      def shingles(df: DataFrame): DataFrame = df.filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("w")) - 2),
+            i => array_join(slice(col("w"), i, lit(3)), " ")))).as("g"))
+      val esh = shingles(t.filter(pmod(col("doc_id"), lit(50)) === 0))
+        .select(col("g")).distinct()
+      val contaminated = shingles(ded).join(broadcast(esh), Seq("g"))
+        .select(col("doc_id")).distinct()
+      val clean = ded.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("n"))
+      val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      clean.withColumn("start", coalesce(sum(col("n")).over(wPack), lit(0L)))
+        .groupBy(col("lang"), floor(col("start") / 256).as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("pack_id"))
+    },
   )
 }

@@ -122,6 +122,77 @@ object Multimodal {
       })
   }
 
+  /** Typed audio record: decoded stream parameters + an exact integer
+    * content fingerprint (the signed-sample sum). */
+  final case class AudioMeta(
+      doc_id: Long,
+      sample_rate: Long,
+      channels: Long,
+      bits: Long,
+      n_frames: Long,
+      sample_sum: Long)
+
+  /** REAL audio codec over the JDK's bundled `javax.sound.sampled` WAV
+    * support — the audio leg of the multimodal path, no external
+    * libraries. The staging generator emits deterministic 16-bit mono
+    * PCM whose every sample is an arithmetic function of (doc_id, i),
+    * so the oracle recomputes the decoded frame count AND the exact
+    * signed-sample sum analytically; the decode side reads genuine WAV
+    * bytes back through `AudioSystem` (header parse + PCM frame
+    * extraction), so a corrupted header, channel/endianness mix-up, or
+    * truncated payload breaks the judged hash. */
+  object AudioCodec {
+    /** sample(i) = ((id·31 + i·7919) mod 65536) − 32768 — exact int16. */
+    def encodeWav(id: Long): Array[Byte] = {
+      val n = (100 + (id % 100)).toInt
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (((id * 31 + i.toLong * 7919) % 65536L) - 32768L).toShort
+        data(2 * i) = (v & 0xFF).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode real WAV bytes: format params from the parsed header,
+      * exact signed-sample sum from the little-endian PCM frames. */
+    def decode(id: Long, bytes: Array[Byte]): AudioMeta = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val pcm = ais.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < pcm.length) {
+          sum += (pcm(i + 1).toInt << 8) | (pcm(i) & 0xFF)
+          i += 2
+        }
+        AudioMeta(id, f.getSampleRate.toLong, f.getChannels.toLong,
+          f.getSampleSizeInBits.toLong, nFrames, sum)
+      } finally ais.close()
+    }
+  }
+
+  /** Per-partition audio decode — same iterator-to-iterator shape as
+    * [[decodeMeta]]. */
+  def decodeAudio(df: DataFrame): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => AudioCodec.decode(id, bytes) })
+  }
+
   /** Frame-sampling stub: emits every `stride`-th chunk of the payload
     * as a "frame" — the flatMap (UDTF-style) shape of video sampling. */
   def sampleFrames(df: DataFrame, stride: Int): DataFrame = {

@@ -750,5 +750,38 @@ object TextQueries {
           md5(col("content")).as("content_md5"))
         .orderBy(col("doc_id"))
     },
+
+    /** REAL audio decode through the JDK's `javax.sound.sampled` WAV
+      * path — the audio leg of the multimodal family (images decode
+      * via javax.imageio in `multimodal_image_meta`; audio was the
+      * remaining FakeCodec-only modality). Staging synthesizes one
+      * deterministic 16-bit mono PCM WAV per document EXECUTOR-SIDE
+      * (every sample an arithmetic function of (doc_id, i)), round-
+      * trips the bytes through a parquet binary column, and the judged
+      * decode parses the genuine WAV header + PCM frames back:
+      * sample-rate/channels/bits/frame-count from `AudioSystem`, plus
+      * the exact signed-sample sum as a content fingerprint. The
+      * oracle recomputes frame count AND sample sum analytically from
+      * the generator arithmetic — a header mis-parse, endianness flip,
+      * or truncated frame breaks the hash. */
+    QueryDef("multimodal_audio_meta", Some("""
+      WITH n AS (SELECT doc_id, 100 + doc_id % 100 AS nf FROM documents),
+      s AS (SELECT n.doc_id, n.nf,
+              CAST(sum(((n.doc_id * 31 + t.i * 7919) % 65536) - 32768) AS BIGINT) AS sample_sum
+            FROM n CROSS JOIN range(0, 199) AS t(i)
+            WHERE t.i < n.nf GROUP BY 1, 2)
+      SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+             CAST(16 AS BIGINT) AS bits, CAST(nf AS BIGINT) AS n_frames, sample_sum
+      FROM s ORDER BY doc_id""")) { (s, d) =>
+      import s.implicits._
+      val root = graft.Staging.dir("wav", d)
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.operators.Multimodal.AudioCodec.encodeWav(id))
+        }).toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(s"$root/wav")
+      graft.operators.Multimodal.decodeAudio(s.read.parquet(s"$root/wav")).toDF()
+        .orderBy(col("doc_id"))
+    },
   )
 }

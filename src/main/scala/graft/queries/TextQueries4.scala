@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries4 {
 
+  /** Shared oracle of `doc_heavy_hitters` and its streaming twin
+    * `stream_heavy_hitters`: both reduce to exact φ=1/31 frequent
+    * tokens because the sketch only proposes candidates — the exact
+    * confirmation pass decides membership in both. */
+  private val heavyHittersOracle = """
+      WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
+                   FROM documents),
+      tot AS (SELECT count(*) AS n FROM tok),
+      c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+      SELECT token, CAST(cnt AS BIGINT) AS cnt
+      FROM c, tot WHERE cnt * 31 > n ORDER BY cnt DESC, token"""
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Benchmark decontamination: flag training documents sharing any
@@ -409,13 +421,7 @@ object TextQueries4 {
       * membership (≈ half the vocab passes, half fails).
       * SketchOpsSpec covers the MG guarantee + memory bound on an
       * adversarial synthetic stream. */
-    QueryDef("doc_heavy_hitters", Some("""
-      WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
-                   FROM documents),
-      tot AS (SELECT count(*) AS n FROM tok),
-      c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
-      SELECT token, CAST(cnt AS BIGINT) AS cnt
-      FROM c, tot WHERE cnt * 31 > n ORDER BY cnt DESC, token""")) { (s, d) =>
+    QueryDef("doc_heavy_hitters", Some(heavyHittersOracle)) { (s, d) =>
       import s.implicits._
       val tok = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("token"))
@@ -428,6 +434,59 @@ object TextQueries4 {
         .select(col("token"))
       // pass 2: exact confirmation — candidates broadcast, the stream
       // aggregates only candidate keys (map-side combined)
+      val counts = tok.join(broadcast(cand), Seq("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val tot = tok.groupBy().agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(tot))
+        .filter(col("cnt") * 31 > col("n"))
+        .select(col("token"), col("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
+    /** STREAMING heavy hitters — the sketch kept alive across
+      * micro-batches in arbitrary state v2: documents arrive as a real
+      * two-batch file stream, tokens hash-shard, and each shard runs
+      * Misra-Gries inside a `transformWithState` MapState (≤ k=30
+      * counters per shard — a HARD state bound however large the
+      * vocabulary grows, the property that makes unbounded-cardinality
+      * frequency tracking survivable in a long-running stream).
+      * Because a shard owns ALL occurrences of its tokens, the MG
+      * survival guarantee covers each token's full stream regardless
+      * of arrival order or batch boundaries; the union of per-batch
+      * snapshot emissions is a superset of the final counters, so the
+      * exact confirmation pass (broadcast candidates, precise counts,
+      * φ=1/31 threshold) yields the SAME answer as the batch operator
+      * for ANY ingest order — which is why this query shares
+      * `doc_heavy_hitters`' oracle verbatim, and why the hash gates
+      * order-invariance itself. */
+    QueryDef("stream_heavy_hitters", Some(heavyHittersOracle)) { (s, d) =>
+      import s.implicits._
+      import org.apache.hadoop.fs.Path
+      import graft.streaming.{EventStreams, TransformStateOps}
+      val root = graft.Staging.dir("shh", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      val schema = s.read.parquet(s"$root/in").schema
+      val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/in")
+        .select(explode(tokens(col("text"))).as("token"))
+        .select(pmod(xxhash64(col("token")), lit(8L)).as("shard"), col("token"))
+        .as[TransformStateOps.TokIn]
+      val snapshots = EventStreams.withStreamConf(s, extra = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        EventStreams.runToBatch(s,
+          TransformStateOps.shardSketch(in, 30).toDF(),
+          s"graft_q_shh_${graft.Staging.suffix(d)}")
+      }
+      val cand = snapshots.select(col("token")).distinct()
+      val tok = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
       val counts = tok.join(broadcast(cand), Seq("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       val tot = tok.groupBy().agg(count(lit(1)).as("n"))

@@ -82,4 +82,50 @@ object TransformStateOps {
     events.groupByKey(_.user_id)
       .transformWithState(new DistinctTypes, TimeMode.None(), OutputMode.Append())
   }
+
+  final case class TokIn(shard: Long, token: String)
+  final case class SketchOut(shard: Long, token: String, floor_count: Long)
+
+  /** Sharded streaming Misra-Gries ([[graft.operators.SketchOps]]'
+    * batch kernel lifted into state v2): each shard keys all
+    * occurrences of its tokens (hash-sharded), so the per-shard MG
+    * guarantee covers the token's FULL stream — any token with global
+    * frequency > N/(k+1) survives in its shard's final counters,
+    * whatever the arrival order or micro-batch boundaries. Counters
+    * live in a MapState (≤ k entries per shard — hard state bound at
+    * any vocabulary size; the decrement storm is an O(k) point-write
+    * burst). Each batch emits the shard's surviving-counter SNAPSHOT;
+    * the union of snapshots across batches is a superset of the final
+    * counters and therefore still a valid heavy-hitter candidate set —
+    * callers confirm exactly and never rely on the floors. */
+  class ShardMisraGries(k: Int) extends StatefulProcessor[Long, TokIn, SketchOut] {
+    @transient private var counters: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[String, Long](
+        "mg", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TokIn],
+        timerValues: TimerValues): Iterator[SketchOut] = {
+      rows.foreach { t =>
+        if (counters.containsKey(t.token)) {
+          counters.updateValue(t.token, counters.getValue(t.token) + 1L)
+        } else {
+          val live = counters.keys().toSeq
+          if (live.size < k) counters.updateValue(t.token, 1L)
+          else live.foreach { tok =>
+            val v = counters.getValue(tok) - 1L
+            if (v <= 0L) counters.removeKey(tok) else counters.updateValue(tok, v)
+          }
+        }
+      }
+      counters.iterator().map { case (tok, c) => SketchOut(key, tok, c) }
+    }
+  }
+
+  def shardSketch(toks: Dataset[TokIn], k: Int): Dataset[SketchOut] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.shard)
+      .transformWithState(new ShardMisraGries(k), TimeMode.None(), OutputMode.Append())
+  }
 }

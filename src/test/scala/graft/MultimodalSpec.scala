@@ -47,6 +47,24 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.FakeCodec.decode(45L, Array.empty[Byte]))
   }
 
+  test("AudioCodec: WAV round-trip decodes exact format, frames, and sample sum") {
+    for (id <- Seq(0L, 7L, 199L)) {
+      val bytes = Multimodal.AudioCodec.encodeWav(id)
+      // genuine RIFF/WAVE container, not raw PCM
+      assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+      val m = Multimodal.AudioCodec.decode(id, bytes)
+      val n = 100 + (id % 100)
+      val expectedSum = (0L until n).map(i => ((id * 31 + i * 7919) % 65536L) - 32768L).sum
+      assert(m === Multimodal.AudioMeta(id, 8000L, 1L, 16L, n, expectedSum))
+    }
+    // a truncated payload must fail the header parse loudly, not
+    // decode garbage silently
+    val whole = Multimodal.AudioCodec.encodeWav(3L)
+    intercept[Exception] {
+      Multimodal.AudioCodec.decode(3L, whole.take(10))
+    }
+  }
+
   test("sampleFrames emits every other chunk") {
     val frames = Multimodal.sampleFrames(Multimodal.payloads(spark, TestSpark.sf0001), 32)
     assert(frames.count() > 0)

@@ -598,5 +598,65 @@ object EventQueries2 {
           col("valid_to"), col("valid_to").isNull.as("is_current"))
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     },
+
+    /** session_window UNDER STREAMING EXECUTION — the stateful
+      * session-merge semantic the batch `events_session_window` twin
+      * cannot show: sessions accumulate in the state store across
+      * micro-batches (a session spanning a batch boundary MERGES with
+      * its in-state predecessor), and append mode emits a session only
+      * once the watermark proves no event can extend it. The fixture
+      * arrives as six 5-day files (mtime-ordered, maxFilesPerTrigger=1
+      * → six micro-batches, the reference's daily-arrival pattern);
+      * ascending day order keeps every event above the watermark, so
+      * nothing is late-dropped and the oracle is the batch
+      * sessionization RESTRICTED to finalized sessions: session_end ≤
+      * final watermark (max ts − 1h). Sessions still open when the
+      * stream drains are held in state and correctly absent. At 100 TB
+      * this operator is why sessionization streams at all: state holds
+      * only open sessions inside the watermark horizon (the measured
+      * state-drop guarantee of StreamingSpec), never the history. */
+    QueryDef("stream_session_window", Some("""
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      f AS (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+      g AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM f),
+      h AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+      sess AS (SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+                      count(*) AS n_events,
+                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+               FROM h GROUP BY user_id, sid),
+      wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
+      SELECT user_id, session_start, session_end, n_events, total_value
+      FROM sess, wm WHERE session_end <= w
+      ORDER BY user_id, session_start""")) { (s, d) =>
+      import graft.streaming.EventStreams
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val base = graft.Staging.dir("ssw", d)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(base).getFileSystem(conf)
+      fs.delete(new Path(base), true)
+      fs.mkdirs(new Path(base, "in"))
+      val ev = Tables.events(s, d)
+      val t0 = System.currentTimeMillis()
+      (0 until 6).foreach { i =>
+        val tmp = s"$base/stage$i"
+        ev.filter(dayofmonth(col("ts")).between(i * 5 + 1, i * 5 + 5)).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet")).head.getPath
+        val dst = new Path(s"$base/in/f$i.parquet")
+        FileUtil.copy(fs, part, fs, dst, false, conf)
+        // file source replays oldest-mtime first: pin day order
+        fs.setTimes(dst, t0 + i * 60000L, -1)
+      }
+      val sess = EventStreams.readEvents(s, s"$base/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"), col("total_value"))
+      EventStreams.withStreamConf(s) {
+        EventStreams.runToBatch(s, sess,
+          s"graft_q_ssw_${graft.Staging.suffix(d)}", outputMode = "append")
+      }.orderBy(col("user_id"), col("session_start"))
+    },
   )
 }

@@ -373,6 +373,61 @@ object VectorQueries2 {
       s.read.schema("q_id LONG, vec_id LONG, rnk LONG, cosine DOUBLE")
         .parquet(s"$sink/b*")
         .orderBy(col("q_id"), col("rnk"))
+    },
+
+    /** Scalar int8 quantization (SQ8) — the OTHER standard embedding
+      * compression, complementing PQ: per-vector symmetric max-abs
+      * scaling to signed-127 codes (4× over float32, no codebook, no
+      * training — the faiss `SQ8` / GGUF-style shape). One narrow
+      * per-row pass, zero shuffles before the output sort; at 100 TB
+      * this is a map-only re-encode of the embedding store.
+      *
+      * Exactness: components are int64-quantized (scale 1e6) first, so
+      * encode `sign(x)·(|x|·127 div maxabs)` and decode
+      * `sign(c)·(|c|·maxabs div 127)` are pure integer arithmetic —
+      * abs() keeps both engines' truncating division on positive
+      * operands (Spark `div` truncates toward zero, DuckDB `//` floors;
+      * they agree only for non-negatives). The judged L1 reconstruction
+      * error is therefore EXACT, and rel_err divides two identical
+      * integers in double. Codes emit as a joined string (driver
+      * comparator takes no arrays). */
+    QueryDef("vec_quantize_int8", Some("""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      m AS (SELECT vec_id, q,
+              greatest(list_max(list_transform(q, x -> abs(x))), 1) AS maxabs,
+              list_sum(list_transform(q, x -> abs(x))) AS l1
+            FROM v),
+      c AS (SELECT vec_id, maxabs, l1, q,
+              list_transform(q, x -> CASE WHEN x < 0 THEN -((abs(x) * 127) // maxabs)
+                                          ELSE (abs(x) * 127) // maxabs END) AS codes
+            FROM m),
+      e AS (SELECT vec_id, maxabs, l1, codes,
+              list_sum(list_transform(list_zip(q, codes), s ->
+                abs(s[1] - (CASE WHEN s[2] < 0 THEN -((abs(s[2]) * maxabs) // 127)
+                                 ELSE (abs(s[2]) * maxabs) // 127 END)))) AS l1_err
+            FROM c)
+      SELECT vec_id, CAST(maxabs AS BIGINT) AS maxabs,
+             array_to_string(codes, ',') AS codes,
+             CAST(l1_err AS BIGINT) AS l1_err,
+             round(CAST(l1_err AS DOUBLE) / CAST(l1 AS DOUBLE), 6) AS rel_err
+      FROM e ORDER BY vec_id""")) { (s, d) =>
+      // SQL-lambda bodies mirror the oracle token-for-token; `div` is
+      // Spark's integral division (Column `/` would go through double)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("maxabs", expr("greatest(array_max(transform(q, x -> abs(x))), 1L)"))
+        .withColumn("l1", expr("aggregate(transform(q, x -> abs(x)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("codes", expr(
+          "transform(q, x -> CASE WHEN x < 0 THEN -((abs(x) * 127) div maxabs) ELSE (abs(x) * 127) div maxabs END)"))
+        .withColumn("l1_err", expr(
+          "aggregate(zip_with(q, codes, (x, c) -> abs(x - (CASE WHEN c < 0 THEN -((abs(c) * maxabs) div 127) ELSE (abs(c) * maxabs) div 127 END))), 0L, (acc, z) -> acc + z)"))
+        .select(col("vec_id"), col("maxabs"),
+          expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')").as("codes"),
+          col("l1_err"),
+          round(col("l1_err").cast("double") / col("l1").cast("double"), 6).as("rel_err"))
+        .orderBy(col("vec_id"))
     }
   )
 }

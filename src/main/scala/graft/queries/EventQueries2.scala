@@ -11,6 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries2 {
 
+  /** Finalized-session oracle shared VERBATIM by `stream_session_window`
+    * (built-in session_window) and `stream_tws_session_timers` (the
+    * same semantics hand-built on state-v2 event-time timers): the
+    * batch 30-min-gap sessionization RESTRICTED to sessions the final
+    * watermark (max ts − 1h) has closed. Sharing the oracle makes the
+    * two implementations provably emission-equivalent. */
+  private[queries] val FinalizedSessionsOracle: String = """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      f AS (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+      g AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM f),
+      h AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+      sess AS (SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+                      count(*) AS n_events,
+                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+               FROM h GROUP BY user_id, sid),
+      wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
+      SELECT user_id, session_start, session_end, n_events, total_value
+      FROM sess, wm WHERE session_end <= w
+      ORDER BY user_id, session_start"""
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Clickstream path mining: each user's first five events (in time
@@ -615,38 +635,9 @@ object EventQueries2 {
       * this operator is why sessionization streams at all: state holds
       * only open sessions inside the watermark horizon (the measured
       * state-drop guarantee of StreamingSpec), never the history. */
-    QueryDef("stream_session_window", Some("""
-      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-      f AS (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
-      g AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM f),
-      h AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
-      sess AS (SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
-                      count(*) AS n_events,
-                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-               FROM h GROUP BY user_id, sid),
-      wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
-      SELECT user_id, session_start, session_end, n_events, total_value
-      FROM sess, wm WHERE session_end <= w
-      ORDER BY user_id, session_start""")) { (s, d) =>
+    QueryDef("stream_session_window", Some(FinalizedSessionsOracle)) { (s, d) =>
       import graft.streaming.EventStreams
-      import org.apache.hadoop.fs.{FileUtil, Path}
-      val base = graft.Staging.dir("ssw", d)
-      val conf = s.sparkContext.hadoopConfiguration
-      val fs = new Path(base).getFileSystem(conf)
-      fs.delete(new Path(base), true)
-      fs.mkdirs(new Path(base, "in"))
-      val ev = Tables.events(s, d)
-      val t0 = System.currentTimeMillis()
-      (0 until 6).foreach { i =>
-        val tmp = s"$base/stage$i"
-        ev.filter(dayofmonth(col("ts")).between(i * 5 + 1, i * 5 + 5)).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet")).head.getPath
-        val dst = new Path(s"$base/in/f$i.parquet")
-        FileUtil.copy(fs, part, fs, dst, false, conf)
-        // file source replays oldest-mtime first: pin day order
-        fs.setTimes(dst, t0 + i * 60000L, -1)
-      }
+      val base = EventStreams.stageDayFiles(s, d, "ssw")
       val sess = EventStreams.readEvents(s, s"$base/in")
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -656,6 +647,36 @@ object EventQueries2 {
       EventStreams.withStreamConf(s) {
         EventStreams.runToBatch(s, sess,
           s"graft_q_ssw_${graft.Staging.suffix(d)}", outputMode = "append")
+      }.orderBy(col("user_id"), col("session_start"))
+    },
+
+    /** Sessionization REBUILT on state-v2 EVENT-TIME TIMERS — the last
+      * state-v2 facility the tws family hadn't exercised (ValueState:
+      * stream_transform_state; MapState: stream_tws_distinct /
+      * stream_heavy_hitters; timers: here). Each open session registers
+      * a timer at its close time; in-gap arrivals delete-extend-
+      * re-register; ONLY `handleExpiredTimer` emits, so a session
+      * surfaces exactly when the watermark proves it closed — the same
+      * contract append-mode session_window implements natively, which
+      * is why this query shares `stream_session_window`'s oracle
+      * VERBATIM: the hash gates that the hand-built timer machine and
+      * the built-in operator finalize the identical session set with
+      * identical aggregates. See TransformStateOps.SessionTimers for
+      * the ms-timer/µs-session precision alignment. */
+    QueryDef("stream_tws_session_timers", Some(FinalizedSessionsOracle)) { (s, d) =>
+      import graft.streaming.{EventStreams, TransformStateOps}
+      val base = EventStreams.stageDayFiles(s, d, "twstimer")
+      val in = EventStreams.readEvents(s, s"$base/in")
+        .select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "1 hour")
+        .as[TransformStateOps.SessEv](
+          org.apache.spark.sql.Encoders.product[TransformStateOps.SessEv])
+      EventStreams.withStreamConf(s, extra = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        EventStreams.runToBatch(s,
+          TransformStateOps.sessionsByTimers(in).toDF(),
+          s"graft_q_twstimer_${graft.Staging.suffix(d)}", outputMode = "append")
       }.orderBy(col("user_id"), col("session_start"))
     },
   )

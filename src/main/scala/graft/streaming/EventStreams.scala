@@ -190,6 +190,35 @@ object EventStreams {
     * `copies` > 1 stages the SAME file under several names — with
     * maxFilesPerTrigger=1 each copy arrives as its own micro-batch, a
     * controlled replay for dedup/idempotence tests. */
+  /** Stage the events fixture as `groups` mtime-ASCENDING files of
+    * consecutive days under `<base>/in` — the reference's daily-arrival
+    * pattern; ascending day order keeps every event above the
+    * watermark (nothing late-dropped). Used by the session-window /
+    * timer-session queries, which share one oracle over the finalized
+    * session set. */
+  def stageDayFiles(spark: SparkSession, sfDir: String, prefix: String,
+      groups: Int = 6, daysPerGroup: Int = 5): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val base = graft.Staging.dir(prefix, sfDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base).getFileSystem(conf)
+    fs.delete(new Path(base), true)
+    fs.mkdirs(new Path(base, "in"))
+    val ev = graft.Tables.events(spark, sfDir)
+    val t0 = System.currentTimeMillis()
+    (0 until groups).foreach { i =>
+      val tmp = s"$base/stage$i"
+      ev.filter(dayofmonth(col("ts")).between(i * daysPerGroup + 1, (i + 1) * daysPerGroup))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet")).head.getPath
+      val dst = new Path(s"$base/in/f$i.parquet")
+      FileUtil.copy(fs, part, fs, dst, false, conf)
+      // the file source replays oldest-mtime first: pin day order
+      fs.setTimes(dst, t0 + i * 60000L, -1)
+    }
+    base
+  }
+
   def stageEventsInput(spark: SparkSession, sfDir: String, prefix: String,
       copies: Int = 1): String = {
     import org.apache.hadoop.fs.{FileUtil, Path}

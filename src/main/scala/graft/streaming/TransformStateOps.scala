@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Spark 4 arbitrary-state v2 (`transformWithState`) — the successor
   * API to `flatMapGroupsWithState` used by
@@ -127,5 +127,90 @@ object TransformStateOps {
     import toks.sparkSession.implicits._
     toks.groupByKey(_.shard)
       .transformWithState(new ShardMisraGries(k), TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class SessEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class OpenSess(start_us: Long, last_us: Long, n: Long, cents: Long)
+  final case class SessTimerOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Sessionization rebuilt on state-v2 EVENT-TIME TIMERS — the one
+    * state-v2 facility `stream_transform_state`/`stream_tws_distinct`
+    * don't touch. Each per-user open session holds a registered timer
+    * at its (would-be) close time; an in-gap arrival DELETES the timer,
+    * extends the session, and re-registers; the session is emitted only
+    * from `handleExpiredTimer`, i.e. only once the WATERMARK proves no
+    * event can extend it — exactly `session_window`'s append-mode
+    * contract, which is why the judged query shares
+    * `stream_session_window`'s oracle verbatim.
+    *
+    * Precision: session arithmetic is exact microseconds; timers are
+    * milliseconds, registered at ceil(end_us/1000) so "timer expired at
+    * watermark W ms" ⟺ "end_us ≤ W·1000" — bit-aligned with the
+    * session_window eviction predicate against the same ms watermark.
+    *
+    * Ordering contract: in-batch rows are sorted by event time here;
+    * ACROSS batches the caller must deliver each key's events
+    * nondecreasing (the day-file staging does), which keeps the
+    * tail-session invariant: a new event can only ever merge into the
+    * LATEST open session (any older session's gap window ended before
+    * the newer session began). State is O(open sessions within the
+    * watermark horizon) per user — the same bound session_window's
+    * state store carries. */
+  class SessionTimers(gapUs: Long) extends StatefulProcessor[Long, SessEv, SessTimerOut] {
+    @transient private var sessions: org.apache.spark.sql.streaming.ListState[OpenSess] = _
+
+    private def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    private def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    private def ceilMs(us: Long): Long = (us + 999L) / 1000L
+    private def endUs(s: OpenSess): Long = s.last_us + gapUs
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[OpenSess]("sessions",
+        Encoders.product[OpenSess], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEv],
+        timerValues: TimerValues): Iterator[SessTimerOut] = {
+      var live = if (sessions.exists()) sessions.get().toVector else Vector.empty
+      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+        val us = micros(e.ts)
+        val cents = math.round(e.value * 100)
+        live.lastOption match {
+          case Some(o) if us >= o.start_us && us - o.last_us <= gapUs =>
+            getHandle.deleteTimer(ceilMs(endUs(o)))
+            val merged = OpenSess(o.start_us, math.max(o.last_us, us), o.n + 1L, o.cents + cents)
+            getHandle.registerTimer(ceilMs(endUs(merged)))
+            live = live.init :+ merged
+          case _ =>
+            val s0 = OpenSess(us, us, 1L, cents)
+            getHandle.registerTimer(ceilMs(endUs(s0)))
+            live = live :+ s0
+        }
+      }
+      if (live.isEmpty) sessions.clear() else sessions.put(live.toArray)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessTimerOut] = {
+      val due = expiredTimerInfo.getExpiryTimeInMs
+      val live = if (sessions.exists()) sessions.get().toVector else Vector.empty
+      val (emit, keep) = live.partition(s => ceilMs(endUs(s)) <= due)
+      if (keep.isEmpty) sessions.clear() else sessions.put(keep.toArray)
+      emit.iterator.map(s =>
+        SessTimerOut(key, tsOf(s.start_us), tsOf(endUs(s)), s.n, s.cents / 100.0))
+    }
+  }
+
+  def sessionsByTimers(events: Dataset[SessEv],
+      gapUs: Long = 1800L * 1000000L): Dataset[SessTimerOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionTimers(gapUs), TimeMode.EventTime(), OutputMode.Append())
   }
 }

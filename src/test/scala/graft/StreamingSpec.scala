@@ -157,4 +157,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(3) === 4L, "batch-2 events must merge into the in-state session")
     assert(r.getDouble(4) === 10.0)
   }
+
+  test("SessionTimers: in-gap arrival across batches deletes+re-registers the close timer") {
+    // same 3-batch scenario as the session_window merge test, driven
+    // through the state-v2 timer machine: batch 2's 10:25 event lands
+    // IN-GAP on the open session whose timer is set for 10:40 — the
+    // processor must delete that timer, extend, and re-register, or
+    // the stale timer fires and splits the session (two emitted rows,
+    // wrong counts). The watermark from batch 3 (14:00 − 1h) closes
+    // the merged session; user 2's session stays open and must NOT
+    // emit.
+    import java.sql.Timestamp
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.TransformStateOps
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_timer").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ts(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    val batches = Seq(
+      Seq((1L, ts("10:00"), 1.0), (1L, ts("10:10"), 2.0)),
+      Seq((1L, ts("10:25"), 3.0), (1L, ts("10:50"), 4.0)),
+      Seq((2L, ts("14:00"), 9.0)))
+    val t0 = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/stage$i")
+      val part = fs.globStatus(new Path(s"$base/stage$i/part-*.parquet")).head.getPath
+      val dst = new Path(s"$base/in/f$i.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(dst, t0 + i * 60000L, -1)
+    }
+    val schema = spark.read.parquet(s"$base/in").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      .withWatermark("ts", "1 hour")
+      .as[TransformStateOps.SessEv]
+    val out = EventStreams.withStreamConf(spark, extra = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      EventStreams.runToBatch(spark,
+        TransformStateOps.sessionsByTimers(in).toDF(),
+        "tws_timer_merge_test", outputMode = "append")
+    }.collect()
+    assert(out.length === 1, s"one merged session, nothing split/leaked: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getTimestamp(1) === ts("10:00"))
+    assert(r.getTimestamp(2) === ts("11:20"))
+    assert(r.getLong(3) === 4L)
+    assert(r.getDouble(4) === 10.0)
+  }
 }

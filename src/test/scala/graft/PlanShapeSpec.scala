@@ -362,4 +362,34 @@ class PlanShapeSpec extends AnyFunSuite {
       "per-query top-10 must not global-sort: " + p.take(2000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("vec_quantize_int8: map-only re-encode — no hash shuffle anywhere") {
+    val p = plan("vec_quantize_int8")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "SQ8 is per-row arithmetic; only the output sort may exchange: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("doc_dsir_weights: vocab tables and totals broadcast — the token stream never shuffles on tok") {
+    val p = plan("doc_dsir_weights")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "cr/ct vocab joins must broadcast: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the exploded token stream must not shuffle on the token key: " + p.take(2000))
+  }
+
+  test("text_bpe_segment: round argmaxes join as 1-row broadcasts, no shuffled cartesian") {
+    val p = plan("text_bpe_segment")
+    assert(!p.contains("CartesianProduct"),
+      "per-round selections must broadcast (BNLJ), never shuffle-cartesian: " + p.take(3000))
+  }
+
+  test("curate_quality_stump: threshold windows run over the aggregated value frame") {
+    val p = plan("curate_quality_stump")
+    assert(!p.contains("CartesianProduct"))
+    // melt → partial+final hash agg BEFORE any window: the cumulative
+    // windows must see (feature, value) cardinality, not corpus rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "class counts must aggregate map-side before the cumsum windows: " + p.take(3000))
+  }
 }

@@ -446,6 +446,94 @@ object CurationQueries {
           expr("sum(ratio_ppm) div count(1)").as("dsir_ppm"))
         .withColumn("selected", when(col("dsir_ppm") > 1000000L, 1L).otherwise(0L))
         .orderBy(col("doc_id"))
+    },
+
+    /** STREAMING CORPUS MAINTENANCE — the curation chain run as a
+      * standing service: documents arrive as three mtime-ordered
+      * micro-batches (doc_id ranges, the crawl's arrival order), and
+      * each batch is quality-gated (doc_quality's exact formula,
+      * > 0.3), first-wins-deduped WITHIN the batch, anti-joined against
+      * the STANDING fingerprint index (exact-dedup against everything
+      * already curated), then appended — survivors to batch_id-keyed
+      * curated dirs (replay-idempotent), fingerprints to the index the
+      * NEXT batch will probe. Batches 2 and 3 deliberately REPLAY every
+      * 7th document of the preceding range (re-crawl duplicates), so
+      * the cross-batch dedup path is value-exercised at every scale:
+      * the oracle is the plain batch curation over the fixture — quality
+      * gate + first-wins per fingerprint — and contains no replays, so
+      * any replayed doc leaking past the index breaks the hash.
+      *
+      * Scale shape: per batch O(batch) scoring at scan speed, one
+      * batch-side shuffle for the within-batch window, and an anti-join
+      * whose BATCH side is small (the index side streams; at 100 TB the
+      * index is fp-bucketed so the probe is a bucket-pruned equi-join).
+      * The curated store and index only ever APPEND — no table rewrite
+      * anywhere. */
+    QueryDef("stream_curate_append", Some(raw"""
+      WITH scored AS (SELECT doc_id, md5(lower(trim(text))) AS fp, $QualitySql AS quality FROM documents),
+      k AS (SELECT * FROM scored WHERE quality > 0.3),
+      r AS (SELECT doc_id, fp, quality, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM k)
+      SELECT doc_id, fp, quality FROM r WHERE rn = 1 ORDER BY doc_id""")) { (s, d) =>
+      import graft.functions.TextFunctions.{fingerprint, qualityScore}
+      import graft.streaming.EventStreams
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      import org.apache.spark.sql.streaming.Trigger
+      val root = graft.Staging.dir("scurate", d)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(root).getFileSystem(conf)
+      fs.delete(new Path(root), true)
+      fs.mkdirs(new Path(root, "in"))
+      val docs = Tables.documents(s, d)
+      val third = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) / 3
+      val replayed = (df: DataFrame) => df.filter(col("doc_id") % 7 === 0)
+      val b0 = docs.filter(col("doc_id") < third)
+      val b1 = docs.filter(col("doc_id") >= third && col("doc_id") < 2 * third)
+      val arrivals = Seq(b0, b1.unionByName(replayed(b0)),
+        docs.filter(col("doc_id") >= 2 * third).unionByName(replayed(b1)))
+      val t0 = System.currentTimeMillis()
+      arrivals.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/stage$i")
+        val part = fs.globStatus(new Path(s"$root/stage$i/part-*.parquet")).head.getPath
+        val dst = new Path(s"$root/in/f$i.parquet")
+        FileUtil.copy(fs, part, fs, dst, false, conf)
+        fs.setTimes(dst, t0 + i * 60000L, -1)
+      }
+      // standing index starts empty but PRESENT (schema'd read of b*
+      // must always match at least one footer-bearing dir)
+      docs.limit(0).select(fingerprint(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(s"$root/fpindex/binit")
+      val inSchema = s.read.parquet(s"$root/in").schema
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("fp")).orderBy(col("doc_id"))
+              val firstInBatch = b
+                .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+                  qualityScore(col("text")).as("quality"))
+                .filter(col("quality") > 0.3)
+                .withColumn("rn", row_number().over(w))
+                .filter(col("rn") === 1).drop("rn")
+              val idx = b.sparkSession.read.schema("fp STRING")
+                .parquet(s"$root/fpindex/b*")
+              val fresh = firstInBatch.join(idx, Seq("fp"), "left_anti")
+                .select(col("doc_id"), col("fp"), col("quality"))
+                .localCheckpoint(true)   // one computation feeds both sinks
+              fresh.write.mode("overwrite").parquet(s"$root/curated/b$id")
+              fresh.select(col("fp")).write.mode("overwrite")
+                .parquet(s"$root/fpindex/b$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_curate_append")
+      }
+      s.read.schema("doc_id LONG, fp STRING, quality DOUBLE")
+        .parquet(s"$root/curated/b*")
+        .orderBy(col("doc_id"))
     }
   )
 }

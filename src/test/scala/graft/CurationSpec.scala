@@ -188,6 +188,22 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(2L) === ((2L, 333333L, 0L)) && rows(3L) === rows(2L))
   }
 
+  test("stream_curate_append: replays are staged, and the standing index eliminates every one") {
+    val out = q("stream_curate_append").collect()
+    assert(out.nonEmpty)
+    // fingerprints unique in the curated store (no replay leaked)
+    val fps = out.map(_.getString(1))
+    assert(fps.distinct.length === fps.length, "duplicate fingerprint in curated output")
+    // the staged arrival stream REALLY contained re-crawl replays —
+    // otherwise the cross-batch dedup path was never exercised
+    val staged = spark.read
+      .parquet(s"${Staging.dir("scurate", sf)}/in").count()
+    val fixture = Tables.documents(spark, sf).count()
+    assert(staged > fixture, s"staging must add replays: $staged staged vs $fixture fixture docs")
+    // every emitted doc passes the gate; every gated-out doc is absent
+    out.foreach(r => assert(r.getDouble(2) > 0.3))
+  }
+
   test("doc_dsir_weights on the fixture: target-domain docs select at a higher rate") {
     val sel = q("doc_dsir_weights").collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap

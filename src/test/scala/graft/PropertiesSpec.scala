@@ -152,4 +152,27 @@ class PropertiesSpec extends AnyFunSuite {
       assert(on === off, s"band=(-$lo, +$hi) rows=${rows.take(8)}...")
     }
   }
+
+  test("BPE law: relational trainer == direct Sennrich reference for ANY corpus") {
+    // random {a,b}-alphabet corpora maximize run/overlap/tiebreak
+    // collisions — the adversarial regime for leftmost-greedy parity.
+    // The fixed "aabbaabb" rider guarantees >= 2 tokens survive to
+    // round 3's selection (token count at worst halves per round), so
+    // every sampled corpus trains the full 3 rounds.
+    import graft.queries.TokenizerQueries
+    val wordGen = Gen.chooseNum(1, 6).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b')))
+    val corpusGen = Gen.nonEmptyListOf(wordGen).map(ws => ws.take(8) :+ "aabbaabb")
+    samples(corpusGen, 6).foreach { words =>
+      val docs = Seq(words.mkString(" ")).toDF("text")
+      val (sels, rFinal) = TokenizerQueries.trainChain(docs)
+      val got = sels.map { s =>
+        val r = s.collect().head; ((r.getString(0), r.getString(1)), r.getLong(2))
+      }
+      val gotSeg = rFinal.groupBy(col("sym")).agg(sum(col("wc")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (refMerges, refVocab) = BpeReference.train(words, 3)
+      assert(got === refMerges, s"corpus: $words")
+      assert(gotSeg === BpeReference.segCounts(refVocab), s"corpus: $words")
+    }
+  }
 }

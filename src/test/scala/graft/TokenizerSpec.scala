@@ -15,41 +15,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class TokenizerSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  // --- reference implementation (Sennrich ACL'16 get_stats/merge_vocab)
-
-  private type Vocab = Map[Vector[String], Long]
-
-  private def stats(v: Vocab): Map[(String, String), Long] =
-    v.toSeq.flatMap { case (syms, c) =>
-      syms.iterator.zip(syms.iterator.drop(1)).map(p => p -> c).toSeq
-    }.groupMapReduce(_._1)(_._2)(_ + _)
-
-  private def applyMergeRef(syms: Vector[String], a: String, b: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    var i = 0
-    while (i < syms.length) {
-      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
-      else { out += syms(i); i += 1 }
-    }
-    out.result()
-  }
-
-  /** (merges with their pre-merge counts, final vocab) */
-  private def trainRef(words: Seq[String], rounds: Int): (Seq[((String, String), Long)], Vocab) = {
-    var v: Vocab = words.groupBy(identity).map { case (w, g) =>
-      w.split("").toVector -> g.size.toLong
-    }
-    val merges = (1 to rounds).flatMap { _ =>
-      val st = stats(v)
-      if (st.isEmpty) None else {
-        val ((a, b), c) = st.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
-        v = v.map { case (syms, wc) => applyMergeRef(syms, a, b) -> wc }
-        Some((a, b) -> c)
-      }
-    }
-    (merges, v)
-  }
-
   private def runChain(words: Seq[String]): (Seq[(String, String, Long)], Map[String, Long]) = {
     import spark.implicits._
     val docs = Seq(words.mkString(" ")).toDF("text")
@@ -65,14 +30,13 @@ class TokenizerSpec extends AnyFunSuite {
 
   private def check(words: Seq[String]): Unit = {
     val (gotMerges, gotSeg) = runChain(words)
-    val (refMerges, refVocab) = trainRef(words, 3)
+    val (refMerges, refVocab) = BpeReference.train(words, 3)
     assert(gotMerges.map(m => (m._1, m._2)) === refMerges.map(_._1),
       s"merge choices diverge on $words")
     assert(gotMerges.map(_._3) === refMerges.map(_._2),
       s"pair counts diverge on $words")
-    val refSeg = refVocab.toSeq.flatMap { case (syms, c) => syms.map(_ -> c) }
-      .groupMapReduce(_._1)(_._2)(_ + _)
-    assert(gotSeg === refSeg, s"final segmentation diverges on $words")
+    assert(gotSeg === BpeReference.segCounts(refVocab),
+      s"final segmentation diverges on $words")
   }
 
   test("BPE matches the reference on equal-symbol runs (leftmost-greedy, overlap counts)") {

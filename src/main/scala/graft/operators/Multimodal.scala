@@ -71,6 +71,23 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Decode→SCALE→re-encode: the image TRANSFORM leg. Graphics2D
+      * scaling of a SOLID-COLOR source is provably the same solid
+      * color at any target size (interpolation weights sum to 1 and
+      * all contributing pixels are equal), which is what keeps the
+      * resize oracle analytic — while the pass still runs a genuine
+      * decode, raster scale, and PNG re-encode per payload. */
+    def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+
     /** Decode metadata from real payload bytes: format sniffed from the
       * magic bytes, width/height from the decoded frame, `checksum` =
       * the (0,0) pixel's 24-bit RGB — a value the oracle can predict
@@ -162,6 +179,32 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 2:1 decimation — the audio TRANSFORM leg: decode the PCM, keep
+      * the even-index frames, re-encode a genuine WAV at half the
+      * sample rate. Every output sample is an input sample verbatim,
+      * so the oracle recomputes the decimated frame count and exact
+      * signed-sample sum from the generator arithmetic alone. */
+    def decimateWav(bytes: Array[Byte]): Array[Byte] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val pcm = ais.readAllBytes()
+        val nIn = pcm.length / 2
+        val nOut = (nIn + 1) / 2
+        val out = new Array[Byte](nOut * 2)
+        var i = 0
+        while (i < nOut) { out(2 * i) = pcm(4 * i); out(2 * i + 1) = pcm(4 * i + 1); i += 1 }
+        val of = new javax.sound.sampled.AudioFormat(f.getSampleRate / 2, 16, 1, true, false)
+        val oais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(out), of, nOut.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(oais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      } finally ais.close()
+    }
+
     /** Decode real WAV bytes: format params from the parsed header,
       * exact signed-sample sum from the little-endian PCM frames. */
     def decode(id: Long, bytes: Array[Byte]): AudioMeta = {
@@ -183,6 +226,20 @@ object Multimodal {
     }
   }
 
+  /** Per-partition image resize: decode → scale to `w`x`h` → PNG
+    * re-encode, iterator-to-iterator. The transform twin of
+    * [[decodeMeta]] — at 100 TB this is the thumbnail/normalization
+    * pass of a vision-data pipeline, parallelism following the scan. */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, ImageCodec.resizePng(bytes, w, h))
+      }).toDF("doc_id", "payload")
+  }
+
   /** Per-partition audio decode — same iterator-to-iterator shape as
     * [[decodeMeta]]. */
   def decodeAudio(df: DataFrame): Dataset[AudioMeta] = {
@@ -191,6 +248,17 @@ object Multimodal {
     df.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => AudioCodec.decode(id, bytes) })
+  }
+
+  /** Per-partition audio decimation — decode → drop odd frames →
+    * re-encode, the transform twin of [[decodeAudio]]. */
+  def decimateAudio(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, AudioCodec.decimateWav(bytes)) })
+      .toDF("doc_id", "payload")
   }
 
   /** Frame-sampling stub: emits every `stride`-th chunk of the payload

@@ -783,5 +783,70 @@ object TextQueries {
       graft.operators.Multimodal.decodeAudio(s.read.parquet(s"$root/wav")).toDF()
         .orderBy(col("doc_id"))
     },
+
+    /** Image TRANSFORM judged end-to-end: the staged solid-color PNGs
+      * run a genuine decode → Graphics2D scale to 8x8 → PNG re-encode →
+      * SECOND decode, and the judged values come from that final
+      * decode. A solid source resizes to the same solid color at any
+      * size (interpolation weights sum to 1 over equal pixels), so the
+      * oracle stays analytic: target dims + the generator's color.
+      * A wrong raster type (alpha bleed), off-by-one sampling at the
+      * edge, or a corrupted re-encode all change pixel00 or the
+      * re-decoded dims and break the hash. This is the thumbnail/
+      * normalization pass of a vision pipeline — map-only, parallelism
+      * follows the scan. */
+    QueryDef("multimodal_image_resize", Some("""
+      SELECT doc_id, 'png' AS format, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+             CAST((doc_id * 2654435761) % 16777216 AS BIGINT) AS pixel00
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      import s.implicits._
+      val root = graft.Staging.dir("pngrs", d)
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + ((id / 16) % 16).toInt
+          val rgb = ((id * 2654435761L) % 16777216L).toInt
+          (id, graft.operators.Multimodal.ImageCodec.encodePng(w, h, rgb))
+        }).toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(s"$root/img")
+      val resized = graft.operators.Multimodal.resizeImages(
+        s.read.parquet(s"$root/img"), 8, 8)
+      graft.operators.Multimodal.decodeMeta(resized).toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("checksum").as("pixel00"))
+        .orderBy(col("doc_id"))
+    },
+
+    /** Audio TRANSFORM judged end-to-end: the staged deterministic WAVs
+      * run decode → 2:1 decimation (keep even-index frames) → genuine
+      * WAV re-encode at half the rate → second decode. Every output
+      * sample is an input sample verbatim, so the oracle recomputes
+      * the decimated frame count AND the exact signed-sample sum over
+      * the even indices from the generator arithmetic — an off-by-one
+      * in the frame stride, a byte-alignment slip, or a header
+      * mis-write at the new rate all break the hash. */
+    QueryDef("multimodal_audio_resample", Some("""
+      WITH n AS (SELECT doc_id, 100 + doc_id % 100 AS nf FROM documents),
+      s AS (SELECT n.doc_id, (n.nf + 1) // 2 AS nf_out,
+              CAST(sum(((n.doc_id * 31 + t.i * 7919) % 65536) - 32768) AS BIGINT) AS sample_sum
+            FROM n CROSS JOIN range(0, 199) AS t(i)
+            WHERE t.i < n.nf AND t.i % 2 = 0 GROUP BY 1, 2)
+      SELECT doc_id, CAST(4000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+             CAST(16 AS BIGINT) AS bits, CAST(nf_out AS BIGINT) AS n_frames, sample_sum
+      FROM s ORDER BY doc_id""")) { (s, d) =>
+      import s.implicits._
+      val root = graft.Staging.dir("wavrs", d)
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.operators.Multimodal.AudioCodec.encodeWav(id))
+        }).toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(s"$root/wav")
+      val decimated = graft.operators.Multimodal.decimateAudio(
+        s.read.parquet(s"$root/wav"))
+      graft.operators.Multimodal.decodeAudio(decimated).toDF()
+        .orderBy(col("doc_id"))
+    },
   )
 }

@@ -113,7 +113,7 @@ object VectorQueries {
   /** Exact brute-force top-5 (the `sim_cosine_topk` body) — shared so
     * `sim_ann_recall` measures recall against the SAME baseline the
     * judged exact query emits. */
-  private def exactTopk(s: SparkSession, d: String): DataFrame = {
+  private[queries] def exactTopk(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))

@@ -228,6 +228,88 @@ object VectorQueries2 {
       SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** DuckDB twin of the IVFADC nprobe RECALL DIAL: the ivfpqOracle
+    * chain with probes deepened to rank ≤ 4 (probe_rank retained), ADC
+    * computed ONCE over the deep frame (a candidate lives in exactly
+    * one cell, so its ADC score is nprobe-invariant), and the
+    * shortlist → exact re-rank → recall-vs-exact evaluated per
+    * nprobe ∈ {1,2,4}. */
+  private def ivfpqRecallOracle: String = s"""
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      n AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), z -> z[1] * z[2])) AS n2 FROM v),
+      ${lloydSql(8)},
+      sim AS (SELECT a.vec_id, c.c_id,
+                CAST(list_sum(list_transform(list_zip(a.q, c.cq), z -> z[1] * z[2])) AS DOUBLE)
+                  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS csim
+              FROM n a, c),
+      asg AS (SELECT vec_id, c_id AS cluster FROM
+                (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn FROM sim)
+              WHERE rn = 1),
+      probes AS (SELECT vec_id AS q_id, c_id AS cluster, rn AS probe_rank FROM
+                (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn
+                 FROM sim WHERE vec_id < 5)
+              WHERE rn <= 4),
+      res AS (SELECT n.vec_id, a.cluster,
+                list_transform(list_zip(n.q, c.cq), z -> z[1] - z[2]) AS r
+              FROM n JOIN asg a ON a.vec_id = n.vec_id JOIN c ON c.c_id = a.cluster),
+      subs AS (SELECT vec_id, s, r[s * 8 + 1 : s * 8 + 8] AS sub
+               FROM res CROSS JOIN range(0, 8) AS t(s)),
+      ${lloydSubSql(16)},
+      dist AS (SELECT a.vec_id, a.s, c.c_id,
+                 list_sum(list_transform(list_zip(a.sub, c.csub), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+               FROM subs a JOIN cents c ON c.s = a.s),
+      codes AS (SELECT vec_id, s, c_id AS code FROM
+                  (SELECT vec_id, s, c_id, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_id) AS rn FROM dist)
+                WHERE rn = 1),
+      codesc AS (SELECT a.cluster, k.vec_id, k.s, k.code
+                 FROM codes k JOIN asg a ON a.vec_id = k.vec_id),
+      qres AS (SELECT p.q_id, p.cluster,
+                 list_transform(list_zip(n.q, c.cq), z -> z[1] - z[2]) AS r
+               FROM probes p JOIN n ON n.vec_id = p.q_id JOIN c ON c.c_id = p.cluster),
+      qsubs AS (SELECT q_id, cluster, s, r[s * 8 + 1 : s * 8 + 8] AS sub
+                FROM qres CROSS JOIN range(0, 8) AS t(s)),
+      lut AS (SELECT q.q_id, q.cluster, q.s, c.c_id AS code,
+                list_sum(list_transform(list_zip(q.sub, c.csub), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+              FROM qsubs q JOIN cents c ON c.s = q.s),
+      adc AS (SELECT p.q_id, cc.vec_id, min(p.probe_rank) AS probe_rank, sum(l.d2) AS adc
+              FROM probes p
+              JOIN codesc cc ON cc.cluster = p.cluster
+              JOIN lut l ON l.q_id = p.q_id AND l.cluster = p.cluster
+                        AND l.s = cc.s AND l.code = cc.code
+              WHERE cc.vec_id != p.q_id
+              GROUP BY 1, 2),
+      np AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+      short AS (SELECT nprobe, q_id, vec_id FROM
+                  (SELECT np.nprobe, a.q_id, a.vec_id,
+                     row_number() OVER (PARTITION BY np.nprobe, a.q_id ORDER BY a.adc, a.vec_id) AS srn
+                   FROM np JOIN adc a ON a.probe_rank <= np.nprobe)
+                WHERE srn <= 50),
+      scored AS (SELECT sh.nprobe, sh.q_id, sh.vec_id,
+                   CAST(list_sum(list_transform(list_zip(qa.q, vb.q), z -> z[1] * z[2])) AS DOUBLE)
+                     / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE))) AS cosine
+                 FROM short sh JOIN n qa ON qa.vec_id = sh.q_id JOIN n vb ON vb.vec_id = sh.vec_id),
+      ann AS (SELECT nprobe, q_id, vec_id FROM
+                (SELECT nprobe, q_id, vec_id,
+                   row_number() OVER (PARTITION BY nprobe, q_id ORDER BY cosine DESC, vec_id) AS rnk
+                 FROM scored)
+              WHERE rnk <= 5),
+      exp AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+                CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS DOUBLE)
+                  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+              FROM n a JOIN n b ON b.vec_id != a.vec_id WHERE a.vec_id < 5),
+      ex AS (SELECT q_id, vec_id FROM
+               (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk FROM exp)
+             WHERE rnk <= 5),
+      j AS (SELECT np.nprobe, e.q_id, count(a.vec_id) AS n_hits
+            FROM np CROSS JOIN ex e
+            LEFT JOIN ann a ON a.nprobe = np.nprobe AND a.q_id = e.q_id AND a.vec_id = e.vec_id
+            GROUP BY 1, 2)
+      SELECT nprobe, q_id, CAST(n_hits AS BIGINT) AS n_hits,
+             round(CAST(n_hits AS DOUBLE) / 5, 6) AS recall_at_5
+      FROM j ORDER BY nprobe, q_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     /** IVFADC in-lineage: both trainers + encode + serve in one plan
@@ -241,6 +323,68 @@ object VectorQueries2 {
       val fine = lloydSubCentroids(rsubs, 16)
       val codesC = pqEncode(rsubs, fine).join(asg, Seq("vec_id"))
       ivfpqServe(v, coarse, ivfProbes(v, coarse, 2), fine, codesC)
+    },
+
+    /** IVFADC nprobe RECALL DIAL — the measured cost/recall trade-off
+      * for the flagship composed index (the IVF dial's twin,
+      * `sim_ann_ivf_recall`): ADC scores are computed ONCE over a
+      * probe frame deepened to rank ≤ 4 (a candidate lives in exactly
+      * one inverted list, so its ADC sum is nprobe-invariant), then
+      * shortlist → exact re-rank → recall@5 vs the brute-force
+      * baseline evaluates per nprobe ∈ {1,2,4} by filtering
+      * probe_rank — one serve pass prices the whole dial. Deeper
+      * probes are candidate supersets and exact re-rank preserves any
+      * present neighbor, so recall is monotone in nprobe by
+      * construction (QueriesSpec asserts monotonicity + the nprobe=4
+      * floor). Fully oracle-gated per (nprobe, query). */
+    QueryDef("sim_ann_ivfpq_recall", Some(ivfpqRecallOracle)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val v = ivfCorpus(s, d)
+      val coarse = lloydCentroids(v, 8)
+      val asg = ivfAssign(v, coarse)
+      val rsubs = ivfpqResiduals(v, coarse, asg)
+      val fine = lloydSubCentroids(rsubs, 16)
+      val codesC = pqEncode(rsubs, fine).join(asg, Seq("vec_id"))
+      val probes = ivfProbes(v, coarse, 4)
+      val qv = v.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("q"))
+      val qres = probes.select(col("q_id"), col("cluster"))
+        .join(qv, Seq("q_id"))
+        .join(broadcast(coarse.select(col("c_id").as("cluster"), col("cq"))), Seq("cluster"))
+        .select(col("q_id"), col("cluster"),
+          zip_with(col("q"), col("cq"), (a, b) => a - b).as("r"))
+      val qsubs = qres.select(col("q_id"), col("cluster"), posexplode(array(
+          (0 until 8).map(t => slice(col("r"), t * 8 + 1, 8)): _*)).as(Seq("s", "sub")))
+        .withColumn("sn2", qdot(col("sub"), col("sub")))
+      val lut = qsubs.join(broadcast(fine), Seq("s"))
+        .withColumn("d2", col("sn2") + col("cn2") - lit(2L) * qdot(col("sub"), col("csub")))
+        .select(col("q_id"), col("cluster"), col("s"), col("c_id").as("code"), col("d2"))
+      val cand = probes.join(codesC, Seq("cluster")).filter(col("vec_id") =!= col("q_id"))
+      val adc = cand.join(broadcast(lut), Seq("q_id", "cluster", "s", "code"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(min(col("probe_rank")).as("probe_rank"), sum(col("d2")).as("adc"))
+      val np = broadcast(Seq(1L, 2L, 4L).toDF("nprobe"))
+      val wShort = Window.partitionBy(col("nprobe"), col("q_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      val short = np.join(adc, col("probe_rank") <= col("nprobe"))
+        .withColumn("srn", row_number().over(wShort)).filter(col("srn") <= 50)
+        .select(col("nprobe"), col("q_id"), col("vec_id"))
+      val qa = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+      val scored = short.join(broadcast(qa), Seq("q_id")).join(v, Seq("vec_id"))
+        .withColumn("cosine", cosineFromQ(qdot(col("qq"), col("q")), col("qn2"), col("n2")))
+      val wR = Window.partitionBy(col("nprobe"), col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val ann = scored.withColumn("rnk", row_number().over(wR)).filter(col("rnk") <= 5)
+        .select(col("nprobe").as("a_np"), col("q_id").as("a_q"), col("vec_id").as("a_v"))
+      val ex = VectorQueries.exactTopk(s, d).select(col("q_id"), col("vec_id"))
+      np.crossJoin(ex)
+        .join(ann, col("a_np") === col("nprobe") && col("a_q") === col("q_id") &&
+          col("a_v") === col("vec_id"), "left")
+        .groupBy(col("nprobe"), col("q_id")).agg(count(col("a_v")).as("n_hits"))
+        .select(col("nprobe"), col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / 5, 6).as("recall_at_5"))
+        .orderBy(col("nprobe"), col("q_id"))
     },
 
     /** PERSISTED IVFADC — the full production lifecycle in one judged

@@ -131,6 +131,27 @@ class QueriesSpec extends AnyFunSuite {
       f"nprobe=4 mean recall ${byNp(4L)}%.3f below the 0.9 floor")
   }
 
+  test("sim_ann_ivfpq_recall: composed-index dial mean-monotone, nprobe=4 floor") {
+    import org.apache.spark.sql.Row
+    val rows = SparkEntry.queries("sim_ann_ivfpq_recall")(spark, sf).collect()
+      .map { case Row(np: Long, q: Long, _, r: Double) => (np, q, r) }
+    val byNp = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._3).sum / rs.size).toMap
+    assert(byNp.keySet == Set(1L, 2L, 4L))
+    info(f"IVFPQ mean recall@5: nprobe=1 ${byNp(1L)}%.3f, nprobe=2 ${byNp(2L)}%.3f, nprobe=4 ${byNp(4L)}%.3f")
+    // NOTE: unlike the pure-IVF dial, per-query monotonicity is not
+    // structural here — the lossy ADC top-50 shortlist sits between
+    // candidate generation and the exact re-rank, and a deeper probe
+    // can displace a true neighbor from the shortlist. The MEAN curve
+    // on the deterministic fixture is monotone (measured 0.76/0.84/0.88
+    // at sf0.001, 0.88/0.92/0.96 at sf0.01); assert that empirical
+    // curve + the family's standard 0.8 floor.
+    assert(byNp(1L) <= byNp(2L) + 1e-9 && byNp(2L) <= byNp(4L) + 1e-9,
+      s"mean recall curve not non-decreasing: $byNp")
+    assert(byNp(4L) >= 0.8,
+      f"nprobe=4 mean recall ${byNp(4L)}%.3f below the 0.8 floor")
+  }
+
   test("sim_ann_ivf_persisted serves exactly the in-lineage sim_ann_ivf rows") {
     // persistence is lossless by construction — row-for-row equality is
     // the sharpest statement of that (both also share one DuckDB oracle)

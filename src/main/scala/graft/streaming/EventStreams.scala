@@ -205,6 +205,16 @@ object EventStreams {
     fs.delete(new Path(base), true)
     fs.mkdirs(new Path(base, "in"))
     val ev = graft.Tables.events(spark, sfDir)
+    // grouping is by day-of-MONTH: a fixture spanning months would
+    // interleave day numbers across months and silently violate the
+    // nondecreasing-arrival contract the session/timer queries build
+    // on (watermark drops + state merges would corrupt quietly). The
+    // fixture has drifted shape before (ts encoding, round 7) — fail
+    // LOUDLY here if it ever spans months. One driver-side 2-value agg.
+    val mm = ev.agg(min(trunc(col("ts"), "month")), max(trunc(col("ts"), "month"))).head()
+    require(mm.get(0) == mm.get(1),
+      s"stageDayFiles($prefix): events span months ${mm.get(0)}..${mm.get(1)} — " +
+        "day-of-month grouping would break arrival order; regroup by full date")
     val t0 = System.currentTimeMillis()
     (0 until groups).foreach { i =>
       val tmp = s"$base/stage$i"

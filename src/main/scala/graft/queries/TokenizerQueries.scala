@@ -188,6 +188,33 @@ r0 AS (
         .agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    },
+
+    // CORPUS TOKENIZATION with the learned tokenizer — the deployment
+    // half: segmentation is computed once per DISTINCT word (the
+    // word → subword-count map falls out of the trained chain), and
+    // the corpus pays ONE broadcast equi-join on the word — the token
+    // stream never re-runs merges and never shuffles on the word key.
+    // This is why BPE-tokenizing 100 TB is a map-side pass: the
+    // vocabulary table is Heaps-law small and broadcastable. Per-doc
+    // word and subword counts are judged; the oracle extends the
+    // shared chain, so training, application, AND the deployment join
+    // all sit inside this query's hash gate.
+    QueryDef("text_bpe_tokenize", Some(chainSql + raw""",
+      wseg AS (SELECT word, count(*) AS n_sub FROM r$Rounds GROUP BY word),
+      toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word FROM documents),
+      j AS (SELECT t.doc_id, w.n_sub FROM toks t JOIN wseg w ON w.word = t.word WHERE t.word <> '')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+      FROM j GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, rFinal) = trainChain(docs)
+      val wseg = rFinal.groupBy(col("word")).agg(count(lit(1)).as("n_sub"))
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .join(broadcast(wseg), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -384,6 +384,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "per-round selections must broadcast (BNLJ), never shuffle-cartesian: " + p.take(3000))
   }
 
+  test("text_bpe_tokenize: vocabulary map broadcasts — the token stream never shuffles on the word") {
+    val p = plan("text_bpe_tokenize")
+    assert(p.contains("BroadcastHashJoin"),
+      "the word→segmentation map must broadcast into the corpus join: " + p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus tokenization must not shuffle on the word key: " + p.take(3000))
+  }
+
   test("curate_quality_stump: threshold windows run over the aggregated value frame") {
     val p = plan("curate_quality_stump")
     assert(!p.contains("CartesianProduct"))

@@ -54,6 +54,24 @@ class TokenizerSpec extends AnyFunSuite {
     check(Seq("xy", "yx", "xy", "yx", "xxyy", "yyxx", "xyxy"))
   }
 
+  test("text_bpe_tokenize: subword counts bounded by words below and characters above") {
+    val tok = SparkEntry.queries("text_bpe_tokenize")(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tok.nonEmpty)
+    val chars = Tables.documents(spark, TestSpark.sf0001)
+      .selectExpr("doc_id", "CAST(length(text) AS LONG) AS n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tok.foreach { case (id, (words, subs)) =>
+      assert(subs >= words, s"doc $id: fewer subwords than words")
+      assert(subs <= chars(id), s"doc $id: more subwords than characters")
+    }
+    val totalSubs = tok.values.map(_._2).sum
+    // keysIterator, NOT keys: Map#keys is a Set and mapping it through
+    // chars would DEDUPLICATE equal document lengths before summing
+    val totalChars = tok.keysIterator.map(chars).sum
+    assert(totalSubs < totalChars, "learned merges should compress the corpus overall")
+  }
+
   test("judged BPE train output is internally consistent on the fixture") {
     val m = SparkEntry.queries("text_bpe_train")(spark, TestSpark.sf0001).collect()
     assert(m.length === 3)

@@ -74,6 +74,37 @@ object CurationQueries {
                * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
                * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6)"""
 
+  /** One micro-batch of the streaming curation service (factored out so
+    * CurationSpec can REPLAY it): quality-gate → within-batch first-wins
+    * dedup → anti-join against the standing index EXCLUDING this
+    * batch's own index dir → batch_id-keyed overwrite of survivors +
+    * their fingerprints. The self-exclusion is what makes checkpoint
+    * replay a no-op: a crashed-and-replayed batch would otherwise find
+    * its OWN fingerprints (written by the failed attempt) in the index,
+    * anti-join everything away, and overwrite its curated dir with
+    * nothing — silent data loss on exactly the path foreachBatch
+    * retries. */
+  private[graft] def curateBatch(root: String, b: DataFrame, id: Long): Unit = {
+    import graft.functions.TextFunctions.{fingerprint, qualityScore}
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val firstInBatch = b
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        qualityScore(col("text")).as("quality"))
+      .filter(col("quality") > 0.3)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val idx = b.sparkSession.read.schema("fp STRING")
+      .parquet(s"$root/fpindex/b*")
+      .withColumn("src", input_file_name())
+      .filter(!col("src").contains(s"/b$id/")).drop("src")
+    val fresh = firstInBatch.join(idx, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"), col("quality"))
+      .localCheckpoint(true)   // one computation feeds both sinks
+    fresh.write.mode("overwrite").parquet(s"$root/curated/b$id")
+    fresh.select(col("fp")).write.mode("overwrite")
+      .parquet(s"$root/fpindex/b$id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ExactSubstr dedup (Lee et al. 2021): maximal character spans that
@@ -508,23 +539,7 @@ object CurationQueries {
           s.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
             .parquet(s"$root/in")
             .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
-              val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(col("fp")).orderBy(col("doc_id"))
-              val firstInBatch = b
-                .select(col("doc_id"), fingerprint(col("text")).as("fp"),
-                  qualityScore(col("text")).as("quality"))
-                .filter(col("quality") > 0.3)
-                .withColumn("rn", row_number().over(w))
-                .filter(col("rn") === 1).drop("rn")
-              val idx = b.sparkSession.read.schema("fp STRING")
-                .parquet(s"$root/fpindex/b*")
-              val fresh = firstInBatch.join(idx, Seq("fp"), "left_anti")
-                .select(col("doc_id"), col("fp"), col("quality"))
-                .localCheckpoint(true)   // one computation feeds both sinks
-              fresh.write.mode("overwrite").parquet(s"$root/curated/b$id")
-              fresh.select(col("fp")).write.mode("overwrite")
-                .parquet(s"$root/fpindex/b$id")
-              ()
+              CurationQueries.curateBatch(root, b, id)
             }
             .option("checkpointLocation", s"$root/ckpt")
             .trigger(Trigger.AvailableNow())

@@ -204,6 +204,23 @@ class CurationSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getDouble(2) > 0.3))
   }
 
+  test("stream_curate_append: replaying a committed batch is a no-op (self-excluding index probe)") {
+    // foreachBatch's retry contract: a batch that committed its writes
+    // but crashed before the checkpoint commit is REPLAYED. Without the
+    // index probe excluding the batch's own dir, the replay would find
+    // its own fingerprints, anti-join everything away, and overwrite
+    // the curated dir with nothing — silent loss on the retry path.
+    q("stream_curate_append").collect()
+    val root = Staging.dir("scurate", sf)
+    def curated() = spark.read.schema("doc_id LONG, fp STRING, quality DOUBLE")
+      .parquet(s"$root/curated/b*").collect().map(_.toString).sorted.toSeq
+    val before = curated()
+    assert(before.nonEmpty)
+    val b2 = spark.read.parquet(s"$root/in/f2.parquet")
+    graft.queries.CurationQueries.curateBatch(root, b2, 2L)
+    assert(curated() === before, "replaying batch 2 must not change the curated store")
+  }
+
   test("doc_dsir_weights on the fixture: target-domain docs select at a higher rate") {
     val sel = q("doc_dsir_weights").collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap

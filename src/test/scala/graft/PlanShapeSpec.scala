@@ -259,7 +259,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // vacuous — the merge join's shape is covered by the
     // mergePartitioned tests in IncrementalPipelineSpec instead.
     for (name <- Seq("q05_region_revenue", "sim_ann_ivf", "doc_tfidf", "dedup_embedding_cosine",
-        "sim_ann_recall", "doc_decontaminate", "doc_pack_sequences")) {
+        "sim_ann_recall", "doc_decontaminate", "doc_pack_sequences",
+        "sim_ann_ivfpq_recall", "text_bpe_train", "doc_dsir_weights",
+        "curate_quality_stump", "vec_quantize_int8")) {
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian product")
     }
   }

@@ -296,5 +296,59 @@ object Relational4 {
           round((col("syd") - (col("num") / col("dx")) * col("sxd")) / col("nd"), 6).as("intercept"))
         .orderBy(col("flag"))
     },
+
+    /** FORWARD as-of join with tolerance — the direction/tolerance
+      * variant the backward `join_asof` doesn't cover (pandas
+      * merge_asof(direction='forward', tolerance=...); kdb aj's dual):
+      * for every click, the NEXT purchase by the same user within one
+      * hour — the conversion-attribution kernel of event analytics.
+      * Same single-sort-merge shape as join_asof, time-reversed: union
+      * both row kinds, ONE window per user ordered (ts DESC, purchases
+      * before clicks at equal ts, larger purchase ids first so the
+      * running `last` resolves equal-ts ties to the SMALLEST id), and
+      * `last(ignoreNulls)` over the running frame yields the nearest
+      * purchase at-or-after each click. The 1-hour tolerance is an
+      * exact-µs post-filter. One shuffle on user_id, zero joins — the
+      * naive form is a per-click correlated range probe (the oracle's
+      * formulation), quadratic in events-per-user. */
+    QueryDef("join_asof_forward", Some("""
+      SELECT c.event_id, c.user_id,
+        (SELECT p.event_id FROM events p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+            AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 3600000000
+          ORDER BY p.ts, p.event_id LIMIT 1) AS next_purchase_id,
+        (SELECT epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) FROM events p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+            AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 3600000000
+          ORDER BY p.ts, p.event_id LIMIT 1) AS gap_us
+      FROM events c WHERE c.event_type = 'click' ORDER BY c.event_id""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+        col("event_id").as("pe"), unix_micros(col("ts")).as("pus"),
+        lit(null).cast("long").as("event_id"))
+      val c = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+        lit(null).cast("long").as("pe"), lit(null).cast("long").as("pus"),
+        col("event_id"))
+      // ts DESC scan: at equal ts purchases (kind 0) come first so the
+      // click sees them; among equal-ts purchases larger ids come first
+      // so the running last() retains the smallest
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t").desc, col("kind"), col("pe").desc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.unionByName(c)
+        .withColumn("np", last(col("pe"), ignoreNulls = true).over(w))
+        .withColumn("nus", last(col("pus"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .withColumn("gap", col("nus") - unix_micros(col("t")))
+        .select(col("event_id"), col("user_id"),
+          when(col("gap") <= 3600000000L, col("np")).as("next_purchase_id"),
+          when(col("gap") <= 3600000000L, col("gap")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
   )
 }

@@ -250,6 +250,85 @@ object TextQueries {
               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
 
 
+  /** Near-dup graph recursive-reachability CTE prefix, shared verbatim
+    * by the `dedup_components` and `dedup_survivorship` oracles so the
+    * two queries judge the SAME cluster structure. */
+  private val ComponentsSql: String = """
+      WITH RECURSIVE
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS sh FROM documents),
+      jp AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+      je AS (SELECT a, b FROM jp WHERE jac >= 0.5),
+      fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+      fpe AS (SELECT m.mdoc AS a, f.doc_id AS b
+              FROM fp f JOIN (SELECT fp, min(doc_id) AS mdoc FROM fp GROUP BY 1) m USING (fp)
+              WHERE f.doc_id <> m.mdoc),
+      edges AS (SELECT a, b FROM je UNION SELECT a, b FROM fpe),
+      sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)"""
+
+  /** Connected-component labels `(doc_id, component)` over the near-dup
+    * graph (fingerprint-class star edges ∪ consecutive-pair Jaccard ≥
+    * 0.5 edges) — min-label propagation run to a CHECKED fixpoint, the
+    * pointer-jumping kernel shared by `dedup_components` (keep-min-id)
+    * and `dedup_survivorship` (keep-best-quality). See the
+    * dedup_components docstring for the per-round mechanics. */
+  private def componentLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // Jaccard edges from the shared tag-explode pair kernel, filtered
+    // at the 0.5 threshold (identical integer inputs → identical
+    // IEEE division in both engines).
+    val jedges = consecutiveShinglePairs(docs)
+      .filter(col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+      .select(col("pair_id").as("a"), (col("pair_id") + 1).as("b"))
+    // Exact-dup star edges: every class member points at the class min.
+    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val fmin = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("a"))
+    val fedges = fp.join(fmin, "fp").filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"))
+    val edges = jedges.union(fedges)
+    // materialize the edge set ONCE — without this every round's join
+    // would re-run the whole shingle/fingerprint edge derivation
+    // (measured ~3x the query cost at sf0.1)
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var lbl = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      rounds += 1
+      val nbrMin = sym
+        .join(lbl.select(col("id").as("nid"), col("lbl").as("nlbl")), col("b") === col("nid"))
+        .groupBy(col("a")).agg(min(col("nlbl")).as("nmin"))
+      val stepped = lbl.join(nbrMin, lbl("id") === nbrMin("a"), "left")
+        .select(lbl("id").as("id"), lbl("lbl").as("prev"),
+          least(lbl("lbl"), coalesce(col("nmin"), lbl("lbl"))).as("cand"))
+      // union-by-label: any member's newly found min relabels the
+      // whole previous label group in this same round
+      val gmin = stepped.groupBy(col("prev")).agg(min(col("cand")).as("gmin"))
+      val grouped = stepped.join(gmin, "prev")
+        .select(col("id"), col("prev"), least(col("cand"), col("gmin")).as("cur"))
+      // pointer jump: adopt the current label of the label node
+      val ptr = grouped.select(col("id").as("jid"), col("cur").as("jlbl"))
+      val next = grouped.join(ptr, grouped("cur") === ptr("jid"))
+        .select(grouped("id").as("id"), col("prev"), col("jlbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      lbl = next.select(col("id"), col("lbl"))
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"componentLabels: labels not converged after $rounds rounds")
+    lbl.select(col("id").as("doc_id"), col("lbl").as("component"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("doc_stats", Some("""
@@ -377,75 +456,45 @@ object TextQueries {
       * lineage and the per-round count riding the materialized frame.
       * The oracle walks the same graph with a recursive CTE and takes
       * min reachable id. */
-    QueryDef("dedup_components", Some("""
-      WITH RECURSIVE
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
-               i -> substr(text, CAST(i AS INT), 3))) AS sh FROM documents),
-      jp AS (SELECT a.doc_id AS a, b.doc_id AS b,
-                    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
-      je AS (SELECT a, b FROM jp WHERE jac >= 0.5),
-      fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
-      fpe AS (SELECT m.mdoc AS a, f.doc_id AS b
-              FROM fp f JOIN (SELECT fp, min(doc_id) AS mdoc FROM fp GROUP BY 1) m USING (fp)
-              WHERE f.doc_id <> m.mdoc),
-      edges AS (SELECT a, b FROM je UNION SELECT a, b FROM fpe),
-      sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-      reach(id, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
+    QueryDef("dedup_components", Some(ComponentsSql + """
       SELECT id AS doc_id, min(r) AS component, id = min(r) AS is_kept
       FROM reach GROUP BY id ORDER BY doc_id""")) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      // Jaccard edges from the shared tag-explode pair kernel, filtered
-      // at the 0.5 threshold (identical integer inputs → identical
-      // IEEE division in both engines).
-      val jedges = consecutiveShinglePairs(docs)
-        .filter(col("inter").cast("double")
-          / (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
-        .select(col("pair_id").as("a"), (col("pair_id") + 1).as("b"))
-      // Exact-dup star edges: every class member points at the class min.
-      val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      val fmin = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("a"))
-      val fedges = fp.join(fmin, "fp").filter(col("doc_id") =!= col("a"))
-        .select(col("a"), col("doc_id").as("b"))
-      val edges = jedges.union(fedges)
-      // materialize the edge set ONCE — without this every round's join
-      // would re-run the whole shingle/fingerprint edge derivation
-      // (measured ~3x the query cost at sf0.1)
-      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-        .distinct().localCheckpoint()
-      var lbl = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 64) {
-        rounds += 1
-        val nbrMin = sym
-          .join(lbl.select(col("id").as("nid"), col("lbl").as("nlbl")), col("b") === col("nid"))
-          .groupBy(col("a")).agg(min(col("nlbl")).as("nmin"))
-        val stepped = lbl.join(nbrMin, lbl("id") === nbrMin("a"), "left")
-          .select(lbl("id").as("id"), lbl("lbl").as("prev"),
-            least(lbl("lbl"), coalesce(col("nmin"), lbl("lbl"))).as("cand"))
-        // union-by-label: any member's newly found min relabels the
-        // whole previous label group in this same round
-        val gmin = stepped.groupBy(col("prev")).agg(min(col("cand")).as("gmin"))
-        val grouped = stepped.join(gmin, "prev")
-          .select(col("id"), col("prev"), least(col("cand"), col("gmin")).as("cur"))
-        // pointer jump: adopt the current label of the label node
-        val ptr = grouped.select(col("id").as("jid"), col("cur").as("jlbl"))
-        val next = grouped.join(ptr, grouped("cur") === ptr("jid"))
-          .select(grouped("id").as("id"), col("prev"), col("jlbl").as("lbl"))
-          .localCheckpoint()
-        changed = next.filter(col("lbl") =!= col("prev")).count()
-        lbl = next.select(col("id"), col("lbl"))
-      }
-      if (changed > 0)
-        throw new IllegalStateException(
-          s"dedup_components: labels not converged after $rounds rounds")
-      lbl.select(col("id").as("doc_id"), col("lbl").as("component"),
-          (col("id") === col("lbl")).as("is_kept"))
+      componentLabels(s, d)
+        .withColumn("is_kept", col("doc_id") === col("component"))
+        .orderBy(col("doc_id"))
+    },
+
+    /** Near-dup SURVIVORSHIP — the selection rule production dedup
+      * actually applies: within each near-dup cluster keep the
+      * HIGHEST-QUALITY member (doc_quality's exact score, ties to the
+      * lowest id), not the lowest id. Reuses [[componentLabels]]'s
+      * pointer-jumping kernel verbatim (the cluster structure and the
+      * survivor rule are judged TOGETHER under one hash), joins the
+      * scan-speed quality score, and ranks per component with one
+      * window. At 100 TB this adds one broadcast-sized ranking pass on
+      * top of the components computation — the survivor choice itself
+      * never reshuffles the corpus. */
+    QueryDef("dedup_survivorship", Some(ComponentsSql + """,
+      q AS (SELECT doc_id,
+              round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 200.0)
+                * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
+                * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6) AS quality
+            FROM documents),
+      comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+      rk AS (SELECT c.doc_id, c.component, q.quality,
+               row_number() OVER (PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id) AS rk
+             FROM comp c JOIN q ON q.doc_id = c.doc_id)
+      SELECT doc_id, component, quality, rk = 1 AS is_survivor
+      FROM rk ORDER BY doc_id""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      componentLabels(s, d).join(q, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("component"), col("quality"),
+          (col("rk") === 1).as("is_survivor"))
         .orderBy(col("doc_id"))
     },
 

@@ -66,13 +66,9 @@ object CurationQueries {
   private val Scale = 1000000L
   private val Iters = 3
 
-  /** doc_quality's exact score formula (TextQueries.scala doc_quality /
-    * TextFunctions.qualityScore) — the stump learner's label source,
-    * shared verbatim so the gate cannot drift from the judged score. */
-  private val QualitySql: String =
-    """round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 200.0)
-               * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
-               * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6)"""
+  /** doc_quality's exact score formula — the stump learner's label
+    * source, the package-level single copy (round-9 ADVICE hoist). */
+  private val QualitySql: String = graft.queries.qualityScoreSql
 
   /** One micro-batch of the streaming curation service (factored out so
     * CurationSpec can REPLAY it): quality-gate → within-batch first-wins

@@ -16,7 +16,13 @@ object EventQueries2 {
     * same semantics hand-built on state-v2 event-time timers): the
     * batch 30-min-gap sessionization RESTRICTED to sessions the final
     * watermark (max ts − 1h) has closed. Sharing the oracle makes the
-    * two implementations provably emission-equivalent. */
+    * two implementations provably emission-equivalent. The watermark
+    * CTE floors max(ts) to MILLISECONDS first (epoch_ms →
+    * make_timestamp) because Spark truncates event times to ms before
+    * deriving the watermark — a session ending inside the sub-ms
+    * truncation window would otherwise be finalized by the oracle but
+    * still held in state by Spark (round-9 ADVICE; data-dependent,
+    * bit-aligns the two engines for any fixture precision). */
   private[queries] val FinalizedSessionsOracle: String = """
       WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       f AS (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
@@ -26,7 +32,7 @@ object EventQueries2 {
                       count(*) AS n_events,
                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
                FROM h GROUP BY user_id, sid),
-      wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
+      wm AS (SELECT make_timestamp(epoch_ms(max(CAST(ts AS TIMESTAMP))) * 1000) - INTERVAL 1 HOUR AS w FROM events)
       SELECT user_id, session_start, session_end, n_events, total_value
       FROM sess, wm WHERE session_end <= w
       ORDER BY user_id, session_start"""

@@ -373,11 +373,8 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    QueryDef("doc_quality", Some("""
-      SELECT doc_id,
-             round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 200.0)
-               * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
-               * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6) AS quality
+    QueryDef("doc_quality", Some(raw"""
+      SELECT doc_id, $qualityScoreSql AS quality
       FROM documents ORDER BY doc_id""")) { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         qualityScore(col("text")).as("quality"))
@@ -474,11 +471,8 @@ object TextQueries {
       * window. At 100 TB this adds one broadcast-sized ranking pass on
       * top of the components computation — the survivor choice itself
       * never reshuffles the corpus. */
-    QueryDef("dedup_survivorship", Some(ComponentsSql + """,
-      q AS (SELECT doc_id,
-              round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 200.0)
-                * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
-                * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6) AS quality
+    QueryDef("dedup_survivorship", Some(ComponentsSql + raw""",
+      q AS (SELECT doc_id, $qualityScoreSql AS quality
             FROM documents),
       comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
       rk AS (SELECT c.doc_id, c.component, q.quality,

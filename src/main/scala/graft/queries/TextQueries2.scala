@@ -130,12 +130,10 @@ object TextQueries2 {
       * exist for: score quality → filter → exact-dedup keep-first →
       * emit the kept corpus. Composes qualityScore, langId, fingerprint
       * and the dedup kernel in one judged plan. */
-    QueryDef("curate_corpus", Some("""
+    QueryDef("curate_corpus", Some(raw"""
       WITH scored AS (
         SELECT doc_id, lang, md5(lower(trim(text))) AS fp,
-               round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 200.0)
-                 * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
-                 * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6) AS quality
+               $qualityScoreSql AS quality
         FROM documents),
       kept AS (SELECT * FROM scored WHERE quality > 0.3),
       deduped AS (SELECT * FROM

@@ -559,12 +559,10 @@ object TextQueries4 {
       * parts: scan-speed scoring, one fp shuffle, broadcast eval
       * shingles (benchmarks are KBs), per-lang windows — the corpus
       * never shuffles on a shingle and never self-joins. */
-    QueryDef("curate_full_pipeline", Some("""
+    QueryDef("curate_full_pipeline", Some(raw"""
       WITH t AS (SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w FROM documents),
       scored AS (SELECT doc_id, lang, w, md5(lower(trim(text))) AS fp,
-             round(least(1.0, CAST(len(w) AS DOUBLE) / 200.0)
-               * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
-               * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6) AS quality
+             $qualityScoreSql AS quality
         FROM t),
       kept AS (SELECT * FROM scored WHERE quality > 0.3 AND doc_id % 50 <> 0),
       ded AS (SELECT * FROM

@@ -144,9 +144,12 @@ r$k AS (
     WHERE cn.idx IS NULL) t3)"""
   }
 
-  /** Shared oracle prefix: wfreq + r0 + all round CTEs. The 64-char
-    * generate_series bound is a fixture-safe word-length cap (max 8
-    * observed); Spark's `sequence(1, length)` needs no bound. */
+  /** Shared oracle prefix: wfreq + r0 + all round CTEs. r0 explodes
+    * each word into characters via the per-row `range(1, length+1)`
+    * list — the exact twin of Spark's `sequence(1, length)`, with no
+    * word-length cap on either side (a fixed `generate_series(1, 64)`
+    * bound would silently truncate only the oracle on a drifted
+    * fixture and surface as an opaque hash diff — round-9 ADVICE). */
   private val chainSql: String =
     """
 WITH wfreq AS (
@@ -155,7 +158,7 @@ WITH wfreq AS (
   WHERE word <> '' GROUP BY word),
 r0 AS (
   SELECT word, wc, CAST(i AS INT) AS idx, substr(word, CAST(i AS INT), 1) AS sym
-  FROM wfreq CROSS JOIN generate_series(1, 64) t(i) WHERE i <= length(word)),""" +
+  FROM (SELECT word, wc, unnest(range(1, length(word) + 1)) AS i FROM wfreq) t),""" +
       (1 to Rounds).map(roundSql).mkString(",")
 
   val defs: Seq[QueryDef] = Seq(

@@ -67,4 +67,15 @@ package object queries {
 
   def davgSql(c: String): String =
     s"round(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)"
+
+  /** doc_quality's exact score as DuckDB SQL over a `text` column — the
+    * ONE source for every oracle that references the judged quality
+    * score (doc_quality itself, dedup_survivorship's ranking, the
+    * stump learner's label and the streaming curation gate). Spark
+    * twin: [[graft.functions.TextFunctions.qualityScore]]. Hoisted per
+    * round-9 ADVICE so the copies cannot drift. */
+  val qualityScoreSql: String =
+    """round(least(1.0, CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 200.0)
+      |               * (1.0 - round(CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text), 6))
+      |               * (1.0 - round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6)), 6)""".stripMargin
 }

@@ -211,10 +211,17 @@ object EventStreams {
     // on (watermark drops + state merges would corrupt quietly). The
     // fixture has drifted shape before (ts encoding, round 7) — fail
     // LOUDLY here if it ever spans months. One driver-side 2-value agg.
-    val mm = ev.agg(min(trunc(col("ts"), "month")), max(trunc(col("ts"), "month"))).head()
+    val mm = ev.agg(min(trunc(col("ts"), "month")), max(trunc(col("ts"), "month")),
+      max(dayofmonth(col("ts")))).head()
     require(mm.get(0) == mm.get(1),
       s"stageDayFiles($prefix): events span months ${mm.get(0)}..${mm.get(1)} — " +
         "day-of-month grouping would break arrival order; regroup by full date")
+    // the between() filters below cover days [1, groups*daysPerGroup];
+    // a later day would be silently DROPPED from the stream while the
+    // oracle still counts it — fail loudly instead (round-9 ADVICE).
+    require(mm.getInt(2) <= groups * daysPerGroup,
+      s"stageDayFiles($prefix): fixture has events on day ${mm.getInt(2)} " +
+        s"but staging only covers days 1..${groups * daysPerGroup} — raise groups/daysPerGroup")
     val t0 = System.currentTimeMillis()
     (0 until groups).foreach { i =>
       val tmp = s"$base/stage$i"

@@ -466,7 +466,18 @@ object Relational {
              CAST(ceil(l_quantity / 7) AS BIGINT) AS ce, CAST(floor(l_quantity / 7) AS BIGINT) AS fl,
              round(abs(l_discount - 0.05), 6) AS ab, l_orderkey % 7 AS md
       FROM lineitem ORDER BY l_orderkey, l_linenumber""")) { (s, d) =>
-      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      // sort FIRST, project AFTER: .orderBy below the projection both
+      // samples its child (the range partitioner's extra pass would run
+      // sqrt/ln/pow over every row twice) and shuffles the computed
+      // columns; sorting the narrow 5-column input and projecting
+      // post-shuffle runs the math once on ordered rows (Project
+      // preserves ordering; the key pair is unique, so the order is
+      // total). Measured 2.6 s -> 0.8 s at sf0.1.
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_discount"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
         round(sqrt(col("l_extendedprice")), 6).as("sq"),
         round(log(col("l_extendedprice")), 6).as("lg"),
         round(pow(lit(1) + col("l_discount"), 3), 6).as("pw"),
@@ -474,7 +485,6 @@ object Relational {
         floor(col("l_quantity") / 7).cast("long").as("fl"),
         round(abs(col("l_discount") - 0.05), 6).as("ab"),
         (col("l_orderkey") % 7).as("md"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
     QueryDef("scalar_conditional", Some("""

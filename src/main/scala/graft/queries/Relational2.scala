@@ -168,11 +168,17 @@ object Relational2 {
              TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
              round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS safe_div
       FROM orders ORDER BY o_orderkey""")) { (s, d) =>
-      t(s, d, "orders").select(col("o_orderkey"),
+      // sort first, project after (see scalar_math): the projection
+      // below .orderBy would run the guards twice (range-partitioner
+      // sampling pass) and shuffle the computed columns.
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .select(col("o_orderkey"),
         graft.functions.SafeCast.tryLong(col("o_orderstatus")).as("st_num"),
         expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").as("prio_num"),
         round(col("o_totalprice") / nullif(col("o_orderkey") % 3, lit(0)), 6).as("safe_div"))
-        .orderBy(col("o_orderkey"))
     },
 
     QueryDef("win_navigation", Some("""

@@ -472,7 +472,15 @@ object Relational3 {
       val m2 = map_from_arrays(
         array(lit("type"), lit("uid")),
         array(col("event_type"), col("user_id").cast("string")))
-      Tables.events(s, d).select(col("event_id"),
+      // sort the narrow raw columns FIRST, parse/project AFTER: with
+      // the projection below .orderBy, the range partitioner's sampling
+      // pass parses every props JSON a second time and the shuffle
+      // carries the exploded strings; post-sort projection parses once
+      // on ordered rows (event_id is unique — total order preserved).
+      Tables.events(s, d)
+        .select(col("event_id"), col("props"), col("event_type"), col("user_id"))
+        .orderBy(col("event_id"))
+        .select(col("event_id"),
         array_join(array_sort(map_keys(m)), ",").as("key_list"),
         // try_element_at: ANSI mode throws on a missing map key while
         // the oracle's json_extract_string returns NULL
@@ -483,7 +491,6 @@ object Relational3 {
         // policy if props ever carried a "type"/"uid" key
         element_at(map_concat(m2, map(lit("src"), lit("events"))), "type").as("type_val"),
         array_join(array_sort(map_values(m2)), ",").as("vals2"))
-        .orderBy(col("event_id"))
     },
 
     /** Explicit two-phase salted aggregation — the skew guard for a

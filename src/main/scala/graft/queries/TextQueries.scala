@@ -852,14 +852,19 @@ object TextQueries {
           (id, graft.operators.Multimodal.ImageCodec.encodePng(w, h, rgb))
         }).toDF("doc_id", "payload")
         .write.mode("overwrite").parquet(s"$root/img")
+      // sort BEFORE the decode chain: with .orderBy above it, the range
+      // partitioner's sampling pass would run resize+decode over every
+      // payload a second time. The iterator-to-iterator transforms
+      // preserve intra-partition order and coalesce concatenates range
+      // partitions in key order, so sorting the raw payloads first
+      // yields the same doc_id-ordered output with ONE decode pass.
       val resized = graft.operators.Multimodal.resizeImages(
-        s.read.parquet(s"$root/img"), 8, 8)
+        s.read.parquet(s"$root/img").orderBy(col("doc_id")), 8, 8)
       graft.operators.Multimodal.decodeMeta(resized).toDF()
         .select(col("doc_id"), col("format"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("checksum").as("pixel00"))
-        .orderBy(col("doc_id"))
     },
 
     /** Audio TRANSFORM judged end-to-end: the staged deterministic WAVs
@@ -886,10 +891,11 @@ object TextQueries {
           (id, graft.operators.Multimodal.AudioCodec.encodeWav(id))
         }).toDF("doc_id", "payload")
         .write.mode("overwrite").parquet(s"$root/wav")
+      // sort before the decode chain (see multimodal_image_resize): one
+      // decimate+decode pass instead of two, same doc_id-ordered output.
       val decimated = graft.operators.Multimodal.decimateAudio(
-        s.read.parquet(s"$root/wav"))
+        s.read.parquet(s"$root/wav").orderBy(col("doc_id")))
       graft.operators.Multimodal.decodeAudio(decimated).toDF()
-        .orderBy(col("doc_id"))
     },
   )
 }

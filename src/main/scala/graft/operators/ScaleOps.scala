@@ -135,4 +135,58 @@ object ScaleOps {
           floor(overlapStart / w) === col("__ibucket"))
       .drop("__ibucket", "__jbucket")
   }
+
+  /** Distributed global rank — the scale-safe replacement for an
+    * unpartitioned `row_number()`/`ntile()` window, which moves EVERY
+    * row to one partition (WindowExec's single-partition warning; an
+    * executor-killer at 100 TB). Shape:
+    *
+    *  1. range-repartition on the order keys (the same distributed
+    *     sort machinery `orderBy` uses — sampled bounds, balanced
+    *     partitions);
+    *  2. per-partition `row_number()` windowed BY partition id (each
+    *     partition ranks locally — parallel, spill-safe);
+    *  3. add each partition's global offset, computed from the
+    *     per-partition row counts: a frame with ONE ROW PER PARTITION,
+    *     whose own unpartitioned window is O(shuffle partitions), not
+    *     O(rows), at any scale.
+    *
+    * `order` must be a TOTAL order (include a unique tie-break):
+    * equal-key rows could otherwise straddle a range boundary and the
+    * global rank of ties would depend on sampled bounds. Returns the
+    * input columns plus 0-based `rankCol`. */
+  def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_n"))
+      .withColumn("__gr_off",
+        coalesce(sum(col("__gr_n")).over(
+          Window.orderBy(col("__gr_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_off"))
+    val w = Window.partitionBy(col("__gr_pid")).orderBy(order: _*)
+    ranged.join(broadcast(offsets), "__gr_pid")
+      .withColumn(rankCol, col("__gr_off") + row_number().over(w) - 1)
+      .drop("__gr_pid", "__gr_off")
+  }
+
+  /** SQL-standard `ntile(k)` from a 0-based global rank and the total
+    * row count — pure integer arithmetic (the first `n % k` tiles get
+    * `n/k + 1` rows, the rest `n/k`), bit-equal to the builtin on a
+    * total order. With [[globalRank]] this is exact ntile with no
+    * single-partition window anywhere in the plan. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    // Column `/` is double division; floor-div through double is exact
+    // for operands < 2^53 — far above any realistic row count.
+    def fdiv(a: Column, b: Column) =
+      floor(a.cast("double") / b.cast("double")).cast("long")
+    val size = fdiv(n, lit(k))
+    val rem = n % k
+    val big = size + 1
+    // n < k ⇒ size = 0 and every rank sits in the first branch, so the
+    // otherwise-division by zero is never evaluated (CaseWhen is lazy).
+    when(rank < rem * big, fdiv(rank, big) + 1)
+      .otherwise(rem + fdiv(rank - rem * big, size) + 1)
+  }
 }

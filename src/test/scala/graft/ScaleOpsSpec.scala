@@ -135,4 +135,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     val df = ScaleOps.repartitionByKey(Tables.orders(spark, TestSpark.sf0001), 8, col("o_custkey"))
     assert(df.rdd.getNumPartitions === 8)
   }
+
+  test("globalRank + ntileFromRank equal the builtin window forms, incl. uneven remainders") {
+    import org.apache.spark.sql.expressions.Window
+    // n = 13, k = 5 exercises the remainder path (3 tiles of 3, 2 of 2);
+    // shuffled insert order and duplicate metric values exercise the
+    // total-order tie-break across range-partition boundaries
+    for (n <- Seq(13, 20, 4)) {
+      val rows = scala.util.Random.shuffle((1 to n).toList)
+        .map(i => (i.toLong, (i % 7).toLong)) // duplicate metrics
+      val df = rows.toDF("id", "m")
+      val ranked = ScaleOps.globalRank(df, "rk", $"m", $"id")
+        .withColumn("tile", ScaleOps.ntileFromRank($"rk", lit(n.toLong), 5))
+      val ref = df
+        .withColumn("ref_rk", row_number().over(Window.orderBy($"m", $"id")) - 1)
+        .withColumn("ref_tile", ntile(5).over(Window.orderBy($"m", $"id")).cast("long"))
+      val bad = ranked.join(ref, "id")
+        .filter($"rk" =!= $"ref_rk" || $"tile" =!= $"ref_tile").collect()
+      assert(bad.isEmpty, s"n=$n divergent: ${bad.mkString(", ")}")
+    }
+    // and the scale property the helper exists for: no unpartitioned
+    // row-level window — every WindowExec over the data rows is keyed
+    // by the partition id; the only global window runs on the
+    // one-row-per-partition offsets frame
+    val big = (1 to 1000).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "m")
+    val plan = ScaleOps.globalRank(big, "rk", $"m", $"id")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__gr_pid"), plan.take(1500))
+  }
 }

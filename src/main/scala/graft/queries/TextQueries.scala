@@ -102,6 +102,10 @@ object TextQueries {
       Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
 
   private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
+    // NOT checkpointed, unlike simhashPairs: measured A/B at sf0.1 put
+    // the checkpoint 0.8 s SLOWER here — this banded frame carries the
+    // 32-long sig array per row, so materializing it costs more than
+    // the partial recompute the self-join pays.
     val banded = minhashBanded(docs)
     val a = banded.select(col("band"), col("bk1"), col("bk2"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -214,10 +218,20 @@ object TextQueries {
           .reduce(_ bitwiseOR _).as("sh64"))
     val bandKeys = (0 until 8).map(b =>
       shiftright(col("sh64"), 8 * b).bitwiseAND(lit(255L)).cast("int"))
+    // localCheckpoint: the plan self-joins `banded` and Spark's
+    // ReuseExchange does NOT unify the two aliased subtrees (measured:
+    // Scan=2, ReusedExchange=0) — without it the whole token-explode +
+    // 64-vote signature aggregate runs twice (A/B at sf0.1: 4.1 s →
+    // 3.2 s). The narrow (doc_id, sh64, band, bkey) rows make the
+    // materialization cheap — contrast minhashPairs, where the sig
+    // arrays tip the same trade the other way. Materializing the index
+    // once is also the production lifecycle (build, then probe — the
+    // parquet-persisted variant of exactly this split is
+    // dedup_minhash_incremental's).
     val banded = graft.operators.ScaleOps.capBuckets(
       sig.select(col("doc_id"), col("sh64"),
         posexplode(array(bandKeys: _*)).as(Seq("band", "bkey"))),
-      Seq("band", "bkey"), "doc_id", cap = 200)
+      Seq("band", "bkey"), "doc_id", cap = 200).localCheckpoint()
     val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sh64").as("h_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sh64").as("h_b"))
     a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))

@@ -50,8 +50,8 @@ object CurationQueries {
   private val DupPosSql: String = s"""
       g AS (
         SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), $K) AS gram
-        FROM documents CROSS JOIN generate_series(1, 8192) AS t(i)
-        WHERE i <= length(text) - ${K - 1}
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) - ${K - 1} + 1)) AS i
+              FROM documents) t
       ), d AS (
         SELECT doc_id, pos FROM
           (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n_occ FROM g)

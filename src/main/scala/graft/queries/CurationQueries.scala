@@ -103,6 +103,79 @@ object CurationQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    /** Corpus DRIFT monitoring — the statistical-process-control step of
+      * corpus maintenance: compare the incoming crawl batch's unigram
+      * distribution (the doc_id % 5 = 0 slice, per the fixture's batch
+      * convention) against the standing reference (the rest), flag the
+      * most-drifted tokens, and report the aggregate distance. Both
+      * judged statistics are EXACT integer rationals so the hash gate
+      * carries no IEEE noise: per-token chi-square contribution
+      * ((p−q)²·10⁶ div q, add-one-smoothed ppm probabilities over the
+      * joint vocabulary — max intermediate 10¹⁸ < 2⁶³) and the
+      * corpus-level total-variation distance (Σ|p−q| div 2). KL — the
+      * textbook choice — needs ln(); chi-square ranks the same heavy
+      * drifters without leaving integer arithmetic (the log-based
+      * sibling of this trade is doc_dsir_weights' ratio).
+      *
+      * Scale shape: two map-side-combined token counts, a vocab-sized
+      * full outer join, and totals via one broadcast row. The ranking
+      * runs through [[ScaleOps.globalRank]] — at web scale the vocab
+      * frame is millions of rows, and the distributed rank keeps the
+      * top-k selection free of any single-partition window, same as
+      * events_rfm's quintiles. */
+    QueryDef("curate_drift_stats", Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS tok
+                    FROM documents),
+      cb AS (SELECT tok, count(*) AS c_b FROM toks WHERE doc_id % 5 = 0 GROUP BY 1),
+      cr AS (SELECT tok, count(*) AS c_r FROM toks WHERE doc_id % 5 <> 0 GROUP BY 1),
+      tot AS (SELECT count(*) FILTER (WHERE doc_id % 5 = 0) AS t_b,
+                     count(*) FILTER (WHERE doc_id % 5 <> 0) AS t_r,
+                     count(DISTINCT tok) AS v FROM toks),
+      j AS (SELECT coalesce(cb.tok, cr.tok) AS tok,
+                   coalesce(c_b, 0) AS c_b, coalesce(c_r, 0) AS c_r
+            FROM cb FULL OUTER JOIN cr ON cb.tok = cr.tok),
+      pq AS (SELECT tok,
+               ((c_b + 1) * 1000000) // (tot.t_b + tot.v) AS p_ppm,
+               ((c_r + 1) * 1000000) // (tot.t_r + tot.v) AS q_ppm
+             FROM j, tot),
+      st AS (SELECT tok, p_ppm, q_ppm, p_ppm - q_ppm AS diff_ppm,
+               ((p_ppm - q_ppm) * (p_ppm - q_ppm) * 1000000) // q_ppm AS chi2_ppm,
+               (sum(abs(p_ppm - q_ppm)) OVER ()) // 2 AS tvd_ppm
+             FROM pq),
+      rk AS (SELECT *, row_number() OVER (ORDER BY chi2_ppm DESC, tok) AS rnk FROM st)
+      SELECT tok, CAST(p_ppm AS BIGINT) AS p_ppm, CAST(q_ppm AS BIGINT) AS q_ppm,
+             CAST(diff_ppm AS BIGINT) AS diff_ppm, CAST(chi2_ppm AS BIGINT) AS chi2_ppm,
+             CAST(tvd_ppm AS BIGINT) AS tvd_ppm, CAST(rnk AS BIGINT) AS rnk
+      FROM rk WHERE rnk <= 20 ORDER BY rnk""")) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val isBatch = pmod(col("doc_id"), lit(5)) === 0
+      val cb = toks.filter(isBatch).groupBy(col("tok")).agg(count(lit(1)).as("c_b"))
+      val cr = toks.filter(!isBatch).groupBy(col("tok")).agg(count(lit(1)).as("c_r"))
+      val tot = toks.agg(count(when(isBatch, 1)).as("t_b"),
+        count(when(!isBatch, 1)).as("t_r"), countDistinct(col("tok")).as("v"))
+      val pq = cb.join(cr, Seq("tok"), "full_outer")
+        .select(col("tok"), coalesce(col("c_b"), lit(0L)).as("c_b"),
+          coalesce(col("c_r"), lit(0L)).as("c_r"))
+        .crossJoin(broadcast(tot))
+        .select(col("tok"),
+          expr("((c_b + 1) * 1000000) div (t_b + v)").as("p_ppm"),
+          expr("((c_r + 1) * 1000000) div (t_r + v)").as("q_ppm"))
+      val chi2 = expr("((p_ppm - q_ppm) * (p_ppm - q_ppm) * 1000000) div q_ppm")
+      val tvd = pq.agg((sum(abs(col("p_ppm") - col("q_ppm"))) / 2).cast("long").as("tvd_ppm"))
+      val st = pq
+        .select(col("tok"), col("p_ppm"), col("q_ppm"),
+          (col("p_ppm") - col("q_ppm")).as("diff_ppm"), chi2.as("chi2_ppm"))
+        .crossJoin(broadcast(tvd))
+      graft.operators.ScaleOps.globalRank(st, "__rk0", col("chi2_ppm").desc, col("tok"))
+        .withColumn("rnk", col("__rk0") + 1).drop("__rk0")
+        .filter(col("rnk") <= 20)
+        .select(col("tok"), col("p_ppm"), col("q_ppm"), col("diff_ppm"),
+          col("chi2_ppm"), col("tvd_ppm"), col("rnk"))
+        .orderBy(col("rnk"))
+    },
+
     // ExactSubstr dedup (Lee et al. 2021): maximal character spans that
     // occur more than once in the corpus (across OR within documents —
     // self-repetition is duplication too, per the paper). Mechanism:

@@ -235,4 +235,36 @@ class CurationSpec extends AnyFunSuite {
     assert(en > other,
       f"DSIR must prefer target-domain docs: en rate $en%.3f vs other $other%.3f")
   }
+
+  test("curate_drift_stats: ranking order, probability bounds, and an exact TVD recompute") {
+    val rows = q("curate_drift_stats").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val chi2s = rows.map(_.getLong(rows.head.fieldIndex("chi2_ppm"))).toSeq
+    assert(chi2s === chi2s.sorted.reverse, "rows must arrive in chi2-descending rank order")
+    val tvds = rows.map(_.getLong(rows.head.fieldIndex("tvd_ppm"))).distinct
+    assert(tvds.length === 1, "tvd_ppm is a corpus-level constant")
+    rows.foreach { r =>
+      val p = r.getLong(r.fieldIndex("p_ppm")); val qv = r.getLong(r.fieldIndex("q_ppm"))
+      assert(p >= 0 && p <= 1000000 && qv >= 1 && qv <= 1000000, s"ppm bounds: $p / $qv")
+      assert(r.getLong(r.fieldIndex("chi2_ppm")) >= 0)
+    }
+    // exact TVD recompute in the JVM from raw token counts — the one
+    // judged value the top-20 output can't self-verify
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = toks.filter(_._1 % 5 == 0).map(_._2)
+    val ref = toks.filter(_._1 % 5 != 0).map(_._2)
+    val vocab = toks.map(_._2).distinct
+    val (tb, tr, v) = (batch.length.toLong, ref.length.toLong, vocab.length.toLong)
+    val cb = batch.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cr = ref.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tvdExp = vocab.map { t =>
+      val p = (cb.getOrElse(t, 0L) + 1) * 1000000L / (tb + v)
+      val qq = (cr.getOrElse(t, 0L) + 1) * 1000000L / (tr + v)
+      math.abs(p - qq)
+    }.sum / 2
+    assert(tvds.head === tvdExp, s"tvd got ${tvds.head}, recomputed $tvdExp")
+  }
 }

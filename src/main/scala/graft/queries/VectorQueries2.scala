@@ -310,7 +310,126 @@ object VectorQueries2 {
              round(CAST(n_hits AS DOUBLE) / 5, 6) AS recall_at_5
       FROM j ORDER BY nprobe, q_id"""
 
+  /** MMR rounds (total selections per query, including the seed). */
+  private val MmrK = 5
+
+  /** DuckDB twin of the MMR chain: candidate pool → candidate-pair
+    * cosines → seed pick → (penalty, score, argmax) per round,
+    * generated from the same MmrK/λ constants the Spark side uses. */
+  private def mmrOracle: String = {
+    val base = """
+      WITH v AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+      n AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2 FROM v),
+      p AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+              CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS DOUBLE)
+                / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+            FROM n a JOIN n b ON b.vec_id != a.vec_id
+            WHERE a.vec_id < 5),
+      c10 AS (SELECT q_id, vec_id, cosine FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+                FROM p) t WHERE rnk <= 10),
+      cc AS (SELECT x.q_id, x.vec_id AS a_id, y.vec_id AS b_id,
+               CAST(list_sum(list_transform(list_zip(na.q, nb.q), s -> s[1] * s[2])) AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_ab
+             FROM c10 x JOIN c10 y ON y.q_id = x.q_id AND y.vec_id != x.vec_id
+             JOIN n na ON na.vec_id = x.vec_id JOIN n nb ON nb.vec_id = y.vec_id),
+      sel1 AS (SELECT q_id, vec_id, 1 AS mmr_rank, CAST(0.7 AS DOUBLE) * cosine AS score FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+                 FROM c10) t WHERE rn = 1)"""
+    val rounds = (2 to MmrK).map { k =>
+      s""",
+      pen$k AS (SELECT cc.q_id, cc.a_id AS vec_id, max(cc.cos_ab) AS pen
+               FROM cc JOIN sel${k - 1} s ON s.q_id = cc.q_id AND s.vec_id = cc.b_id
+               GROUP BY 1, 2),
+      r$k AS (SELECT c.q_id, c.vec_id,
+               CAST(0.7 AS DOUBLE) * c.cosine - CAST(0.3 AS DOUBLE) * pn.pen AS score
+             FROM c10 c JOIN pen$k pn ON pn.q_id = c.q_id AND pn.vec_id = c.vec_id
+             LEFT JOIN sel${k - 1} s ON s.q_id = c.q_id AND s.vec_id = c.vec_id
+             WHERE s.vec_id IS NULL),
+      sel$k AS (SELECT * FROM sel${k - 1} UNION ALL
+               SELECT q_id, vec_id, $k AS mmr_rank, score FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+                 FROM r$k) t WHERE rn = 1)"""
+    }.mkString
+    base + rounds + s"""
+      SELECT q_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, vec_id, round(score, 6) AS score
+      FROM sel$MmrK ORDER BY q_id, mmr_rank"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+      * SIGIR 1998) — the DIVERSIFICATION pass retrieval pipelines run
+      * on top of a similarity shortlist, and the retrieval twin of
+      * data-curation diversity sampling (pick examples similar to the
+      * query/task but not redundant with what's already picked). Each
+      * query's top-10 cosine candidates are re-ranked greedily:
+      * score(d) = λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s), λ = 0.7 —
+      * the seed is the plain top-1, then four rounds of
+      * penalty → score → argmax (ties to the lowest vec_id, a total
+      * order both engines share).
+      *
+      * Exactness: every cosine divides exact int64-quantized dot
+      * products (the sim_cosine_topk discipline); λ-arithmetic applies
+      * identical double ops to identical doubles; only the judged
+      * output rounds. The greedy chain is data-dependent control flow
+      * made relational — each round is a broadcast-size join over the
+      * candidate frames, NEVER a corpus pass.
+      *
+      * Scale: the pool (10/query) and pair matrix (90/query) are
+      * per-query constants — at production scale the shortlist comes
+      * from the ANN index (sim_ann_ivfpq_persisted's serve path) and
+      * this re-rank costs O(k²) per query on broadcast-size frames;
+      * the corpus is touched only by the index probe. c10/cc are
+      * localCheckpointed: five rounds re-read them, and each round's
+      * lineage would otherwise re-derive the full candidate join. */
+    QueryDef("sim_mmr_rerank", Some(mmrOracle)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lam = lit(0.7)
+      val mu = lit(0.3)
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", qdot(col("q"), col("q")))
+      val queries = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+      val pairs = v.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          cosineFromQ(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val c10 = pairs.withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("vec_id"), col("cosine"), col("q"), col("n2"))
+        .localCheckpoint()
+      val x = c10.select(col("q_id"), col("vec_id").as("a_id"),
+        col("q").as("q_a"), col("n2").as("n2_a"))
+      val y = c10.select(col("q_id"), col("vec_id").as("b_id"),
+        col("q").as("q_b"), col("n2").as("n2_b"))
+      val cc = x.join(y, Seq("q_id")).filter(col("a_id") =!= col("b_id"))
+        .select(col("q_id"), col("a_id"), col("b_id"),
+          cosineFromQ(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")).as("cos_ab"))
+        .localCheckpoint()
+      val cands = c10.select(col("q_id"), col("vec_id"), col("cosine"))
+      var sel = cands.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), lit(1).as("mmr_rank"),
+          (lam * col("cosine")).as("score"))
+      for (k <- 2 to MmrK) {
+        val pen = cc.join(sel.select(col("q_id"), col("vec_id").as("b_id")), Seq("q_id", "b_id"))
+          .groupBy(col("q_id"), col("a_id")).agg(max(col("cos_ab")).as("pen"))
+          .withColumnRenamed("a_id", "vec_id")
+        val rem = cands.join(sel.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+        val wSc = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+        val pick = rem.join(pen, Seq("q_id", "vec_id"))
+          .withColumn("score", lam * col("cosine") - mu * col("pen"))
+          .withColumn("rn", row_number().over(wSc)).filter(col("rn") === 1)
+          .select(col("q_id"), col("vec_id"), lit(k).as("mmr_rank"), col("score"))
+        sel = sel.unionByName(pick)
+      }
+      sel.select(col("q_id"), col("mmr_rank").cast("long").as("mmr_rank"),
+          col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("q_id"), col("mmr_rank"))
+    },
 
     /** IVFADC in-lineage: both trainers + encode + serve in one plan
       * (the build-correctness witness; the persisted twin is the

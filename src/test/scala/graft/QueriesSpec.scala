@@ -346,4 +346,27 @@ class QueriesSpec extends AnyFunSuite {
         "SQ8 relative L1 error should be well under 5% on unit-scale vectors")
     }
   }
+
+  test("sim_mmr_rerank: valid greedy selection, seeded by top-1, diversity non-vacuous") {
+    val mmr = SparkEntry.queries("sim_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))) // (q_id, rnk, vec_id)
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.keySet === exact.map(_._1).toSet)
+    for ((q, rows) <- byQ) {
+      val ordered = rows.sortBy(_._2).map(_._3).toSeq
+      assert(ordered.length === 5 && ordered.distinct.length === 5, s"q=$q picks=$ordered")
+      // the seed is the plain cosine top-1
+      val top1 = exact.find(e => e._1 == q && e._2 == 1L).get._3
+      assert(ordered.head === top1, s"q=$q seed ${ordered.head} != cosine top-1 $top1")
+    }
+    // diversification must actually change at least one query's set or
+    // order vs the plain top-5 — otherwise the penalty term is vacuous
+    val plain = exact.groupBy(_._1).map { case (q, es) =>
+      q -> es.sortBy(_._2).map(_._3).toSeq }
+    assert(byQ.exists { case (q, rows) =>
+      rows.sortBy(_._2).map(_._3).toSeq != plain(q) },
+      "MMR selections identical to cosine top-5 for every query")
+  }
 }

@@ -101,7 +101,86 @@ object CurationQueries {
       .parquet(s"$root/fpindex/b$id")
   }
 
+  /** Winnowing parameters (Schleimer et al., SIGMOD 2003 — the MOSS
+    * fingerprinter): K-char grams, window of W consecutive gram hashes,
+    * each window's minimum selected (rightmost on ties). Guarantee:
+    * any common substring of length ≥ W + K − 1 shares a fingerprint. */
+  private val WinK = 8
+  private val WinW = 4
+
+  /** Packing modulus for the (hash, rightmost-pos) argmin trick: comb =
+    * h32 · 2³⁰ + (2³⁰ − 1 − pos) makes lexicographic (min hash, max
+    * pos) a single BIGINT min — exact in both engines (h32 < 2³²,
+    * comb < 2⁶²), and pos < 2³⁰ is loud-guarded by the length filter
+    * being far below it on any realistic document. */
+  private val WinM = 1073741824L
+
+  /** Winnowing fingerprints `(doc_id, pos, fp)` over any
+    * `(doc_id, text)` input — factored out so WinnowingSpec can drive
+    * synthetic corpora through the exact judged kernel. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val frame = byDoc.orderBy(col("pos")).rowsBetween(0, WinW - 1)
+    docs
+      .filter(length(col("text")) >= WinK)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(WinK - 1))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"CAST(conv(substr(md5(substr(text, CAST(pos AS INT), $WinK)), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .withColumn("comb", col("h") * WinM + (lit(WinM - 1) - col("pos")))
+      .withColumn("n_grams", count(lit(1)).over(byDoc))
+      .withColumn("win", min(col("comb")).over(frame))
+      // only FULL windows select (the paper's definition): window
+      // starts run to n_grams − W + 1; shrunken tail frames don't vote
+      .filter(col("pos") <= col("n_grams") - lit(WinW - 1))
+      .select(col("doc_id"), col("win")).distinct()
+      .select(col("doc_id"),
+        (lit(WinM - 1) - pmod(col("win"), lit(WinM))).as("pos"),
+        expr(s"win div $WinM").as("fp"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    /** Winnowing document fingerprinting (Schleimer, Wilkerson & Aiken,
+      * SIGMOD 2003 — the algorithm behind MOSS): hash every K-gram,
+      * slide a W-hash window, keep each window's minimum (rightmost on
+      * ties), emit the distinct selected (position, hash) pairs. The
+      * LOCAL fingerprint family member beside doc_fingerprint's global
+      * hash and dedup_substring's exhaustive positions: winnowing
+      * guarantees any shared substring of length ≥ W+K−1 surfaces a
+      * common fingerprint while storing only ~2/(W+1) of positions —
+      * the storage/recall dial plagiarism and near-dup systems deploy.
+      *
+      * Exactness: the per-window argmin with rightmost tie-break packs
+      * into ONE integer min (comb = h·2³⁰ + (2³⁰−1−pos)) — no
+      * engine-specific arg_min/min_by tie behavior anywhere; md5-derived
+      * 32-bit gram hashes are identical in both engines, so the oracle
+      * replays the pipeline CTE-for-CTE and the selected set is
+      * hash-gated exactly.
+      *
+      * Scale: one Generate + two doc-partitioned windows (count + frame
+      * min) on the SAME doc_id shuffle, then a distinct on the selected
+      * set — per-doc state is O(text length), never corpus-wide; the
+      * fingerprint index this emits is what the banded dedup joins
+      * consume downstream. */
+    QueryDef("doc_winnowing", Some(s"""
+      WITH g AS (SELECT doc_id, i AS pos,
+                   ('0x' || substr(md5(substr(text, CAST(i AS INT), $WinK)), 1, 8))::BIGINT AS h
+                 FROM (SELECT doc_id, text, unnest(range(1, length(text) - ${WinK - 1} + 1)) AS i
+                       FROM documents WHERE length(text) >= $WinK) t),
+      c AS (SELECT doc_id, pos, h * $WinM + (${WinM - 1} - pos) AS comb,
+              count(*) OVER (PARTITION BY doc_id) AS n_grams FROM g),
+      w AS (SELECT doc_id, pos, n_grams,
+              min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS win
+            FROM c),
+      s AS (SELECT DISTINCT doc_id, win FROM w WHERE pos <= n_grams - ${WinW - 1})
+      SELECT doc_id, CAST(${WinM - 1} - (win % $WinM) AS BIGINT) AS pos,
+             CAST(win // $WinM AS BIGINT) AS fp
+      FROM s ORDER BY doc_id, pos""")) { (s, d) =>
+      winnowFingerprints(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("pos"))
+    },
 
     /** Corpus DRIFT monitoring — the statistical-process-control step of
       * corpus maintenance: compare the incoming crawl batch's unigram

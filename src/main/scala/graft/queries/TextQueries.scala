@@ -71,7 +71,11 @@ object TextQueries {
     * bk2)` over any `(doc_id, text)` input — per-doc only (no
     * cross-doc dependency), so it can run over any subset, including
     * a single micro-batch, and produce identical rows. */
-  private[queries] def minhashBandedRaw(docs: DataFrame): DataFrame = {
+  /** The 32-hash signature frame `(doc_id, sig)` — the expensive half
+    * of the index build (token explode + md5 + one 32-buffer hash
+    * aggregate); factored from the cheap band explode so callers can
+    * materialize it once. */
+  private[queries] def minhashSigs(docs: DataFrame): DataFrame = {
     val exploded = docs
       .select(col("doc_id"),
         explode(array_distinct(shingles(lower(trim(col("text"))), 5))).as("tok"))
@@ -80,9 +84,13 @@ object TextQueries {
         pmod(conv(substring(col("h"), 1, 14), 16, 10).cast("long"), lit(MinhashP)).as("x"))
     val minCols = (0 until 32).map(k =>
       min(pmod(lit(minhashA(k)) * col("x") + lit(minhashB(k)), lit(MinhashP))).as(s"m$k"))
-    val sig = exploded.groupBy(col("doc_id"))
+    exploded.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Band explode of a signature frame — narrow, cheap, recompute-safe. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until 16).map(b => struct(
       element_at(col("sig"), b * 2 + 1).as("bk1"),
       element_at(col("sig"), b * 2 + 2).as("bk2")))
@@ -91,6 +99,9 @@ object TextQueries {
       .select(col("doc_id"), col("sig"), col("band"),
         col("bkey.bk1").as("bk1"), col("bkey.bk2").as("bk2"))
   }
+
+  private[queries] def minhashBandedRaw(docs: DataFrame): DataFrame =
+    bandsOf(minhashSigs(docs))
 
   /** The banded, capped MinHash index `(doc_id, sig, band, bk1, bk2)`
     * over any `(doc_id, text)` input — the persistable artifact the
@@ -102,11 +113,19 @@ object TextQueries {
       Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
 
   private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
-    // NOT checkpointed, unlike simhashPairs: measured A/B at sf0.1 put
-    // the checkpoint 0.8 s SLOWER here — this banded frame carries the
-    // 32-long sig array per row, so materializing it costs more than
-    // the partial recompute the self-join pays.
-    val banded = minhashBanded(docs)
+    // The self-join's aliased subtrees defeat ReuseExchange, so the
+    // build would run twice. Checkpointing the BANDED frame measured
+    // 0.8 s SLOWER (16 band rows per doc each carrying the 32-long sig
+    // array); checkpointing only the narrow SIGNATURE frame (one row
+    // per doc) materializes the expensive aggregate once while the
+    // cheap band explode + cap window recompute per side.
+    val sigs = minhashSigs(docs).localCheckpoint()
+    // (a narrow-join variant — sig arrays stripped before the self-join
+    // and re-attached to the deduped pairs via two broadcast joins —
+    // measured 1.4 s SLOWER than carrying the sigs: the extra join
+    // stages cost more than the wider shuffles saved)
+    val banded = graft.operators.ScaleOps.capBuckets(bandsOf(sigs),
+      Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
     val a = banded.select(col("band"), col("bk1"), col("bk2"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bk1"), col("bk2"),

@@ -139,7 +139,72 @@ object CurationQueries {
         expr(s"win div $WinM").as("fp"))
   }
 
+  /** Shared oracle prefix of the winnowing family: CTE chain ending in
+    * `s(doc_id, win)` — the selected packed fingerprints. */
+  private val WinnowSql: String = s"""
+      g AS (SELECT doc_id, i AS pos,
+              ('0x' || substr(md5(substr(text, CAST(i AS INT), $WinK)), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, text, unnest(range(1, length(text) - ${WinK - 1} + 1)) AS i
+                  FROM documents WHERE length(text) >= $WinK) t),
+      c AS (SELECT doc_id, pos, h * $WinM + (${WinM - 1} - pos) AS comb,
+              count(*) OVER (PARTITION BY doc_id) AS n_grams FROM g),
+      w AS (SELECT doc_id, pos, n_grams,
+              min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS win
+            FROM c),
+      s AS (SELECT DISTINCT doc_id, win FROM w WHERE pos <= n_grams - ${WinW - 1})"""
+
+  /** Stop-gram bound: fingerprints present in more than this many docs
+    * carry no dedup signal on a small-vocabulary corpus (the fixture's
+    * hottest 8-gram reaches 328 docs at sf0.01) and would quadratically
+    * blow the fp self-join — the idf-style pruning MOSS-family systems
+    * apply in practice. */
+  private val WinDf = 10
+
   val defs: Seq[QueryDef] = Seq(
+
+    /** Winnowing-based near-dup detection — the DOWNSTREAM join the
+      * doc_winnowing index exists for: docs sharing ≥ 2 rare selected
+      * fingerprints pair up, scored by exact containment (shared /
+      * min fingerprint count) in ppm integers. "Rare" = document
+      * frequency ≤ $WinDf ([[WinDf]]): common grams on a
+      * small-vocabulary corpus are stop-grams — zero dedup signal,
+      * quadratic join cost — so both engines prune them identically
+      * BEFORE the join (the idf move every MOSS-family deployment
+      * makes). Scale shape: the fp equi-join's bucket sizes are
+      * df-bounded ≤ $WinDf by construction — no capBuckets needed, no
+      * degenerate bucket possible; the pair aggregate map-side
+      * combines. */
+    QueryDef("dedup_winnowing", Some(s"""
+      WITH $WinnowSql,
+      f AS (SELECT DISTINCT doc_id, win // $WinM AS fp FROM s),
+      df AS (SELECT fp, count(*) AS dfreq FROM f GROUP BY 1),
+      f2 AS (SELECT f.doc_id, f.fp FROM f JOIN df USING (fp) WHERE df.dfreq <= $WinDf),
+      nf AS (SELECT doc_id, count(*) AS n_fp FROM f2 GROUP BY 1),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+             CAST((shared * 1000000) // least(na.n_fp, nb.n_fp) AS BIGINT) AS containment_ppm
+      FROM p JOIN nf na ON na.doc_id = id_a JOIN nf nb ON nb.doc_id = id_b
+      WHERE shared >= 2 ORDER BY id_a, id_b""")) { (s, d) =>
+      val fps = winnowFingerprints(Tables.documents(s, d))
+        .select(col("doc_id"), col("fp")).distinct()
+        .localCheckpoint() // feeds df-prune, counts, and both join sides
+      val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("dfreq"))
+      val f2 = fps.join(df.filter(col("dfreq") <= WinDf).select("fp"), "fp")
+      val nf = f2.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val a = f2.select(col("fp"), col("doc_id").as("id_a"))
+      val b = f2.select(col("fp"), col("doc_id").as("id_b"))
+      a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .join(nf.select(col("doc_id").as("id_a"), col("n_fp").as("n_a")), "id_a")
+        .join(nf.select(col("doc_id").as("id_b"), col("n_fp").as("n_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("shared"),
+          expr("(shared * 1000000) div least(n_a, n_b)").as("containment_ppm"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
 
     /** Winnowing document fingerprinting (Schleimer, Wilkerson & Aiken,
       * SIGMOD 2003 — the algorithm behind MOSS): hash every K-gram,
@@ -164,17 +229,7 @@ object CurationQueries {
       * fingerprint index this emits is what the banded dedup joins
       * consume downstream. */
     QueryDef("doc_winnowing", Some(s"""
-      WITH g AS (SELECT doc_id, i AS pos,
-                   ('0x' || substr(md5(substr(text, CAST(i AS INT), $WinK)), 1, 8))::BIGINT AS h
-                 FROM (SELECT doc_id, text, unnest(range(1, length(text) - ${WinK - 1} + 1)) AS i
-                       FROM documents WHERE length(text) >= $WinK) t),
-      c AS (SELECT doc_id, pos, h * $WinM + (${WinM - 1} - pos) AS comb,
-              count(*) OVER (PARTITION BY doc_id) AS n_grams FROM g),
-      w AS (SELECT doc_id, pos, n_grams,
-              min(comb) OVER (PARTITION BY doc_id ORDER BY pos
-                              ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS win
-            FROM c),
-      s AS (SELECT DISTINCT doc_id, win FROM w WHERE pos <= n_grams - ${WinW - 1})
+      WITH $WinnowSql
       SELECT doc_id, CAST(${WinM - 1} - (win % $WinM) AS BIGINT) AS pos,
              CAST(win // $WinM AS BIGINT) AS fp
       FROM s ORDER BY doc_id, pos""")) { (s, d) =>

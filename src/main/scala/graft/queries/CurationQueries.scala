@@ -206,6 +206,50 @@ object CurationQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    /** Balanced training-shard writer — the LAST MILE of a corpus
+      * build: curated documents land in N=8 equal shards (the files a
+      * training job's data loader round-robins over), written as a
+      * shard-partitioned parquet layout and JUDGED FROM THE READ-BACK,
+      * so the committed artifact — not the in-memory frame — is what
+      * the oracle checks. Shard = (doc_id · 2654435761) mod (2³¹−1)
+      * mod 8: multiplicative mixing decorrelates shard from any
+      * doc_id stride (a plain doc_id % 8 would alias every modulo
+      * convention the corpus pipeline already uses — eval slices,
+      * batch slices), is engine-portable exact integer arithmetic, and
+      * measures 64/62 max/min docs per shard on the fixture
+      * (ShardSpec asserts the balance). Judged per shard: doc count,
+      * exact char sum, id range, and an order-free membership checksum
+      * (sum of doc_id·31 + shard) so a row landing in the wrong shard
+      * breaks the hash even if counts balance.
+      *
+      * Scale: assignment is a scan-speed projection; the write is the
+      * one shuffle (partitionBy on 8 values — at 100 TB you'd add a
+      * within-shard file-count key, the same layout IngestOps'
+      * partitioned sink proves); the read-back aggregate map-side
+      * combines to 8 rows. */
+    QueryDef("curate_shard_writer", Some("""
+      WITH sh AS (SELECT doc_id, n_chars,
+                    (doc_id * 2654435761) % 2147483647 % 8 AS shard
+                  FROM documents)
+      SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             CAST(sum(doc_id * 31 + shard) AS BIGINT) AS id_checksum
+      FROM sh GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val out = graft.Staging.dir("shards", d)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          expr("(doc_id * 2654435761) % 2147483647 % 8").as("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("doc_id") * 31 + col("shard")).cast("long").as("id_checksum"))
+        .orderBy(col("shard"))
+    },
+
     /** Winnowing document fingerprinting (Schleimer, Wilkerson & Aiken,
       * SIGMOD 2003 — the algorithm behind MOSS): hash every K-gram,
       * slide a W-hash window, keep each window's minimum (rightmost on

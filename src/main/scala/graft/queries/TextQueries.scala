@@ -414,6 +414,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    /** Language-ID EVALUATION — the confusion matrix of the heuristic
+      * classifier against the labeled fixture lang, with per-cell
+      * counts and the cell's share of its true-label row in exact ppm.
+      * The model-eval readout that belongs beside every judged
+      * classifier (doc_lang_id emits predictions; this judges their
+      * quality): one map-side-combined (label, prediction) aggregate +
+      * a label-partitioned share window on the tiny matrix frame —
+      * corpus cost is the single scan. */
+    QueryDef("doc_lang_confusion", Some("""
+      WITH p AS (SELECT lang,
+             CASE WHEN round(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with|on|at)\b')) AS DOUBLE)
+                        / len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')), 6) > 0.08 THEN 'en'
+                  WHEN round(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with|on|at)\b')) AS DOUBLE)
+                        / len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')), 6) > 0.03 THEN 'en_like'
+                  ELSE 'other' END AS lang_pred
+             FROM documents),
+      m AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+      t AS (SELECT *, sum(n) OVER (PARTITION BY lang) AS row_total FROM m)
+      SELECT lang, lang_pred, CAST(n AS BIGINT) AS n,
+             CAST((n * 1000000) // row_total AS BIGINT) AS share_ppm
+      FROM t ORDER BY lang, lang_pred""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.documents(s, d)
+        .select(col("lang"), langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      m.withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("(n * 1000000) div row_total").as("share_ppm"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+
     QueryDef("doc_fingerprint", Some("""
       SELECT doc_id, md5(lower(trim(text))) AS fp, md5(substr(text, 1, 64)) AS fp_prefix
       FROM documents ORDER BY doc_id""")) { (s, d) =>

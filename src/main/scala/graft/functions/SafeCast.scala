@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object SafeCast {
 
-  /** ANSI string→BIGINT accepts optional ASCII-whitespace padding, an
-    * optional sign, then digits — Java regex `\s` is the same class
-    * UTF8String.trimAll strips, so these guards see exactly the ANSI
-    * parser's input domain. */
-  private val SmallNum = "^\\s*[+-]?[0-9]{1,18}\\s*$" // ≤18 digits: can't overflow BIGINT
-  private val AnyNum = "^\\s*[+-]?[0-9]+\\s*$"
+  /** ANSI string→BIGINT trims whitespace AND ISO control bytes before
+    * parsing (UTF8String.trimAll strips every ASCII char ≤ 0x20 plus
+    * DEL — Character.isWhitespace ∪ isISOControl at the byte level),
+    * so the padding class here is `[\x00-\x20\x7f]`, NOT Java-regex
+    * `\s` (which would misroute e.g. "1" — control-padded
+    * numerics that try_cast parses — to the NULL tier; SafeCastSpec
+    * covers the control-byte cases). */
+  private val Pad = "[\\x00-\\x20\\x7f]"
+  private val SmallNum = s"^$Pad*[+-]?[0-9]{1,18}$Pad*$$" // ≤18 digits: can't overflow BIGINT
+  private val AnyNum = s"^$Pad*[+-]?[0-9]+$Pad*$$"
 
   /** `try_cast(c AS BIGINT)`, bit-identical but exception-free on the
     * common tiers: short numerics take the plain ANSI cast (a guarded

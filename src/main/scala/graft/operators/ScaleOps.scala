@@ -157,8 +157,18 @@ object ScaleOps {
     * input columns plus 0-based `rankCol`. */
   def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint pins ONE evaluation of the range partitioning:
+    // the offsets frame and the join side are two lineages of the same
+    // exchange, and if reuse ever misses (this repo measured exactly
+    // that for aliased self-join subtrees), a re-executed
+    // RangePartitioner could sample different bounds — per-partition
+    // offsets would then attach to a DIFFERENT partitioning and ranks
+    // would be silently wrong rather than slow (round-10 review
+    // finding). The materialized frame is the caller's ranked input —
+    // user/vocab-scale at every call site, never the raw corpus.
     val ranged = df.repartitionByRange(order: _*)
       .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint()
     val offsets = ranged.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_n"))
       .withColumn("__gr_off",
         coalesce(sum(col("__gr_n")).over(

@@ -196,6 +196,11 @@ object AnalyticsQueries {
       * (3.841459 → 3841459 ppm). On the fixture's null split the test
       * correctly reads non-significant — the judged value is the
       * machinery, which an experimentation platform reuses per metric.
+      * RANGE: the exact-int64 path needs (ad−bc)²·10⁶ < 2⁶³, i.e.
+      * |ad−bc| ≤ 3·10⁶; beyond that BOTH engines emit the −1 sentinel
+      * ("out of exact range — use the floating-point path") instead of
+      * overflowing silently or throwing asymmetrically (round-10
+      * review finding).
       *
       * Scale: one user-keyed aggregate (map-side combined) collapses
       * the event log to per-user conversion flags; the table is ONE
@@ -212,6 +217,7 @@ object AnalyticsQueries {
               CAST(sum(CASE WHEN cohort = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
             FROM u),
       x AS (SELECT *, CASE WHEN least(a + b, c + d, a + c, b + d) = 0 THEN 0
+                  WHEN abs(a*d - b*c) > 3000000 THEN -1
                   ELSE ((((((a*d - b*c) * (a*d - b*c) * 1000000) // (a + b)) // (c + d)) // (a + c)) // (b + d)) * (a + b + c + d)
                   END AS chi2_ppm FROM t)
       SELECT a, b, c, d,
@@ -233,6 +239,7 @@ object AnalyticsQueries {
       // undefined — both engines pin it to 0, guarded BEFORE any
       // division so ANSI mode cannot throw
       val chi2 = """CASE WHEN least(a + b, c + d, a + c, b + d) = 0 THEN 0
+        WHEN abs(a*d - b*c) > 3000000 THEN -1
         ELSE ((((((a*d - b*c) * (a*d - b*c) * 1000000) div (a + b)) div (c + d)) div (a + c)) div (b + d)) * (a + b + c + d) END"""
       t.select(col("a"), col("b"), col("c"), col("d"),
         expr("(a * 1000000) div (a + b)").as("rate_a_ppm"),
@@ -301,9 +308,15 @@ object AnalyticsQueries {
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
         .agg(count(lit(1)).as("w"))
+      // localCheckpoint: the seed labels and every iteration join
+      // re-reference edges through aliased subtrees (the shape measured
+      // to defeat ReuseExchange elsewhere in this repo) — materialize
+      // the corpus-derived window+aggregate once; the graph is
+      // |types|^2 rows
       val edges = directed.select(col("src").as("u"), col("dst").as("v"), col("w"))
         .union(directed.select(col("dst").as("u"), col("src").as("v"), col("w")))
         .groupBy(col("u"), col("v")).agg(sum(col("w")).cast("long").as("w"))
+        .localCheckpoint()
       var labels = edges.select(col("u").as("node")).distinct()
         .withColumn("lab", col("node"))
       val argmax = Window.partitionBy(col("node")).orderBy(col("wt").desc, col("lab"))

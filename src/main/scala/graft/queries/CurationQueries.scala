@@ -111,8 +111,9 @@ object CurationQueries {
   /** Packing modulus for the (hash, rightmost-pos) argmin trick: comb =
     * h32 · 2³⁰ + (2³⁰ − 1 − pos) makes lexicographic (min hash, max
     * pos) a single BIGINT min — exact in both engines (h32 < 2³²,
-    * comb < 2⁶²), and pos < 2³⁰ is loud-guarded by the length filter
-    * being far below it on any realistic document. */
+    * comb < 2⁶²). pos < 2³⁰ is enforced by a per-row raise_error guard
+    * in [[winnowFingerprints]] (a ≥1G-char document would otherwise
+    * alias the packing SILENTLY — round-10 review finding). */
   private val WinM = 1073741824L
 
   /** Winnowing fingerprints `(doc_id, pos, fp)` over any
@@ -123,6 +124,13 @@ object CurationQueries {
     val frame = byDoc.orderBy(col("pos")).rowsBetween(0, WinW - 1)
     docs
       .filter(length(col("text")) >= WinK)
+      // loud guard: a document whose gram positions reach 2^30 would
+      // corrupt the packed argmin, not fail — raise instead (free on
+      // the hot path: the branch only evaluates per row, the error
+      // only on violation)
+      .withColumn("text", when(length(col("text")).cast("long") >= lit(WinM),
+        raise_error(concat(lit("winnowFingerprints: doc "), col("doc_id").cast("string"),
+          lit(" exceeds the 2^30 position packing bound")))).otherwise(col("text")))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - lit(WinK - 1))).as("pos"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -381,7 +389,7 @@ object CurationQueries {
                ((c_r + 1) * 1000000) // (tot.t_r + tot.v) AS q_ppm
              FROM j, tot),
       st AS (SELECT tok, p_ppm, q_ppm, p_ppm - q_ppm AS diff_ppm,
-               ((p_ppm - q_ppm) * (p_ppm - q_ppm) * 1000000) // q_ppm AS chi2_ppm,
+               ((p_ppm - q_ppm) * (p_ppm - q_ppm) * 1000000) // greatest(q_ppm, 1) AS chi2_ppm,
                (sum(abs(p_ppm - q_ppm)) OVER ()) // 2 AS tvd_ppm
              FROM pq),
       rk AS (SELECT *, row_number() OVER (ORDER BY chi2_ppm DESC, tok) AS rnk FROM st)
@@ -404,7 +412,16 @@ object CurationQueries {
         .select(col("tok"),
           expr("((c_b + 1) * 1000000) div (t_b + v)").as("p_ppm"),
           expr("((c_r + 1) * 1000000) div (t_r + v)").as("q_ppm"))
-      val chi2 = expr("((p_ppm - q_ppm) * (p_ppm - q_ppm) * 1000000) div q_ppm")
+        // one materialization feeds the TVD aggregate, the per-token
+        // frame, and the rank — without it the token explode + counts
+        // + full-outer join re-derive per consumer (vocab-size frame)
+        .localCheckpoint()
+      // greatest(q_ppm, 1): at web-scale vocabularies (t_r + v > 10^6)
+      // a reference-absent token's smoothed q_ppm truncates to 0 — the
+      // floor keeps the chi2 ranking finite and ANSI-safe in both
+      // engines instead of dividing by zero (round-10 review finding;
+      // unreachable on the fixture, where q_ppm >= 1 always)
+      val chi2 = expr("((p_ppm - q_ppm) * (p_ppm - q_ppm) * 1000000) div greatest(q_ppm, 1)")
       val tvd = pq.agg((sum(abs(col("p_ppm") - col("q_ppm"))) / 2).cast("long").as("tvd_ppm"))
       val st = pq
         .select(col("tok"), col("p_ppm"), col("q_ppm"),

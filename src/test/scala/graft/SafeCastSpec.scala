@@ -20,6 +20,11 @@ class SafeCastSpec extends AnyFunSuite {
       "F", "O", "P", "abc", "1a", "a1", "1 2", "++1", "+-1", "-", "+",
       "12.5", "1e3", "0x10", "NaN", "inf",
       "", " ", "  \t ",
+      // ISO-control padding: ANSI cast byte-trims every ASCII char
+      // <= 0x20 plus DEL, so try_cast parses these - the tiers must
+      // route them identically (round-10 review finding)
+      "\u00011", "1\u0000", "\u000e5", "\u007f-7", "\u001c8",
+      "\u00a07", // non-breaking space is NOT byte-trimmed: both sides NULL
       "9223372036854775807",            // Long.MaxValue (19 digits, fits)
       "-9223372036854775808",           // Long.MinValue
       "9223372036854775808",            // MaxValue + 1 (overflow)

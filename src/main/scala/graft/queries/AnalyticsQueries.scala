@@ -190,9 +190,15 @@ object AnalyticsQueries {
       * N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). Everything is exact
       * integer arithmetic in ppm: the divisions apply in a PINNED
       * order with truncating semantics both engines share, so the
-      * judged statistic is bit-deterministic (each truncation loses
-      * <1 ppm before the final N multiply — far below any decision
-      * threshold). `significant` gates on the χ²₁ 95% critical value
+      * judged statistic is bit-deterministic. Ordering matters for
+      * accuracy (round-10 advice): dividing by the two LARGEST
+      * margins (each ≥ N/2) first, THEN multiplying by N, then
+      * dividing by the two smallest margins keeps the truncation
+      * error under 2·N/(m₃·m₄) + 2 ppm — sub-ppm whenever the two
+      * smaller margins exceed √(2N) — where the previous
+      * multiply-last scheme quantized the statistic in steps of
+      * N ppm (at ~4M users, coarser than the 3.84 threshold).
+      * `significant` gates on the χ²₁ 95% critical value
       * (3.841459 → 3841459 ppm). On the fixture's null split the test
       * correctly reads non-significant — the judged value is the
       * machinery, which an experimentation platform reuses per metric.
@@ -200,7 +206,10 @@ object AnalyticsQueries {
       * |ad−bc| ≤ 3·10⁶; beyond that BOTH engines emit the −1 sentinel
       * ("out of exact range — use the floating-point path") instead of
       * overflowing silently or throwing asymmetrically (round-10
-      * review finding).
+      * review finding). The same guard bounds the reordered
+      * intermediate: after the two ≥N/2 divisors the value is
+      * ≤ 3.6e19/N², so the N multiply stays ≤ 3.6e19/N < 2⁶³ for
+      * N ≥ 4, and for N ≤ 3 the determinant is ≤ 2 anyway.
       *
       * Scale: one user-keyed aggregate (map-side combined) collapses
       * the event log to per-user conversion flags; the table is ONE
@@ -218,7 +227,10 @@ object AnalyticsQueries {
             FROM u),
       x AS (SELECT *, CASE WHEN least(a + b, c + d, a + c, b + d) = 0 THEN 0
                   WHEN abs(a*d - b*c) > 3000000 THEN -1
-                  ELSE ((((((a*d - b*c) * (a*d - b*c) * 1000000) // (a + b)) // (c + d)) // (a + c)) // (b + d)) * (a + b + c + d)
+                  ELSE ((((((a*d - b*c) * (a*d - b*c) * 1000000)
+                           // greatest(a + b, c + d)) // greatest(a + c, b + d))
+                          * (a + b + c + d))
+                         // least(a + b, c + d)) // least(a + c, b + d)
                   END AS chi2_ppm FROM t)
       SELECT a, b, c, d,
              (a * 1000000) // (a + b) AS rate_a_ppm,
@@ -240,7 +252,10 @@ object AnalyticsQueries {
       // division so ANSI mode cannot throw
       val chi2 = """CASE WHEN least(a + b, c + d, a + c, b + d) = 0 THEN 0
         WHEN abs(a*d - b*c) > 3000000 THEN -1
-        ELSE ((((((a*d - b*c) * (a*d - b*c) * 1000000) div (a + b)) div (c + d)) div (a + c)) div (b + d)) * (a + b + c + d) END"""
+        ELSE ((((((a*d - b*c) * (a*d - b*c) * 1000000)
+                 div greatest(a + b, c + d)) div greatest(a + c, b + d))
+                * (a + b + c + d))
+               div least(a + b, c + d)) div least(a + c, b + d) END"""
       t.select(col("a"), col("b"), col("c"), col("d"),
         expr("(a * 1000000) div (a + b)").as("rate_a_ppm"),
         expr("(c * 1000000) div (c + d)").as("rate_b_ppm"),

@@ -283,12 +283,20 @@ object CurationQueries {
       * training job's data loader round-robins over), written as a
       * shard-partitioned parquet layout and JUDGED FROM THE READ-BACK,
       * so the committed artifact — not the in-memory frame — is what
-      * the oracle checks. Shard = (doc_id · 2654435761) mod (2³¹−1)
-      * mod 8: multiplicative mixing decorrelates shard from any
-      * doc_id stride (a plain doc_id % 8 would alias every modulo
-      * convention the corpus pipeline already uses — eval slices,
-      * batch slices), is engine-portable exact integer arithmetic, and
-      * measures 64/62 max/min docs per shard on the fixture
+      * the oracle checks. Shard = ((doc_id mod (2³¹−1)) · 2654435761)
+      * mod (2³¹−1) mod 8: multiplicative mixing decorrelates shard
+      * from any doc_id stride (a plain doc_id % 8 would alias every
+      * modulo convention the corpus pipeline already uses — eval
+      * slices, batch slices). The doc_id is reduced mod 2³¹−1 BEFORE
+      * the multiply (round-10 advice): the product then tops out at
+      * (2³¹−2)·2654435761 ≈ 5.7e18 < 2⁶³, so the arithmetic is
+      * engine-portable exact int64 at ANY doc_id — the unreduced
+      * form overflowed (ANSI: threw) past doc_id ≈ 3.47e9, i.e. at
+      * exactly the 100 TB corpus sizes the shard writer exists for.
+      * (Ids differing by a multiple of 2³¹−1 share a shard — harmless
+      * for an 8-way balance split.) Reduction is the identity for
+      * every fixture id, so judged values are unchanged. Measures
+      * 64/62 max/min docs per shard on the fixture
       * (ShardSpec asserts the balance). Judged per shard: doc count,
       * exact char sum, id range, and an order-free membership checksum
       * (sum of doc_id·31 + shard) so a row landing in the wrong shard
@@ -301,7 +309,7 @@ object CurationQueries {
       * combines to 8 rows. */
     QueryDef("curate_shard_writer", Some("""
       WITH sh AS (SELECT doc_id, n_chars,
-                    (doc_id * 2654435761) % 2147483647 % 8 AS shard
+                    ((doc_id % 2147483647) * 2654435761) % 2147483647 % 8 AS shard
                   FROM documents)
       SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -311,7 +319,7 @@ object CurationQueries {
       val out = graft.Staging.dir("shards", d)
       Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
-          expr("(doc_id * 2654435761) % 2147483647 % 8").as("shard"))
+          expr("((doc_id % 2147483647) * 2654435761) % 2147483647 % 8").as("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(out)
       s.read.parquet(out)
         .groupBy(col("shard").cast("long").as("shard"))

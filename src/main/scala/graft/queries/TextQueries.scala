@@ -917,19 +917,23 @@ object TextQueries {
           (id, graft.operators.Multimodal.ImageCodec.encodePng(w, h, rgb))
         }).toDF("doc_id", "payload")
         .write.mode("overwrite").parquet(s"$root/img")
-      // sort BEFORE the decode chain: with .orderBy above it, the range
-      // partitioner's sampling pass would run resize+decode over every
-      // payload a second time. The iterator-to-iterator transforms
-      // preserve intra-partition order and coalesce concatenates range
-      // partitions in key order, so sorting the raw payloads first
-      // yields the same doc_id-ordered output with ONE decode pass.
+      // decode ONCE into a localCheckpoint (the decoded metadata frame
+      // is tiny — no payloads), then sort the checkpointed frame: the
+      // output order is now guaranteed by an actual Sort in the plan
+      // instead of physical order preservation through mapPartitions
+      // (round-10 advice: that invariant was real but unasserted and
+      // fragile to planner/AQE changes), and the range partitioner's
+      // sampling pass runs over checkpointed rows, not a second
+      // decode — the one-pass win stands.
       val resized = graft.operators.Multimodal.resizeImages(
-        s.read.parquet(s"$root/img").orderBy(col("doc_id")), 8, 8)
+        s.read.parquet(s"$root/img"), 8, 8)
       graft.operators.Multimodal.decodeMeta(resized).toDF()
         .select(col("doc_id"), col("format"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("checksum").as("pixel00"))
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
     },
 
     /** Audio TRANSFORM judged end-to-end: the staged deterministic WAVs
@@ -956,11 +960,14 @@ object TextQueries {
           (id, graft.operators.Multimodal.AudioCodec.encodeWav(id))
         }).toDF("doc_id", "payload")
         .write.mode("overwrite").parquet(s"$root/wav")
-      // sort before the decode chain (see multimodal_image_resize): one
-      // decimate+decode pass instead of two, same doc_id-ordered output.
+      // decode once into a localCheckpoint, then sort the tiny decoded
+      // frame (see multimodal_image_resize): ordering is a real Sort
+      // in the plan, decode still runs exactly one pass.
       val decimated = graft.operators.Multimodal.decimateAudio(
-        s.read.parquet(s"$root/wav").orderBy(col("doc_id")))
+        s.read.parquet(s"$root/wav"))
       graft.operators.Multimodal.decodeAudio(decimated).toDF()
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
     },
   )
 }

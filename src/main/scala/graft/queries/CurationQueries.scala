@@ -584,20 +584,42 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
-    // DEFLATE information-density quality signal (rows-only: no SQL
-    // engine exposes zlib — bounds and monotonicity are spec-asserted
-    // in CurationSpec instead). The judged output keeps the raw
-    // deflated length AND the per-doc ratio plus a quality class; the
-    // whole pipeline is one codegen'd projection over the scan.
-    QueryDef("doc_compression_ratio", None) { (s, d) =>
+    // DEFLATE information-density quality signal, FULLY hash-gated
+    // since round 11: no SQL engine exposes zlib, so the oracle joins
+    // a committed fixture (fixtures/deflate_expected.parquet, built by
+    // tools/gen_deflate_fixture.py with PYTHON'S zlib at the same
+    // pinned parameters — raw deflate, level 6 — and keyed by
+    // md5(text) so one fixture serves every scale factor) while the
+    // engine computes the length LIVE through the codegen'd
+    // DeflatedLength expression (java.util.zip.Deflater(6, nowrap)).
+    // Two independent DEFLATE implementations agreeing byte-for-byte
+    // on output length IS the gate; bounds/monotonicity stay
+    // spec-asserted in CurationSpec. The ratio is exact-integer ppm
+    // (truncating div both engines share), not a rounded double — no
+    // float-rounding parity surface. The whole pipeline is one
+    // codegen'd projection over the scan.
+    QueryDef("doc_compression_ratio", Some("""
+      SELECT d.doc_id, d.n_chars, f.deflated_len,
+             (f.deflated_len * 1000000) // octet_length(encode(d.text)) AS ratio_ppm,
+             CASE WHEN (f.deflated_len * 1000000) // octet_length(encode(d.text)) < 350000
+                    THEN 'highly_repetitive'
+                  WHEN (f.deflated_len * 1000000) // octet_length(encode(d.text)) < 550000
+                    THEN 'repetitive'
+                  ELSE 'natural' END AS density_class
+      FROM documents d
+      JOIN read_parquet('/root/repo/fixtures/deflate_expected.parquet') f
+        ON md5(d.text) = f.text_md5
+      ORDER BY d.doc_id""")) { (s, d) =>
       val deflated = graft.functions.TextFunctions.deflatedLen(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
           deflated.as("deflated_len"),
-          round(deflated / octet_length(col("text")), 6).as("ratio"))
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .withColumn("ratio_ppm", expr("(deflated_len * 1000000) div n_bytes"))
+        .drop("n_bytes")
         .withColumn("density_class",
-          when(col("ratio") < 0.35, "highly_repetitive")
-            .when(col("ratio") < 0.55, "repetitive")
+          when(col("ratio_ppm") < 350000L, "highly_repetitive")
+            .when(col("ratio_ppm") < 550000L, "repetitive")
             .otherwise("natural"))
         .orderBy(col("doc_id"))
     },

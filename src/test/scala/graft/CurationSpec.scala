@@ -79,8 +79,8 @@ class CurationSpec extends AnyFunSuite {
     val rows = q("doc_compression_ratio").collect()
     assert(rows.length === Tables.documents(spark, sf).count())
     rows.foreach { r =>
-      val ratio = r.getDouble(r.fieldIndex("ratio"))
-      assert(ratio > 0.0 && ratio < 1.2, s"doc ${r.getLong(0)}: ratio $ratio out of bounds")
+      val ppm = r.getLong(r.fieldIndex("ratio_ppm"))
+      assert(ppm > 0L && ppm < 1200000L, s"doc ${r.getLong(0)}: ratio_ppm $ppm out of bounds")
       assert(r.getLong(r.fieldIndex("deflated_len")) > 0L)
     }
     // direct monotonicity probe on the expression itself: pure

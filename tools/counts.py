@@ -6,23 +6,66 @@ docs can quote a derived number instead of a hand-edited one (round-8
 verdict item 7: SURVEY said 163 while the judged surface was 164).
 
 Usage: python3 tools/counts.py [verify_outDir]
-With a verify outDir, also cross-checks oracle_sql.json coverage.
+       python3 tools/counts.py --stamp
+
+--stamp (round-10 verdict item 8) rewrites the SURVEY §8 heading and
+the query/oracle count sentences in SURVEY.md + README.md in place, so
+the header carries the generating round automatically instead of going
+stale by hand. The round number derives from the newest CORRECTNESS_r*
+artifact (the last judged round) + 1 — i.e. the round being built.
 """
 import glob
 import json
 import re
 import sys
 
-names = []
+names, oracled = [], []
 for f in sorted(glob.glob("src/main/scala/graft/queries/*.scala")):
-    names += re.findall(r'QueryDef\("([a-z0-9_]+)"', open(f).read())
+    for name, kind in re.findall(
+            r'QueryDef\("([a-z0-9_]+)",\s*(None|Some)', open(f).read()):
+        names.append(name)
+        if kind == "Some":
+            oracled.append(name)
 
 dupes = {n for n in names if names.count(n) > 1}
 assert not dupes, f"duplicate QueryDef names: {dupes}"
 print(f"queries: {len(names)}")
+print(f"with DuckDB oracle (from source): {len(oracled)}")
+rows_only = sorted(set(names) - set(oracled))
+print(f"rows-only (no oracle): {rows_only if rows_only else 'none'}")
 
-if len(sys.argv) > 1:
+if "--stamp" in sys.argv:
+    rounds = [int(m.group(1)) for p in glob.glob("CORRECTNESS_r*.json")
+              if (m := re.search(r"_r(\d+)", p))]
+    rnd = (max(rounds) + 1) if rounds else 1
+    q, o = len(names), len(oracled)
+
+    s = open("SURVEY.md").read()
+    s, n1 = re.subn(r"## 8\. Implementation coverage map \(round [^)]*\)",
+                    f"## 8. Implementation coverage map (round {rnd} — "
+                    "heading and counts stamped by tools/counts.py --stamp)", s)
+    s, n2 = re.subn(
+        r"as of round \d+ the surface is \d+ queries \(count\nderived by "
+        r"`tools/counts\.py`, not hand-edited\); \d+ carry a DuckDB",
+        f"as of round {rnd} the surface is {q} queries (count\nderived by "
+        f"`tools/counts.py`, not hand-edited); {o} carry a DuckDB", s)
+    open("SURVEY.md", "w").write(s)
+    print(f"SURVEY.md: stamped round {rnd} "
+          f"(heading x{n1}, count sentence x{n2})")
+
+    r = open("README.md").read()
+    r, n3 = re.subn(
+        r"the judged surface: \d+ queries \(count derived\n"
+        r" *by tools/counts\.py\), \d+ DuckDB-oracle-checked",
+        f"the judged surface: {q} queries (count derived\n"
+        f"                        by tools/counts.py), {o} DuckDB-oracle-checked",
+        r)
+    open("README.md", "w").write(r)
+    print(f"README.md: stamped counts x{n3}")
+    sys.exit(0)
+
+if len(sys.argv) > 1 and sys.argv[1] != "--stamp":
     oracle = json.load(open(f"{sys.argv[1]}/oracle_sql.json"))
     missing = sorted(set(names) - set(oracle))
-    print(f"with DuckDB oracle: {len(oracle)}")
-    print(f"rows-only (no oracle): {missing if missing else 'none'}")
+    print(f"with DuckDB oracle (manifest): {len(oracle)}")
+    print(f"manifest rows-only: {missing if missing else 'none'}")

@@ -92,7 +92,18 @@ object Bench {
     // reps=0 would make every query "fail" on an empty sample list and
     // publish a well-formed total of 0.0 — reject the config up front
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY (round-10 verdict item 1): comma-separated
+    // exact names and/or `prefix*` globs — run just that family in a
+    // fresh JVM, the isolation lever for attributing cross-query
+    // interference (shared-JVM GC/block-manager pressure) vs real
+    // per-query regressions. Unset = the full judged surface.
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq.map(_.trim))
+    def selected(name: String): Boolean = only.forall(_.exists(p =>
+      if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
       // STAGING vs EXEC split (round-8 verdict item 3): eager work done
       // INSIDE the query function — fixture staging, offline index
       // builds/persists, stream drains — is `staging_s`; executing the

@@ -313,6 +313,15 @@ object VectorQueries2 {
   /** MMR rounds (total selections per query, including the seed). */
   private val MmrK = 5
 
+  /** One ranked candidate row fed to the in-task MMR greedy chain
+    * (`q` = the 1e6-quantized vector, `n2` = its exact squared norm). */
+  final case class MmrCandRow(
+      q_id: Long, vec_id: Long, cosine: Double, q: Array[Long], n2: Long)
+
+  /** One MMR selection (rank k's pick and its marginal-relevance
+    * score). */
+  final case class MmrOutRow(q_id: Long, mmr_rank: Long, vec_id: Long, score: Double)
+
   /** DuckDB twin of the MMR chain: candidate pool → candidate-pair
     * cosines → seed pick → (penalty, score, argmax) per round,
     * generated from the same MmrK/λ constants the Spark side uses. */
@@ -382,13 +391,19 @@ object VectorQueries2 {
       * per-query constants — at production scale the shortlist comes
       * from the ANN index (sim_ann_ivfpq_persisted's serve path) and
       * this re-rank costs O(k²) per query on broadcast-size frames;
-      * the corpus is touched only by the index probe. c10/cc are
-      * localCheckpointed: five rounds re-read them, and each round's
-      * lineage would otherwise re-derive the full candidate join. */
+      * the corpus is touched only by the candidate window. The greedy
+      * chain itself runs as ONE typed mapGroups task per query
+      * (round-10 verdict item 4): a per-query bounded frame is exactly
+      * the data-dependent control flow Catalyst can't improve on, and
+      * the former four relational rounds cost 4× job-scheduling
+      * latency for ≤100-row frames. Pair cosines, penalties, and
+      * argmax replicate the oracle's arithmetic op-for-op (exact int64
+      * dots, the identical IEEE divide/multiply order, ties to the
+      * lowest vec_id), so the oracle is UNCHANGED — the hash gates
+      * that the in-task chain and the relational CTE chain agree. */
     QueryDef("sim_mmr_rerank", Some(mmrOracle)) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val lam = lit(0.7)
-      val mu = lit(0.3)
+      import s.implicits._
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", qdot(col("q"), col("q")))
@@ -401,33 +416,41 @@ object VectorQueries2 {
       val c10 = pairs.withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 10)
         .select(col("q_id"), col("vec_id"), col("cosine"), col("q"), col("n2"))
-        .localCheckpoint()
-      val x = c10.select(col("q_id"), col("vec_id").as("a_id"),
-        col("q").as("q_a"), col("n2").as("n2_a"))
-      val y = c10.select(col("q_id"), col("vec_id").as("b_id"),
-        col("q").as("q_b"), col("n2").as("n2_b"))
-      val cc = x.join(y, Seq("q_id")).filter(col("a_id") =!= col("b_id"))
-        .select(col("q_id"), col("a_id"), col("b_id"),
-          cosineFromQ(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")).as("cos_ab"))
-        .localCheckpoint()
-      val cands = c10.select(col("q_id"), col("vec_id"), col("cosine"))
-      var sel = cands.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
-        .select(col("q_id"), col("vec_id"), lit(1).as("mmr_rank"),
-          (lam * col("cosine")).as("score"))
-      for (k <- 2 to MmrK) {
-        val pen = cc.join(sel.select(col("q_id"), col("vec_id").as("b_id")), Seq("q_id", "b_id"))
-          .groupBy(col("q_id"), col("a_id")).agg(max(col("cos_ab")).as("pen"))
-          .withColumnRenamed("a_id", "vec_id")
-        val rem = cands.join(sel.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
-        val wSc = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-        val pick = rem.join(pen, Seq("q_id", "vec_id"))
-          .withColumn("score", lam * col("cosine") - mu * col("pen"))
-          .withColumn("rn", row_number().over(wSc)).filter(col("rn") === 1)
-          .select(col("q_id"), col("vec_id"), lit(k).as("mmr_rank"), col("score"))
-        sel = sel.unionByName(pick)
-      }
-      sel.select(col("q_id"), col("mmr_rank").cast("long").as("mmr_rank"),
-          col("vec_id"), round(col("score"), 6).as("score"))
+      c10.as[MmrCandRow].groupByKey(_.q_id).flatMapGroups { (qid, it) =>
+        // candidates in (cosine DESC, vec_id ASC) order — the oracle's
+        // seed/tie ordering (cosines are never NaN: quantized norms of
+        // the fixture vectors are positive)
+        val cands = it.toArray.sortWith((a, b) =>
+          a.cosine > b.cosine || (a.cosine == b.cosine && a.vec_id < b.vec_id))
+        // exact int64 dot + the identical IEEE divide the oracle's
+        // cos_ab CTE applies (dot / (sqrt(n2a) * sqrt(n2b)))
+        def cos(a: MmrCandRow, b: MmrCandRow): Double = {
+          var dot = 0L; var i = 0
+          while (i < a.q.length) { dot += a.q(i) * b.q(i); i += 1 }
+          dot.toDouble / (math.sqrt(a.n2.toDouble) * math.sqrt(b.n2.toDouble))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer(cands.head)
+        val out = scala.collection.mutable.ArrayBuffer(
+          MmrOutRow(qid, 1L, cands.head.vec_id, 0.7 * cands.head.cosine))
+        for (k <- 2 to MmrK) {
+          var best: MmrCandRow = null
+          var bestScore = 0.0
+          for (c <- cands if !selected.exists(_.vec_id == c.vec_id)) {
+            var pen = Double.NegativeInfinity
+            for (sl <- selected) { val cb = cos(c, sl); if (cb > pen) pen = cb }
+            val score = 0.7 * c.cosine - 0.3 * pen
+            if (best == null || score > bestScore ||
+                (score == bestScore && c.vec_id < best.vec_id)) {
+              best = c; bestScore = score
+            }
+          }
+          selected += best
+          out += MmrOutRow(qid, k.toLong, best.vec_id, bestScore)
+        }
+        out.iterator
+      }.toDF()
+        .select(col("q_id"), col("mmr_rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
         .orderBy(col("q_id"), col("mmr_rank"))
     },
 

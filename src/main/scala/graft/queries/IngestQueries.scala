@@ -219,6 +219,55 @@ object IngestQueries {
       }.orderBy(col("o_orderkey"))
     },
 
+    // A1-A5 LIVE-PROTOCOL twin (round-10 verdict item 6): the landing
+    // connector proves the file layout; this proves the PAGINATED
+    // FETCH itself against the in-process deterministic API
+    // (sources/MockApiSource.scala — vmhub_client.py:44-140's
+    // semantics without network). One InputPartition per page; pages
+    // ≡1 (mod 3) rate-limit their first attempt and pages ≡3 (mod 7)
+    // throw a transient 5xx, so every read exercises the
+    // retry/backoff path; one page past the end is always planned and
+    // must come back empty (the empty-page end-of-data protocol). The
+    // oracle regenerates all 1234 records from range() arithmetic —
+    // a dropped page, a double-fetched page, or an off-by-one in the
+    // pagination window each change the row set and break the hash.
+    QueryDef("a01_api_paginated", Some("""
+      SELECT CAST(r // 100 AS BIGINT) AS page, CAST(r % 100 AS BIGINT) AS rec_idx,
+             CAST(r AS BIGINT) AS id,
+             'SKU-' || CAST((r * 2654435761) % 997 AS VARCHAR) AS sku,
+             CAST(1 + r % 7 AS BIGINT) AS qty,
+             CAST((r * 7919) % 100000 AS BIGINT) AS cents,
+             DATE '1997-01-01' + CAST(r % 30 AS INT) AS day
+      FROM range(0, 1234) t(r) ORDER BY id""")) { (s, _) =>
+      // fresh failure-bookkeeping epoch so EVERY execution (not just
+      // the first in a shared JVM) walks the retry path
+      graft.sources.MockApiServer.reset()
+      s.read.format("graft-mock-api")
+        .option("endpoint", "vendas").option("apiKey", "test-key")
+        .option("pageSize", "100").option("backoffMs", "1").load()
+        .orderBy(col("id"))
+    },
+
+    // A1 end-of-data variant: the reference treats a persistent 5xx on
+    // page > 0 as "no more data" (vmhub_client.py:127-130) — the
+    // `truncado` endpoint advertises 500 records but serves only pages
+    // 0-1 before a permanent 503, so exactly 200 rows must arrive and
+    // the scan must SUCCEED. The oracle is the truncation arithmetic.
+    QueryDef("a01_api_truncated", Some("""
+      SELECT CAST(r // 100 AS BIGINT) AS page, CAST(r % 100 AS BIGINT) AS rec_idx,
+             CAST(r AS BIGINT) AS id,
+             'SKU-' || CAST((r * 2654435761) % 997 AS VARCHAR) AS sku,
+             CAST(1 + r % 7 AS BIGINT) AS qty,
+             CAST((r * 7919) % 100000 AS BIGINT) AS cents,
+             DATE '1997-01-01' + CAST(r % 30 AS INT) AS day
+      FROM range(0, 200) t(r) ORDER BY id""")) { (s, _) =>
+      graft.sources.MockApiServer.reset()
+      s.read.format("graft-mock-api")
+        .option("endpoint", "truncado").option("apiKey", "test-key")
+        .option("pageSize", "100").option("backoffMs", "1").load()
+        .orderBy(col("id"))
+    },
+
     // A17 — partitioned+clustered sink under the oracle gate: write a
     // fixture slice through writePartitioned (Hive-style dt= dirs +
     // sortWithinPartitions clustering), read back with a dt range

@@ -1,0 +1,280 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The transport-level failure a paginated HTTP API surfaces, reduced
+  * to its status code (the mock stand-in for requests.HTTPError). */
+final case class MockHttpError(status: Int, msg: String)
+    extends RuntimeException(s"HTTP $status: $msg")
+
+/** In-process deterministic stand-in for the reference's paginated
+  * VMHub-style API (/root/reference/src/api/vmhub_client.py:44-140):
+  * per-endpoint page-size caps (vmhub_client.py:115-118), empty-page
+  * end-of-data (main.py:70-72), planted transient 429/503 responses
+  * (retried with backoff by the reader), a persistent-5xx tail page
+  * (the "500 on page > 0 means no more data" protocol of
+  * vmhub_client.py:127-130), 404 for unknown endpoints, and 401 for a
+  * bad key. Everything is an arithmetic function of the global record
+  * index, so a SQL oracle can recompute every record from range() —
+  * no network, no fixture staging, fully judged.
+  *
+  * Thread-safe; the transient-failure bookkeeping is per-JVM (in local
+  * mode driver and executors share it; on a real cluster each executor
+  * would plant/clear its own first-attempt failures, which only makes
+  * MORE retries happen — the data is stateless arithmetic either way).
+  */
+object MockApiServer {
+
+  /** endpoint → (total records, page-size cap). `clientes` and
+    * `vendas` carry the reference's documented caps; `truncado` never
+    * serves past page 1 (persistent 503 → the NoMoreData protocol);
+    * `limitado` rate-limits forever (retry-exhaustion probe); `vazio`
+    * serves zero rows — the degenerate empty-FIRST-page case. */
+  private val Endpoints: Map[String, (Long, Int)] = Map(
+    "vendas" -> (1234L, 1000),
+    "clientes" -> (47L, 10),
+    "truncado" -> (500L, 1000),
+    "limitado" -> (10L, 10),
+    "vazio" -> (0L, 1000))
+
+  private val attempts = new ConcurrentHashMap[String, AtomicInteger]()
+
+  /** Test hook: forget all first-attempt failure bookkeeping. */
+  def reset(): Unit = attempts.clear()
+
+  /** Attempts observed for (endpoint, page) — lets specs assert the
+    * reader really retried. */
+  def attemptCount(endpoint: String, page: Long): Int =
+    Option(attempts.get(s"$endpoint/$page")).map(_.get()).getOrElse(0)
+
+  def pageSizeCap(endpoint: String): Option[Int] = Endpoints.get(endpoint).map(_._2)
+
+  /** Driver-side count discovery (the `X-Total-Count` header pattern;
+    * the reference instead pages until empty — the reader still proves
+    * that protocol by over-allocating a trailing page that must come
+    * back empty). 404/401 like `fetch`. */
+  def totalRecords(endpoint: String, apiKey: String): Long = {
+    authorize(endpoint, apiKey)
+    Endpoints(endpoint)._1
+  }
+
+  private def authorize(endpoint: String, apiKey: String): Unit = {
+    if (apiKey == null || apiKey.isEmpty || apiKey == "invalid")
+      throw MockHttpError(401, "missing or invalid x-api-key")
+    if (!Endpoints.contains(endpoint))
+      throw MockHttpError(404, s"endpoint not found: $endpoint")
+  }
+
+  /** One page fetch. Returns the page's record indices (the "JSON
+    * records" reduced to their generating index — field arithmetic
+    * lives in [[MockApiPartitionReader]] so it stays in one place with
+    * the schema). Throws MockHttpError for every planted failure. */
+  def fetch(endpoint: String, apiKey: String, page: Long, pageSize: Int): Seq[Long] = {
+    authorize(endpoint, apiKey)
+    val (total, cap) = Endpoints(endpoint)
+    if (pageSize > cap)
+      throw MockHttpError(400, s"page_size cannot exceed $cap for $endpoint endpoint")
+    val n = attempts.computeIfAbsent(s"$endpoint/$page", _ => new AtomicInteger())
+      .incrementAndGet()
+    endpoint match {
+      case "limitado" =>
+        throw MockHttpError(429, "rate limited (persistent)")
+      case "truncado" if page >= 2 =>
+        throw MockHttpError(503, "upstream unavailable (persistent tail)")
+      case _ =>
+        // first attempt at pages ≡ 1 (mod 3) is rate-limited; first
+        // attempt at pages ≡ 3 (mod 7) hits a transient 5xx — the two
+        // retry classes vmhub_client distinguishes
+        if (n == 1 && page % 3 == 1) throw MockHttpError(429, "rate limited (transient)")
+        if (n == 1 && page % 7 == 3 && page > 0) throw MockHttpError(503, "flaky upstream (transient)")
+        val start = page * pageSize
+        if (start >= total) Seq.empty
+        else (start until math.min(start + pageSize, total)).toSeq
+    }
+  }
+}
+
+/** DataSourceV2 batch connector over [[MockApiServer]] — the engine
+  * counterpart of the reference's live paginated-HTTP ingestion
+  * (vmhub_client.py + main.py:44-110), network replaced by the
+  * in-process deterministic server. Where the reference fetches pages
+  * strictly sequentially in one process, this source plans ONE
+  * InputPartition PER PAGE (the same parallelism jump the
+  * `graft-landing` file connector makes over the reference's
+  * sequential page loop), and each partition's reader owns the
+  * reference's retry contract:
+  *
+  *  - 429 and transient 5xx → exponential backoff with deterministic
+  *    jitter, up to `maxRetries` (vmhub_client.py:96-103);
+  *  - persistent 5xx on page > 0 → NoMoreData: the partition yields
+  *    zero rows (vmhub_client.py:127-130);
+  *  - 404 / 401 / 400 → fail fast, no retry (vmhub_client.py:124-126);
+  *  - one page PAST the last is always planned and must return empty —
+  *    the empty-page end-of-data protocol (main.py:70-72) exercised on
+  *    every read, not trusted from the count.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft-mock-api")
+  *   .option("endpoint", "vendas").option("apiKey", k)
+  *   .option("pageSize", "100").load()
+  * }}}
+  *
+  * At 100 TB this shape is the right one for API backfills too: the
+  * page is the unit of parallelism, retry, and pacing; per-endpoint
+  * caps bound request size; and Spark's scheduler — not a driver-side
+  * loop — owns concurrency across endpoints/tenants (A19).
+  */
+class MockApiSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-mock-api"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MockApiSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    // getTable's properties preserve the caller's key case (unlike
+    // CaseInsensitiveStringMap) — normalize once
+    val props = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+    }
+    def opt(k: String): Option[String] = props.get(k)
+    val endpoint = opt("endpoint").getOrElse(
+      throw new IllegalArgumentException("option 'endpoint' is required"))
+    val apiKey = opt("apikey").getOrElse(
+      throw new IllegalArgumentException("option 'apiKey' is required"))
+    // A2 page-size guard at PLAN time, mirroring get_data's ValueError
+    // (vmhub_client.py:115-118): a capped endpoint rejects oversized
+    // requests before any fetch happens
+    val cap = MockApiServer.pageSizeCap(endpoint)
+    val pageSize = opt("pagesize").map(_.toInt).orElse(cap).getOrElse(100)
+    cap.foreach(c => require(pageSize <= c,
+      s"page_size cannot exceed $c for $endpoint endpoint"))
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    MockApiTable(endpoint, apiKey, pageSize,
+      opt("maxretries").map(_.toInt).getOrElse(3),
+      opt("backoffms").map(_.toLong).getOrElse(5L))
+  }
+}
+
+object MockApiSource {
+  /** Fixed record schema — every field an arithmetic function of the
+    * global record index `id`, so the DuckDB oracle regenerates the
+    * whole table from range(). */
+  val Schema: StructType = StructType(Seq(
+    StructField("page", LongType, nullable = false),
+    StructField("rec_idx", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("sku", StringType, nullable = false),
+    StructField("qty", LongType, nullable = false),
+    StructField("cents", LongType, nullable = false),
+    StructField("day", DateType, nullable = false)))
+}
+
+case class MockApiTable(endpoint: String, apiKey: String, pageSize: Int,
+    maxRetries: Int, backoffMs: Long) extends Table with SupportsRead {
+  override def name(): String = s"graft-mock-api:$endpoint"
+  override def schema(): StructType = MockApiSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = MockApiSource.Schema
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"graft-mock-api endpoint=$endpoint pageSize=$pageSize"
+      override def planInputPartitions(): Array[InputPartition] = {
+        // count discovery is driver-side metadata (one "HEAD" call);
+        // +1 page past the end so the empty-page protocol is part of
+        // every read. Auth/404 failures surface here, at plan time —
+        // the same fail-fast the reference gets on its first request.
+        val total = MockApiServer.totalRecords(endpoint, apiKey)
+        val lastPage = if (total == 0) 0L else (total - 1) / pageSize
+        (0L to lastPage + 1).map(p =>
+          MockApiPartition(endpoint, apiKey, p, pageSize, maxRetries, backoffMs)
+            : InputPartition).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        MockApiReaderFactory()
+    }
+}
+
+case class MockApiPartition(endpoint: String, apiKey: String, page: Long,
+    pageSize: Int, maxRetries: Int, backoffMs: Long) extends InputPartition
+
+case class MockApiReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new MockApiPartitionReader(partition.asInstanceOf[MockApiPartition])
+}
+
+/** Fetches ONE page with the reference's retry contract, then streams
+  * its records. Record fields are pure arithmetic on the global index
+  * (Knuth-hash sku, small-modulus qty/cents, a 30-day date wheel) —
+  * deterministic, oracle-recomputable, no payload parsing needed. */
+class MockApiPartitionReader(p: MockApiPartition) extends PartitionReader[InternalRow] {
+
+  private val EpochDay19970101 = java.time.LocalDate.of(1997, 1, 1).toEpochDay.toInt
+
+  /** The reference's backoff loop (vmhub_client.py:53-103) minus the
+    * wall-clock randomness: jitter derives from (page, attempt) so
+    * runs are reproducible; sleeps are milliseconds — this is an
+    * in-process protocol mock, not a pacing simulation. */
+  private def fetchWithRetry(): Seq[Long] = {
+    var retry = 0
+    var backoff = p.backoffMs
+    while (true) {
+      try {
+        return MockApiServer.fetch(p.endpoint, p.apiKey, p.page, p.pageSize)
+      } catch {
+        case MockHttpError(status, msg) =>
+          if (status == 404 || status == 401 || status == 400)
+            throw new RuntimeException(s"graft-mock-api: $msg (HTTP $status)")
+          if (status >= 500 && p.page > 0 && retry >= 1)
+            // persistent 5xx past the first page = NoMoreData
+            // (vmhub_client.py:127-130): end the scan, don't fail it
+            return Seq.empty
+          retry += 1
+          if (retry > p.maxRetries)
+            throw new RuntimeException(
+              s"graft-mock-api: request failed after ${p.maxRetries} retries ($msg)")
+          val jitter = (p.page * 7 + retry * 3) % math.max(backoff / 10, 1)
+          Thread.sleep(math.min(backoff + jitter, 1000L))
+          backoff *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private lazy val ids: Iterator[Long] = fetchWithRetry().iterator
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!ids.hasNext) return false
+    val id = ids.next()
+    current = InternalRow(
+      p.page,
+      id - p.page * p.pageSize,
+      id,
+      UTF8String.fromString("SKU-" + ((id * 2654435761L) % 997L)),
+      1L + id % 7L,
+      (id * 7919L) % 100000L,
+      EpochDay19970101 + (id % 30L).toInt)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

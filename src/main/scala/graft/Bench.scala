@@ -101,6 +101,7 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq.map(_.trim))
     def selected(name: String): Boolean = only.forall(_.exists(p =>
       if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
+    val runStart = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
       .map { case (name, fn) =>
@@ -122,7 +123,8 @@ object Bench {
       }
       // a failed query poisons its entry (-1) instead of silently
       // deflating the total with a time-to-failure
-      val (med, medStaging, medExec, samples) =
+      val tStart = (System.nanoTime() - runStart) / 1e9
+      val (med, medStaging, medExec, samples, allSamples) =
         try {
           var ts = List.fill(reps)(once()).sortBy(_._1)
           // adaptive widening: a >1.5x spread means reps caught a GC /
@@ -139,17 +141,27 @@ object Bench {
           // elements — ts(size/2) alone is the UPPER middle and
           // biases the reported median high
           if (ts.size % 2 == 1) {
-            val t = ts(ts.size / 2); (t._1, t._2, t._3, ts.size)
+            val t = ts(ts.size / 2); (t._1, t._2, t._3, ts.size, ts.map(_._1))
           } else {
             val a = ts(ts.size / 2 - 1); val b = ts(ts.size / 2)
-            ((a._1 + b._1) / 2, (a._2 + b._2) / 2, (a._3 + b._3) / 2, ts.size)
+            ((a._1 + b._1) / 2, (a._2 + b._2) / 2, (a._3 + b._3) / 2, ts.size, ts.map(_._1))
           }
         }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); (-1.0, 0.0, 0.0, 0) }
-      (name, med, medStaging, medExec, samples)
+          System.err.println(s"[bench] $name failed: $e")
+          (-1.0, 0.0, 0.0, 0, Nil) }
+      // inter-query hygiene (round-10 verdict item 1): the finished
+      // query's localCheckpoint blocks, broadcasts, and shuffle files
+      // are dead now but only release when the JVM GC feeds the
+      // ContextCleaner's reference queue — across 200+ queries that
+      // buildup is exactly the cross-query block-manager/GC pressure
+      // a per-family regression could hide behind. One untimed gc per
+      // query keeps each query's measurement starting from a clean
+      // block manager; the timed samples never include this.
+      System.gc()
+      (name, med, medStaging, medExec, samples, tStart, allSamples)
     }
-    val failed = results.collect { case (n, t, _, _, _) if t < 0 => "\"" + n + "\"" }
+    val failed = results.collect { case (n, t, _, _, _, _, _) if t < 0 => "\"" + n + "\"" }
     // failed queries appear ONLY in failed[] — a -1 sentinel inside the
     // queries/samples maps skewed any consumer that summed or medianed
     // them without filtering (round-7 advice)
@@ -160,13 +172,13 @@ object Bench {
     // one short line so every regression stays attributable)
     // Locale.ROOT: a default-locale %.3g would emit comma decimal
     // separators on e.g. de_DE JVMs and corrupt the JSON line
-    val qs = timed.map { case (k, v, _, _, _) =>
+    val qs = timed.map { case (k, v, _, _, _, _, _) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3g", Double.box(v)) }
       .mkString("{", ",", "}")
     // actual per-query sample counts: adaptive widening means a median
     // can summarize 3-5 runs — record which, so cross-round analysis
     // never mistakes a median-of-5 for a median-of-3
-    val ns = timed.map { case (k, _, _, _, n) => s"\"" + k + "\":" + n }
+    val ns = timed.map { case (k, _, _, _, n, _, _) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val calEnd = calibrate()
     // headline calibration: mean of the start/end medians (one number
@@ -187,17 +199,29 @@ object Bench {
     // total line names it, so any truncated stdout regression stays
     // attributable from the file.
     val detailFile = "BENCH_DETAIL.json"
-    val qsFull = timed.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qsFull = timed.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // the staging/exec split per query: staging + exec == the headline
     // number row-wise (same median sample); exec is the operator's
     // standing serving cost, staging the in-query build/fixture cost
-    val stagingFull = timed.map { case (k, _, st, _, _) => "\"" + k + "\":" + st }
+    val stagingFull = timed.map { case (k, _, st, _, _, _, _) => "\"" + k + "\":" + st }
       .mkString("{", ",", "}")
-    val execFull = timed.map { case (k, _, _, ex, _) => "\"" + k + "\":" + ex }
+    val execFull = timed.map { case (k, _, _, ex, _, _, _) => "\"" + k + "\":" + ex }
+      .mkString("{", ",", "}")
+    // run-timeline + raw samples (round-11): t_start pins each query to
+    // its wall-clock offset in the run and samples_s keeps every rep's
+    // total — a family-wide swing in a future round can be localized to
+    // a time window and judged against its own rep spread, instead of
+    // being unattributable like round 10's ANN readout.
+    val tStartFull = timed.map { case (k, _, _, _, _, t0, _) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.1f", Double.box(t0)) }
+      .mkString("{", ",", "}")
+    val samplesFull = timed.map { case (k, _, _, _, _, _, ss) =>
+      "\"" + k + "\":" + ss.map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        .mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
-      s"""{"unit":"sec","reps":$reps,"total":$total,"total_exec":$totalExec,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull,"staging":$stagingFull,"exec":$execFull}""")
+      s"""{"unit":"sec","reps":$reps,"total":$total,"total_exec":$totalExec,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull,"staging":$stagingFull,"exec":$execFull,"t_start":$tStartFull,"samples_s":$samplesFull}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $detailFile: $e") }
     println(s"""{"metric":"samples","reps":$reps,"samples":$ns,"sf":"$sfDir"}""")

@@ -186,7 +186,18 @@ object Bench {
     val calJson = String.format(java.util.Locale.ROOT,
       """"calibration_s":%.4f,"calibration_start_s":%.4f,"calibration_end_s":%.4f""",
       Double.box((calStart + calEnd) / 2.0), Double.box(calStart), Double.box(calEnd))
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // shared-artifact accounting (round-11): Staging.frame/onceDir
+    // builds run once per JVM, inside the FIRST rep of the first
+    // consumer — a cost the median-of-reps then discards. Publish each
+    // build's wall seconds and fold their sum into the headline total,
+    // so memoization speeds the suite up honestly instead of hiding
+    // work from the artifact.
+    val sharedBuilds = graft.Staging.sharedBuildSeconds.toSeq.sortBy(_._1)
+    val sharedTotal = sharedBuilds.map(_._2).sum
+    val sharedJson = sharedBuilds.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum + sharedTotal
     val totalExec = timed.map(_._4).sum
     val failedJson = failed.mkString("[", ",", "]")
     // Tail-capture layout (round-5 verdict): sample counts on an
@@ -221,12 +232,12 @@ object Bench {
         .mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
-      s"""{"unit":"sec","reps":$reps,"total":$total,"total_exec":$totalExec,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull,"staging":$stagingFull,"exec":$execFull,"t_start":$tStartFull,"samples_s":$samplesFull}""")
+      s"""{"unit":"sec","reps":$reps,"total":$total,"total_exec":$totalExec,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull,"staging":$stagingFull,"exec":$execFull,"t_start":$tStartFull,"samples_s":$samplesFull,"shared_staging_total":$sharedTotal,"shared_staging":$sharedJson}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $detailFile: $e") }
     println(s"""{"metric":"samples","reps":$reps,"samples":$ns,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail","unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_exec":$totalExec,"reps":$reps,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail_file":"$detailFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_exec":$totalExec,"shared_staging_total":$sharedTotal,"reps":$reps,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail_file":"$detailFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -7,8 +7,70 @@ package graft
   * distinct staging roots — concurrent runs over colliding sf dirs can
   * never clobber each other's staging (same scheme as the bucketed
   * table names in Relational3.join_bucketed).
+  *
+  * Round-11 addition (verdict item 3 — staging wall time exceeded exec):
+  * [[frame]] and [[onceDir]] memoize DETERMINISTIC staged artifacts
+  * JVM-wide, so sibling queries (and bench reps) stop rebuilding
+  * identical fixtures — the minhash signature frame, the persisted
+  * dedup index, the staged day-files were each built 2-6× per run.
+  * Scope rules: memoize ONLY read-only, input-deterministic artifacts
+  * (pure functions of (key, sfDir)); anything a query mutates or
+  * relies on wiping per run (checkpoint dirs, sinks, restart bases)
+  * stays per-query and per-call. Keys embed the Spark applicationId so
+  * a frame never outlives its SparkContext, plus the sfDir hash so
+  * scale factors can't collide. Attribution note: a shared artifact's
+  * build cost lands on whichever query runs FIRST in a bench
+  * (BENCH_DETAIL's t_start orders them); later siblings and reps read
+  * it for free — that asymmetry is the point, and it mirrors the
+  * production lifecycle (build once, serve many).
   */
 object Staging {
+
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val dirsBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  /** Wall seconds each shared artifact's ONE build took this JVM,
+    * keyed by the artifact key — Bench publishes these (and adds their
+    * sum to its headline total) so memoization cannot under-report:
+    * the median-of-reps discards the first rep that paid the build,
+    * and without this the cost would vanish from the artifact
+    * entirely. */
+  def sharedBuildSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.toMap
+  }
+
+  private def timed[T](key: String)(build: => T): T = {
+    val t0 = System.nanoTime()
+    val out = build
+    buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
+    out
+  }
+
+  /** JVM-wide memoized eager frame: `build` runs once per
+    * (application, key, raw input dir); every later caller gets the
+    * SAME DataFrame (callers checkpoint inside `build` so the shared
+    * frame is materialized, not a lineage). computeIfAbsent gives
+    * per-key build locking. */
+  def frame(s: org.apache.spark.sql.SparkSession, key: String, raw: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    frames.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$key|${suffix(raw)}",
+      _ => timed(key)(build))
+
+  /** JVM-wide memoized staged DIRECTORY: `build(path)` populates it
+    * once per (application, key, raw input dir); later callers get the
+    * path without rebuilding. Always rebuilt in a fresh JVM — nothing
+    * trusts stale tmp content across runs. */
+  def onceDir(s: org.apache.spark.sql.SparkSession, key: String, raw: String)(
+      build: String => Unit): String =
+    dirsBuilt.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$key|${suffix(raw)}",
+      _ => timed(key) { val p = dir(key, raw); build(p); p })
 
   /** Short collision-resistant suffix for `raw` (sanitized + md5-8). */
   def suffix(raw: String): String =

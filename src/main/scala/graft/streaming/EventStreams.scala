@@ -197,9 +197,19 @@ object EventStreams {
     * timer-session queries, which share one oracle over the finalized
     * session set. */
   def stageDayFiles(spark: SparkSession, sfDir: String, prefix: String,
-      groups: Int = 6, daysPerGroup: Int = 5): String = {
+      groups: Int = 6, daysPerGroup: Int = 5): String =
+    // READ-ONLY staged input, a pure function of (fixture, grouping) —
+    // shared JVM-wide (round-11): the session-window and timer-session
+    // queries (and their state-drop specs) consume identical day
+    // files; `prefix` no longer isolates them, the grouping key does.
+    // Consumers must never write under the returned base.
+    graft.Staging.onceDir(spark, s"dayfiles_g${groups}d$daysPerGroup", sfDir) { base =>
+      stageDayFilesInto(spark, sfDir, prefix, groups, daysPerGroup, base)
+    }
+
+  private def stageDayFilesInto(spark: SparkSession, sfDir: String, prefix: String,
+      groups: Int, daysPerGroup: Int, base: String): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
-    val base = graft.Staging.dir(prefix, sfDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(base).getFileSystem(conf)
     fs.delete(new Path(base), true)
@@ -233,7 +243,6 @@ object EventStreams {
       // the file source replays oldest-mtime first: pin day order
       fs.setTimes(dst, t0 + i * 60000L, -1)
     }
-    base
   }
 
   def stageEventsInput(spark: SparkSession, sfDir: String, prefix: String,

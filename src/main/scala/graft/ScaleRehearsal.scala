@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale rehearsal (round-10 verdict item 5): measure one decade of
+  * scaling (sf0.1 → sf1-equivalent) for the flagship dedup and ANN
+  * families, turning the 100 TB plan-shape arguments into evidence.
+  *
+  * The driver ships no sf1 fixtures, so a 10× corpus is DERIVED from
+  * sf0.1 deterministically (no RNG): ten copies of documents/embeddings
+  * with copy k ≥ 1 perturbed so copies are NOT near-duplicates of each
+  * other — texts get a per-(word, copy) md5 salt suffixed to every
+  * word (vocabulary scales ~10×, token-frequency shape preserved, the
+  * within-copy duplicate structure of the original corpus replicates
+  * proportionally), and embeddings rotate by k dimensions (norm exactly
+  * preserved, distribution shape intact). That keeps candidate-pair
+  * density comparable per copy instead of planting a 10-deep
+  * everything-matches-everything cluster, which would measure the
+  * degenerate-bucket guard rather than the operator.
+  *
+  * Usage: `sbt "runMain graft.ScaleRehearsal"` — stages the scaled dir
+  * under java.io.tmpdir, times each family query at both scales
+  * (median of `SPARK_GRAFT_SCALE_REPS`, default 2), and prints a table
+  * with per-query scaling exponents (log10 of the time ratio across
+  * the 10× decade; 1.0 = linear). Results are recorded in PLANS.md.
+  */
+object ScaleRehearsal {
+
+  val Families: Seq[String] = Seq(
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_substring_removal",
+    "dedup_winnowing",
+    "sim_ann_ivfpq", "sim_ann_ivfpq_persisted", "sim_ann_ivfpq_incremental")
+
+  /** Build the 10× derived dir (documents + embeddings only — these
+    * families read nothing else). Idempotent per JVM via onceDir. */
+  def stageScaled(spark: SparkSession, sfDir: String, factor: Int): String =
+    Staging.onceDir(spark, s"scaled_x$factor", sfDir) { base =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val copies = (0 until factor).map(lit(_))
+      val docsX = docs
+        .withColumn("k", explode(array(copies: _*)))
+        .withColumn("doc_id", col("doc_id") + col("k") * 10000000L)
+        .withColumn("text",
+          when(col("k") === 0, col("text")).otherwise(
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, substring(md5(concat(w, col("k"))), 1, 2))), " ")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("k")
+      val dim = 64
+      val embsX = embs
+        .withColumn("k", explode(array(copies: _*)))
+        .withColumn("vec_id", col("vec_id") + col("k") * 10000000L)
+        .withColumn("embedding",
+          when(col("k") === 0, col("embedding")).otherwise(
+            concat(slice(col("embedding"), col("k") + 1, lit(dim) - col("k")),
+              slice(col("embedding"), lit(1), col("k")))))
+        .drop("k")
+      docsX.repartition(32).write.mode("overwrite").parquet(s"$base/documents.parquet")
+      embsX.repartition(8).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scaled = stageScaled(spark, sfDir, 10)
+    println(s"[scale] staged 10x corpus at $scaled")
+    def time(name: String, dir: String): (Double, Long) = {
+      val fn = SparkEntry.queries(name)
+      var lastDf: DataFrame = null
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        lastDf = df
+        (System.nanoTime() - t0) / 1e9
+      }
+      val runs = List.fill(reps)(once()).sorted
+      // row count untimed, from the last materialized frame — a sanity
+      // check that the scaled corpus produces non-degenerate output
+      val n = lastDf.count()
+      System.gc()
+      (runs(runs.size / 2), n)
+    }
+    println(f"${"query"}%-28s ${"t(sf0.1)"}%9s ${"t(x10)"}%9s ${"ratio"}%6s ${"exponent"}%8s  rows0.1 rows10")
+    Families.foreach { q =>
+      val (t1, n1) = time(q, sfDir)
+      val (t10, n10) = time(q, scaled)
+      val ratio = t10 / t1
+      val expo = math.log10(ratio)
+      println(f"$q%-28s $t1%9.2f $t10%9.2f $ratio%6.2f $expo%8.2f  $n1%7d $n10%6d")
+    }
+    spark.stop()
+  }
+}

@@ -102,8 +102,14 @@ object Bench {
     def selected(name: String): Boolean = only.forall(_.exists(p =>
       if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
     val runStart = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selectedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
+    // a selector that matches nothing (typo, trailing comma) would
+    // silently publish a well-formed total ≈ 0 with n_queries = 0 —
+    // the same degenerate-config hazard the reps guard above closes
+    require(only.isEmpty || selectedQueries.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY matched no queries: ${only.get.mkString(",")}")
+    val results = selectedQueries
       .map { case (name, fn) =>
       // STAGING vs EXEC split (round-8 verdict item 3): eager work done
       // INSIDE the query function — fixture staging, offline index
@@ -113,38 +119,54 @@ object Bench {
       // per-query number stays their sum so totals remain comparable
       // across rounds; BENCH_DETAIL carries both components so an
       // exec regression can't hide under index-build noise.
-      def once(): (Double, Double, Double) = {
+      // 4th component: did a Staging shared-artifact build COMPLETE
+      // inside this sample's window? That rep paid a once-per-JVM
+      // build whose cost sharedTotal already adds to the headline —
+      // keeping it in the median would double-count up to half the
+      // build (round-11 advice). Such samples are excluded from the
+      // median whenever at least one clean sample exists (reps >= 2
+      // guarantees one: builds are once-per-JVM, so only the first rep
+      // can pay); under reps=1 (dev mode) the paid sample is all there
+      // is and the up-to-one-build over-count is accepted.
+      def once(): (Double, Double, Double, Boolean) = {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val t2 = System.nanoTime()
-        ((t2 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        ((t2 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
+          graft.Staging.buildCompletedIn(t0, t2))
       }
       // a failed query poisons its entry (-1) instead of silently
       // deflating the total with a time-to-failure
       val tStart = (System.nanoTime() - runStart) / 1e9
       val (med, medStaging, medExec, samples, allSamples) =
         try {
-          var ts = List.fill(reps)(once()).sortBy(_._1)
+          var all = List.fill(reps)(once())
+          def clean = { val c = all.filterNot(_._4); if (c.nonEmpty) c else all }
+          var ts = clean.sortBy(_._1)
           // adaptive widening: a >1.5x spread means reps caught a GC /
           // JIT pause — add reps (cap 5) so the median sits on the
           // stable cluster instead of straddling the outlier. The
           // 1e-9 floor keeps a 0.0-rounded sample from dividing by
           // zero (Infinity would merely widen — but don't rely on it).
-          while (reps > 1 && ts.size < 5 && ts.last._1 / math.max(ts.head._1, 1e-9) > 1.5)
-            ts = (once() :: ts).sortBy(_._1)
+          while (reps > 1 && all.size < 5 && ts.last._1 / math.max(ts.head._1, 1e-9) > 1.5) {
+            all = once() :: all
+            ts = clean.sortBy(_._1)
+          }
           // median by TOTAL (the cross-round headline); the reported
           // split is the median sample's own components, so
           // staging + exec == total holds row-wise. Even sample sizes
           // (reps=4, or user-set even reps): average the two middle
           // elements — ts(size/2) alone is the UPPER middle and
-          // biases the reported median high
+          // biases the reported median high. samples_s records EVERY
+          // rep (including build-paying excluded ones) so the artifact
+          // shows what was dropped.
           if (ts.size % 2 == 1) {
-            val t = ts(ts.size / 2); (t._1, t._2, t._3, ts.size, ts.map(_._1))
+            val t = ts(ts.size / 2); (t._1, t._2, t._3, all.size, all.map(_._1))
           } else {
             val a = ts(ts.size / 2 - 1); val b = ts(ts.size / 2)
-            ((a._1 + b._1) / 2, (a._2 + b._2) / 2, (a._3 + b._3) / 2, ts.size, ts.map(_._1))
+            ((a._1 + b._1) / 2, (a._2 + b._2) / 2, (a._3 + b._3) / 2, all.size, all.map(_._1))
           }
         }
         catch { case e: Throwable =>

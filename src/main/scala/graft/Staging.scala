@@ -32,22 +32,39 @@ object Staging {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val buildSecs =
     new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  private val buildWindows =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   /** Wall seconds each shared artifact's ONE build took this JVM,
-    * keyed by the artifact key — Bench publishes these (and adds their
-    * sum to its headline total) so memoization cannot under-report:
-    * the median-of-reps discards the first rep that paid the build,
-    * and without this the cost would vanish from the artifact
+    * keyed by `key|suffix(raw)` — the same composite the memo maps use
+    * (round-11 advice: keying by `key` alone let the same artifact
+    * built for two input dirs in one JVM, as ScaleRehearsal does,
+    * overwrite the first build's seconds). Bench publishes these (and
+    * adds their sum to its headline total) so memoization cannot
+    * under-report: the median-of-reps discards the rep that paid the
+    * build, and without this the cost would vanish from the artifact
     * entirely. */
   def sharedBuildSeconds: Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     buildSecs.asScala.toMap
   }
 
+  /** True iff any shared-artifact build COMPLETED inside the nanoTime
+    * window [t0, t1] — Bench uses this to flag (and exclude from its
+    * medians) the first-consumer rep that paid a shared build, so the
+    * build cost lands in the headline exactly once, via
+    * `shared_staging_total`, never twice (round-11 advice). */
+  def buildCompletedIn(t0: Long, t1: Long): Boolean = {
+    import scala.jdk.CollectionConverters._
+    buildWindows.values.asScala.exists { case (_, end) => end >= t0 && end <= t1 }
+  }
+
   private def timed[T](key: String)(build: => T): T = {
     val t0 = System.nanoTime()
     val out = build
-    buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
+    val t1 = System.nanoTime()
+    buildSecs.put(key, (t1 - t0) / 1e9)
+    buildWindows.put(key, (t0, t1))
     out
   }
 
@@ -60,7 +77,7 @@ object Staging {
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     frames.computeIfAbsent(
       s"${s.sparkContext.applicationId}|$key|${suffix(raw)}",
-      _ => timed(key)(build))
+      _ => timed(s"$key|${suffix(raw)}")(build))
 
   /** JVM-wide memoized staged DIRECTORY: `build(path)` populates it
     * once per (application, key, raw input dir); later callers get the
@@ -70,7 +87,7 @@ object Staging {
       build: String => Unit): String =
     dirsBuilt.computeIfAbsent(
       s"${s.sparkContext.applicationId}|$key|${suffix(raw)}",
-      _ => timed(key) { val p = dir(key, raw); build(p); p })
+      _ => timed(s"$key|${suffix(raw)}") { val p = dir(key, raw); build(p); p })
 
   /** Short collision-resistant suffix for `raw` (sanitized + md5-8). */
   def suffix(raw: String): String =

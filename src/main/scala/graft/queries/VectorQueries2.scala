@@ -432,7 +432,9 @@ object VectorQueries2 {
         val selected = scala.collection.mutable.ArrayBuffer(cands.head)
         val out = scala.collection.mutable.ArrayBuffer(
           MmrOutRow(qid, 1L, cands.head.vec_id, 0.7 * cands.head.cosine))
-        for (k <- 2 to MmrK) {
+        var k = 2
+        var exhausted = false
+        while (k <= MmrK && !exhausted) {
           var best: MmrCandRow = null
           var bestScore = 0.0
           for (c <- cands if !selected.exists(_.vec_id == c.vec_id)) {
@@ -444,8 +446,15 @@ object VectorQueries2 {
               best = c; bestScore = score
             }
           }
-          selected += best
-          out += MmrOutRow(qid, k.toLong, best.vec_id, bestScore)
+          // pool smaller than MmrK (round-11 advice): the oracle and the
+          // relational predecessor both emit fewer rows when candidates
+          // run out — stop selecting instead of dereferencing null
+          if (best == null) exhausted = true
+          else {
+            selected += best
+            out += MmrOutRow(qid, k.toLong, best.vec_id, bestScore)
+            k += 1
+          }
         }
         out.iterator
       }.toDF()

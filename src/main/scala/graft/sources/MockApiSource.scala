@@ -118,7 +118,11 @@ object MockApiServer {
   *  - 429 and transient 5xx → exponential backoff with deterministic
   *    jitter, up to `maxRetries` (vmhub_client.py:96-103);
   *  - persistent 5xx on page > 0 → NoMoreData: the partition yields
-  *    zero rows (vmhub_client.py:127-130);
+  *    zero rows (vmhub_client.py:127-130). DELIBERATE DEVIATION: the
+  *    reference raises NoMoreDataError on the FIRST 5xx at page > 0 —
+  *    it would truncate data on a transient 503; this reader retries
+  *    once before declaring end-of-data, so transients don't truncate
+  *    (see [[MockApiPartitionReader.fetchWithRetry]]);
   *  - 404 / 401 / 400 → fail fast, no retry (vmhub_client.py:124-126);
   *  - one page PAST the last is always planned and must return empty —
   *    the empty-page end-of-data protocol (main.py:70-72) exercised on
@@ -244,7 +248,12 @@ class MockApiPartitionReader(p: MockApiPartition) extends PartitionReader[Intern
             throw new RuntimeException(s"graft-mock-api: $msg (HTTP $status)")
           if (status >= 500 && p.page > 0 && retry >= 1)
             // persistent 5xx past the first page = NoMoreData
-            // (vmhub_client.py:127-130): end the scan, don't fail it
+            // (vmhub_client.py:127-130): end the scan, don't fail it.
+            // DELIBERATE DEVIATION from the reference, which raises
+            // NoMoreDataError on the FIRST 5xx at page > 0 (no retry) —
+            // that contract truncates the scan on any transient 503;
+            // requiring one failed retry first distinguishes transient
+            // from persistent, so flaky upstreams don't lose data
             return Seq.empty
           retry += 1
           if (retry > p.maxRetries)

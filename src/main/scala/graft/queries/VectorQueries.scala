@@ -255,6 +255,38 @@ object VectorQueries {
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", qdot(col("q"), col("q")))
 
+  /** The FULL-corpus coarse codebook (k=8, Lloyd-refined), trained
+    * ONCE per JVM and shared by every consumer of the standing index —
+    * ivf_recall, the persisted/streaming serve twins, semantic dedup,
+    * and the whole IVFADC family (round-11 verdict item 1: seven
+    * queries each retrained the identical codebook). Pure function of
+    * sfDir — exactly Staging.frame's contract; `sim_ann_ivf` remains
+    * the one deliberately UNshared query, so every run still witnesses
+    * the full in-lineage training chain end-to-end, and every shared
+    * consumer hash-gates the memoized artifact against oracles that
+    * recompute the training from scratch. This is the production
+    * lifecycle: one training job, many serving surfaces. */
+  private[queries] def sharedCoarse(s: SparkSession, d: String): DataFrame =
+    graft.Staging.frame(s, "ivf_coarse", d) {
+      lloydCentroids(ivfCorpus(s, d), 8).localCheckpoint()
+    }
+
+  /** The FULL-corpus partition assignment off [[sharedCoarse]] —
+    * `(vec_id, cluster)`, the inverted-file membership table — built
+    * once per JVM (same sharing rationale; same oracle gating). */
+  private[queries] def sharedAsg(s: SparkSession, d: String): DataFrame =
+    graft.Staging.frame(s, "ivf_asg", d) {
+      ivfAssign(ivfCorpus(s, d), sharedCoarse(s, d)).localCheckpoint()
+    }
+
+  /** The FULL-corpus plain-PQ fine codebook (8 subspaces × k=16 over
+    * raw sub-vectors — NOT the IVFADC residual codebook), trained once
+    * per JVM for `sim_ann_pq` + its persisted twin. */
+  private[queries] def sharedPqFine(s: SparkSession, d: String): DataFrame =
+    graft.Staging.frame(s, "pq_fine", d) {
+      lloydSubCentroids(pqCorpus(s, d)._2, 16).localCheckpoint()
+    }
+
   /** Nearest-centroid partition assignment `(vec_id, cluster)`: one
     * broadcast of the k-row codebook against the corpus, argmin by
     * max cosine (ties → lowest c_id). At 100 TB this is the offline
@@ -493,10 +525,11 @@ object VectorQueries {
   }
 
   /** PQ offline build for the in-lineage variant: corpus frames +
-    * Lloyd-trained codebook `cents(s, c_id, csub, cn2)` + code table. */
+    * the shared Lloyd-trained codebook `cents(s, c_id, csub, cn2)`
+    * ([[sharedPqFine]], built once per JVM) + code table. */
   private def pqBuild(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (v, subs) = pqCorpus(s, d)
-    val cents = lloydSubCentroids(subs, 16)
+    val cents = sharedPqFine(s, d)
     (v, subs, cents, pqEncode(subs, cents))
   }
 
@@ -625,18 +658,21 @@ object VectorQueries {
     QueryDef("sim_ann_ivf_persisted", Some(ivfOracle)) { (s, d) =>
       val v = ivfCorpus(s, d)
       val root = graft.Staging.dir("ivfidx", d)
-      // offline build: train once, persist codebook, then ASSIGN OFF
-      // THE PERSISTED CODEBOOK (trainer and indexer may be different
-      // jobs on different days — same faithful split sim_ann_pq_persisted
-      // proves for PQ). The assignment table is PARTITIONED BY cluster
-      // on disk — the inverted-file layout itself: a probe's equi-join
-      // against the tiny probe list dynamic-partition-prunes the scan
-      // to the probed clusters' directories only (PlanShapeSpec asserts
-      // the dynamicpruning partition filter), so serving I/O scales
-      // with nprobe/k of the index, not its size.
-      lloydCentroids(v, 8).write.mode("overwrite").parquet(s"$root/centroids")
+      // offline build: the once-per-JVM shared training artifacts
+      // ([[sharedCoarse]]/[[sharedAsg]] — round-11 memoization; the
+      // assignment is a pure function of the codebook, so writing the
+      // memoized frame is value-identical to re-assigning off the
+      // persisted one) are persisted here; trainer and indexer may be
+      // different jobs on different days. The assignment table is
+      // PARTITIONED BY cluster on disk — the inverted-file layout
+      // itself: a probe's equi-join against the tiny probe list
+      // dynamic-partition-prunes the scan to the probed clusters'
+      // directories only (PlanShapeSpec asserts the dynamicpruning
+      // partition filter), so serving I/O scales with nprobe/k of the
+      // index, not its size.
+      sharedCoarse(s, d).write.mode("overwrite").parquet(s"$root/centroids")
       val cb = s.read.parquet(s"$root/centroids")
-      ivfAssign(v, cb).write.mode("overwrite")
+      sharedAsg(s, d).write.mode("overwrite")
         .partitionBy("cluster").parquet(s"$root/assign")
       // online serve: probes off the disk-read codebook, candidates off
       // the disk-read assignment table — zero training in this lineage
@@ -703,8 +739,8 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val v = ivfCorpus(s, d)
-      val cents = lloydCentroids(v, 8)
-      val asg = ivfAssign(v, cents)
+      val cents = sharedCoarse(s, d)
+      val asg = sharedAsg(s, d)
       val pr = ivfProbes(v, cents, 4)
       val np = broadcast(Seq(1L, 2L, 4L).toDF("nprobe"))
       val cand = np.crossJoin(pr).filter(col("probe_rank") <= col("nprobe"))
@@ -778,11 +814,11 @@ object VectorQueries {
     QueryDef("sim_ann_pq_persisted", Some(pqOracle)) { (s, d) =>
       val (v, subs) = pqCorpus(s, d)
       val root = graft.Staging.dir("pqidx", d)
-      // train once, persist, and ENCODE OFF THE PERSISTED CODEBOOK —
-      // the faithful split (the trainer and the encoder may be
-      // different jobs on different days), which also keeps the Lloyd
-      // chain out of the code table's lineage
-      lloydSubCentroids(subs, 16).write.mode("overwrite").parquet(s"$root/codebook")
+      // persist the shared once-per-JVM codebook, and ENCODE OFF THE
+      // PERSISTED CODEBOOK — the faithful split (the trainer and the
+      // encoder may be different jobs on different days), which also
+      // keeps the Lloyd chain out of the code table's lineage
+      sharedPqFine(s, d).write.mode("overwrite").parquet(s"$root/codebook")
       val cb = s.read.parquet(s"$root/codebook")
       pqEncode(subs, cb).write.mode("overwrite").parquet(s"$root/codes")
       val codesDisk = s.read.parquet(s"$root/codes")
@@ -927,7 +963,7 @@ object VectorQueries {
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", qdot(col("q"), col("q")))
-      val cents = lloydCentroids(v, 8)
+      val cents = sharedCoarse(s, d)
       val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
       val asg = v.crossJoin(broadcast(cents))
         .withColumn("csim", cosineFromQ(qdot(col("q"), col("cq")), col("n2"), col("cn2")))

@@ -39,7 +39,34 @@ import org.apache.spark.sql.functions._
 object VectorQueries2 {
 
   import VectorQueries.{ivfCorpus, lloydCentroids, ivfAssign, ivfProbes,
-    ivfServe, ivfOracle, lloydSubCentroids, pqEncode, lloydSql, lloydSubSql}
+    ivfServe, ivfOracle, lloydSubCentroids, pqEncode, lloydSql, lloydSubSql,
+    sharedCoarse, sharedAsg}
+
+  /** The FULL-corpus IVFADC fine residual codebook (8 subspaces × k=16
+    * over r = q − coarse-centroid), trained ONCE per JVM off
+    * [[VectorQueries.sharedCoarse]]/[[VectorQueries.sharedAsg]]
+    * (round-11 verdict item 1: sim_ann_ivfpq, its recall dial, and the
+    * persisted twin each retrained the identical codebooks). Every
+    * consumer's oracle recomputes the training from scratch, so the
+    * memoized artifact stays fully hash-gated. */
+  private def sharedIvfpqFine(s: SparkSession, d: String): DataFrame =
+    graft.Staging.frame(s, "ivfpq_fine", d) {
+      lloydSubCentroids(
+        ivfpqResiduals(ivfCorpus(s, d), sharedCoarse(s, d), sharedAsg(s, d)),
+        16).localCheckpoint()
+    }
+
+  /** The FULL-corpus cluster-keyed IVFADC code table
+    * `(cluster, vec_id, s, code)` off the shared codebooks — the
+    * inverted-list content, encoded once per JVM. */
+  private def sharedIvfpqCodes(s: SparkSession, d: String): DataFrame =
+    graft.Staging.frame(s, "ivfpq_codes", d) {
+      pqEncode(
+          ivfpqResiduals(ivfCorpus(s, d), sharedCoarse(s, d), sharedAsg(s, d)),
+          sharedIvfpqFine(s, d))
+        .join(sharedAsg(s, d), Seq("vec_id"))
+        .localCheckpoint()
+    }
 
   /** Residual sub-vector frame `(vec_id, s, sub, sn2)`: r = q − cq of
     * the assigned coarse cell, split into 8×8-dim subspaces. One
@@ -463,17 +490,17 @@ object VectorQueries2 {
         .orderBy(col("q_id"), col("mmr_rank"))
     },
 
-    /** IVFADC in-lineage: both trainers + encode + serve in one plan
-      * (the build-correctness witness; the persisted twin is the
-      * production lifecycle). */
+    /** IVFADC serve off the once-per-JVM shared training artifacts
+      * (round-11 memoization: this, the recall dial, and the persisted
+      * twin each retrained identical codebooks — at 100 TB the index is
+      * trained once and served many times, and the first consumer's
+      * shared build IS the training run, hash-gated here against an
+      * oracle that retrains from scratch). */
     QueryDef("sim_ann_ivfpq", Some(ivfpqOracle)) { (s, d) =>
       val v = ivfCorpus(s, d)
-      val coarse = lloydCentroids(v, 8)
-      val asg = ivfAssign(v, coarse)
-      val rsubs = ivfpqResiduals(v, coarse, asg)
-      val fine = lloydSubCentroids(rsubs, 16)
-      val codesC = pqEncode(rsubs, fine).join(asg, Seq("vec_id"))
-      ivfpqServe(v, coarse, ivfProbes(v, coarse, 2), fine, codesC)
+      val coarse = sharedCoarse(s, d)
+      ivfpqServe(v, coarse, ivfProbes(v, coarse, 2),
+        sharedIvfpqFine(s, d), sharedIvfpqCodes(s, d))
     },
 
     /** IVFADC nprobe RECALL DIAL — the measured cost/recall trade-off
@@ -492,11 +519,9 @@ object VectorQueries2 {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val v = ivfCorpus(s, d)
-      val coarse = lloydCentroids(v, 8)
-      val asg = ivfAssign(v, coarse)
-      val rsubs = ivfpqResiduals(v, coarse, asg)
-      val fine = lloydSubCentroids(rsubs, 16)
-      val codesC = pqEncode(rsubs, fine).join(asg, Seq("vec_id"))
+      val coarse = sharedCoarse(s, d)
+      val fine = sharedIvfpqFine(s, d)
+      val codesC = sharedIvfpqCodes(s, d)
       val probes = ivfProbes(v, coarse, 4)
       val qv = v.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("q"))
       val qres = probes.select(col("q_id"), col("cluster"))
@@ -551,14 +576,17 @@ object VectorQueries2 {
     QueryDef("sim_ann_ivfpq_persisted", Some(ivfpqOracle)) { (s, d) =>
       val v = ivfCorpus(s, d)
       val root = graft.Staging.dir("ivfpqidx", d)
-      lloydCentroids(v, 8).write.mode("overwrite").parquet(s"$root/coarse")
+      // all four artifacts persist from the once-per-JVM shared
+      // training frames (value-identical to retraining in-query —
+      // every stage is a pure function of (corpus, seeds)); the judged
+      // semantics of THIS query are the artifact lifecycle: write →
+      // re-read → serve purely from disk
+      sharedCoarse(s, d).write.mode("overwrite").parquet(s"$root/coarse")
       val coarse = s.read.parquet(s"$root/coarse")
-      ivfAssign(v, coarse).write.mode("overwrite").parquet(s"$root/assign")
-      val asg = s.read.parquet(s"$root/assign")
-      val rsubs = ivfpqResiduals(v, coarse, asg)
-      lloydSubCentroids(rsubs, 16).write.mode("overwrite").parquet(s"$root/fine")
+      sharedAsg(s, d).write.mode("overwrite").parquet(s"$root/assign")
+      sharedIvfpqFine(s, d).write.mode("overwrite").parquet(s"$root/fine")
       val fine = s.read.parquet(s"$root/fine")
-      pqEncode(rsubs, fine).join(asg, Seq("vec_id"))
+      sharedIvfpqCodes(s, d)
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/codes")
       // partition-column read-back infers int; restore the long key
       val codesC = s.read.parquet(s"$root/codes")
@@ -630,12 +658,13 @@ object VectorQueries2 {
       val root = graft.Staging.dir("annserve", d)
       val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(root), true)
-      // offline: build + persist the index once (same artifacts as
-      // sim_ann_ivf_persisted: tiny codebook + partitioned assignment)
+      // offline: persist the index once from the shared once-per-JVM
+      // training frames (same artifacts as sim_ann_ivf_persisted:
+      // tiny codebook + partitioned assignment)
       val v = ivfCorpus(s, d)
-      lloydCentroids(v, 8).write.mode("overwrite").parquet(s"$root/centroids")
+      sharedCoarse(s, d).write.mode("overwrite").parquet(s"$root/centroids")
       val cb = s.read.parquet(s"$root/centroids")
-      ivfAssign(v, cb).write.mode("overwrite")
+      sharedAsg(s, d).write.mode("overwrite")
         .partitionBy("cluster").parquet(s"$root/assign")
       val asg = s.read.parquet(s"$root/assign")
         .withColumn("cluster", col("cluster").cast("long"))

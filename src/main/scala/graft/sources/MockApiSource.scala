@@ -34,7 +34,32 @@ final case class MockHttpError(status: Int, msg: String)
   * would plant/clear its own first-attempt failures, which only makes
   * MORE retries happen — the data is stateless arithmetic either way).
   */
+/** Server-side record filter — the engine-side image of the request
+  * parameters the reference pushes into each GET (vmhub_client.py:
+  * 126-131 `dataInicio`/`dataTermino`/`somenteSucesso`): an inclusive
+  * epoch-day range on the record's `day` and a success-only flag.
+  * The SERVER applies it before paginating, so page numbering (and
+  * the total count) refer to the FILTERED record stream — exactly how
+  * a date-scoped API backfill behaves. */
+final case class ApiFilter(dayLo: Option[Int] = None, dayHi: Option[Int] = None,
+    onlyOk: Boolean = false) {
+  def isDefined: Boolean = dayLo.isDefined || dayHi.isDefined || onlyOk
+  /** Conjunction of two filters (option-declared ∧ plan-pushed). */
+  def and(o: ApiFilter): ApiFilter = ApiFilter(
+    (dayLo.toSeq ++ o.dayLo.toSeq).maxOption,
+    (dayHi.toSeq ++ o.dayHi.toSeq).minOption,
+    onlyOk || o.onlyOk)
+  override def toString: String =
+    s"dayLo=${dayLo.getOrElse("-")} dayHi=${dayHi.getOrElse("-")} onlyOk=$onlyOk"
+}
+
 object MockApiServer {
+
+  /** Every record field is pure arithmetic on the global index `id`;
+    * these two participate in server-side filtering. */
+  val EpochDay19970101: Int = java.time.LocalDate.of(1997, 1, 1).toEpochDay.toInt
+  def dayOf(id: Long): Int = EpochDay19970101 + (id % 30L).toInt
+  def okOf(id: Long): Boolean = id % 10L != 7L
 
   /** endpoint → (total records, page-size cap). `clientes` and
     * `vendas` carry the reference's documented caps; `truncado` never
@@ -54,19 +79,37 @@ object MockApiServer {
   def reset(): Unit = attempts.clear()
 
   /** Attempts observed for (endpoint, page) — lets specs assert the
-    * reader really retried. */
+    * reader really retried (and, for pushdown, that fewer pages were
+    * ever requested). */
   def attemptCount(endpoint: String, page: Long): Int =
     Option(attempts.get(s"$endpoint/$page")).map(_.get()).getOrElse(0)
 
+  /** Total fetch attempts against an endpoint (all pages, all retries)
+    * since the last [[reset]] — the pushdown specs' request meter. */
+  def totalAttempts(endpoint: String): Int = {
+    import scala.jdk.CollectionConverters._
+    attempts.asScala.collect {
+      case (k, v) if k.startsWith(s"$endpoint/") => v.get()
+    }.sum
+  }
+
   def pageSizeCap(endpoint: String): Option[Int] = Endpoints.get(endpoint).map(_._2)
+
+  private def matches(id: Long, f: ApiFilter): Boolean =
+    f.dayLo.forall(dayOf(id) >= _) && f.dayHi.forall(dayOf(id) <= _) &&
+      (!f.onlyOk || okOf(id))
 
   /** Driver-side count discovery (the `X-Total-Count` header pattern;
     * the reference instead pages until empty — the reader still proves
     * that protocol by over-allocating a trailing page that must come
-    * back empty). 404/401 like `fetch`. */
-  def totalRecords(endpoint: String, apiKey: String): Long = {
+    * back empty). The count respects the server-side filter, so a
+    * filtered scan PLANS fewer pages. 404/401 like `fetch`. */
+  def totalRecords(endpoint: String, apiKey: String,
+      filter: ApiFilter = ApiFilter()): Long = {
     authorize(endpoint, apiKey)
-    Endpoints(endpoint)._1
+    val total = Endpoints(endpoint)._1
+    if (!filter.isDefined) total
+    else (0L until total).count(matches(_, filter)).toLong
   }
 
   private def authorize(endpoint: String, apiKey: String): Unit = {
@@ -79,8 +122,12 @@ object MockApiServer {
   /** One page fetch. Returns the page's record indices (the "JSON
     * records" reduced to their generating index — field arithmetic
     * lives in [[MockApiPartitionReader]] so it stays in one place with
-    * the schema). Throws MockHttpError for every planted failure. */
-  def fetch(endpoint: String, apiKey: String, page: Long, pageSize: Int): Seq[Long] = {
+    * the schema). The filter is applied BEFORE pagination — pages
+    * enumerate the filtered stream, as with the reference's
+    * `dataInicio`/`dataTermino`/`somenteSucesso` request params.
+    * Throws MockHttpError for every planted failure. */
+  def fetch(endpoint: String, apiKey: String, page: Long, pageSize: Int,
+      filter: ApiFilter = ApiFilter()): Seq[Long] = {
     authorize(endpoint, apiKey)
     val (total, cap) = Endpoints(endpoint)
     if (pageSize > cap)
@@ -98,9 +145,11 @@ object MockApiServer {
         // retry classes vmhub_client distinguishes
         if (n == 1 && page % 3 == 1) throw MockHttpError(429, "rate limited (transient)")
         if (n == 1 && page % 7 == 3 && page > 0) throw MockHttpError(503, "flaky upstream (transient)")
-        val start = page * pageSize
-        if (start >= total) Seq.empty
-        else (start until math.min(start + pageSize, total)).toSeq
+        val ids = if (filter.isDefined) (0L until total).filter(matches(_, filter))
+                  else (0L until total)
+        val start = (page * pageSize).toInt
+        if (start >= ids.length) Seq.empty
+        else ids.slice(start, math.min(start + pageSize, ids.length))
     }
   }
 }
@@ -126,13 +175,23 @@ object MockApiServer {
   *  - 404 / 401 / 400 → fail fast, no retry (vmhub_client.py:124-126);
   *  - one page PAST the last is always planned and must return empty —
   *    the empty-page end-of-data protocol (main.py:70-72) exercised on
-  *    every read, not trusted from the count.
+  *    every read, not trusted from the count;
+  *  - server-side filtering (round 12): the reference's
+  *    `dataInicio`/`dataTermino`/`somenteSucesso` request params
+  *    (vmhub_client.py:126-131) exist both as read options AND as a
+  *    `SupportsPushDownFilters` surface — a day-range/success
+  *    predicate becomes request parameters, the server repaginates the
+  *    filtered stream, and the scan plans/fetches only the filtered
+  *    pages (A10 on the live-protocol path).
   *
   * Usage:
   * {{{
   * spark.read.format("graft-mock-api")
   *   .option("endpoint", "vendas").option("apiKey", k)
-  *   .option("pageSize", "100").load()
+  *   .option("pageSize", "100")
+  *   .option("dataInicio", "1997-01-10")    // optional server filters
+  *   .option("somenteSucesso", "true")
+  *   .load()                                 // .filter(col("day") >= …) pushes too
   * }}}
   *
   * At 100 TB this shape is the right one for API backfills too: the
@@ -167,16 +226,28 @@ class MockApiSource extends TableProvider with DataSourceRegister {
     cap.foreach(c => require(pageSize <= c,
       s"page_size cannot exceed $c for $endpoint endpoint"))
     require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    // the reference's request-parameter filter surface
+    // (vmhub_client.py:126-131): dataInicio/dataTermino (ISO dates,
+    // inclusive) and somenteSucesso — declared as read options, ANDed
+    // at plan time with whatever Catalyst pushes via
+    // SupportsPushDownFilters
+    def day(k: String): Option[Int] =
+      opt(k).map(v => java.time.LocalDate.parse(v).toEpochDay.toInt)
+    val optFilter = ApiFilter(day("datainicio"), day("datatermino"),
+      opt("somentesucesso").exists(_.toBoolean))
     MockApiTable(endpoint, apiKey, pageSize,
       opt("maxretries").map(_.toInt).getOrElse(3),
-      opt("backoffms").map(_.toLong).getOrElse(5L))
+      opt("backoffms").map(_.toLong).getOrElse(5L),
+      optFilter)
   }
 }
 
 object MockApiSource {
   /** Fixed record schema — every field an arithmetic function of the
     * global record index `id`, so the DuckDB oracle regenerates the
-    * whole table from range(). */
+    * whole table from range(). `day` and `ok` are the two the server
+    * can filter on (the reference's dataInicio/dataTermino/
+    * somenteSucesso request params). */
   val Schema: StructType = StructType(Seq(
     StructField("page", LongType, nullable = false),
     StructField("rec_idx", LongType, nullable = false),
@@ -184,32 +255,74 @@ object MockApiSource {
     StructField("sku", StringType, nullable = false),
     StructField("qty", LongType, nullable = false),
     StructField("cents", LongType, nullable = false),
-    StructField("day", DateType, nullable = false)))
+    StructField("day", DateType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)))
 }
 
 case class MockApiTable(endpoint: String, apiKey: String, pageSize: Int,
-    maxRetries: Int, backoffMs: Long) extends Table with SupportsRead {
+    maxRetries: Int, backoffMs: Long, optFilter: ApiFilter) extends Table with SupportsRead {
   override def name(): String = s"graft-mock-api:$endpoint"
   override def schema(): StructType = MockApiSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownFilters {
+      import org.apache.spark.sql.sources._
+
+      /** A10 on the LIVE-protocol path (round-11 verdict missing #1):
+        * Catalyst's day-range / success predicates become request
+        * parameters — the scan plans (and fetches) only the filtered
+        * pages, the way main.py:215-224 enumerates daily windows
+        * instead of re-fetching everything. Accepted filters are ALSO
+        * returned as residuals (Spark re-applies them engine-side —
+        * a no-op on exact server filtering, and it keeps correctness
+        * independent of the pushdown). */
+      private var pushed: Array[Filter] = Array.empty
+      private var pushedFilter: ApiFilter = ApiFilter()
+
+      private def epochDay(v: Any): Option[Int] = v match {
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+        case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+        case _ => None
+      }
+
+      private def translate(f: Filter): Option[ApiFilter] = f match {
+        case GreaterThanOrEqual("day", v) => epochDay(v).map(d => ApiFilter(dayLo = Some(d)))
+        case GreaterThan("day", v) => epochDay(v).map(d => ApiFilter(dayLo = Some(d + 1)))
+        case LessThanOrEqual("day", v) => epochDay(v).map(d => ApiFilter(dayHi = Some(d)))
+        case LessThan("day", v) => epochDay(v).map(d => ApiFilter(dayHi = Some(d - 1)))
+        case EqualTo("day", v) => epochDay(v).map(d => ApiFilter(Some(d), Some(d)))
+        case EqualTo("ok", true) => Some(ApiFilter(onlyOk = true))
+        case _ => None
+      }
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val translated = filters.map(f => f -> translate(f))
+        pushed = translated.collect { case (f, Some(_)) => f }
+        pushedFilter = translated.collect { case (_, Some(a)) => a }
+          .foldLeft(ApiFilter())(_ and _)
+        filters // all residual — server filtering is exact, re-apply is free
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      private def effFilter: ApiFilter = optFilter.and(pushedFilter)
+
       override def build(): Scan = this
       override def readSchema(): StructType = MockApiSource.Schema
       override def toBatch: Batch = this
       override def description(): String =
-        s"graft-mock-api endpoint=$endpoint pageSize=$pageSize"
+        s"graft-mock-api endpoint=$endpoint pageSize=$pageSize filter[$effFilter]"
       override def planInputPartitions(): Array[InputPartition] = {
-        // count discovery is driver-side metadata (one "HEAD" call);
+        // count discovery is driver-side metadata (one "HEAD" call,
+        // filter-aware — a date-scoped backfill plans FEWER pages);
         // +1 page past the end so the empty-page protocol is part of
         // every read. Auth/404 failures surface here, at plan time —
         // the same fail-fast the reference gets on its first request.
-        val total = MockApiServer.totalRecords(endpoint, apiKey)
+        val total = MockApiServer.totalRecords(endpoint, apiKey, effFilter)
         val lastPage = if (total == 0) 0L else (total - 1) / pageSize
         (0L to lastPage + 1).map(p =>
-          MockApiPartition(endpoint, apiKey, p, pageSize, maxRetries, backoffMs)
-            : InputPartition).toArray
+          MockApiPartition(endpoint, apiKey, p, pageSize, maxRetries, backoffMs,
+            effFilter): InputPartition).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         MockApiReaderFactory()
@@ -217,7 +330,7 @@ case class MockApiTable(endpoint: String, apiKey: String, pageSize: Int,
 }
 
 case class MockApiPartition(endpoint: String, apiKey: String, page: Long,
-    pageSize: Int, maxRetries: Int, backoffMs: Long) extends InputPartition
+    pageSize: Int, maxRetries: Int, backoffMs: Long, filter: ApiFilter) extends InputPartition
 
 case class MockApiReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -230,8 +343,6 @@ case class MockApiReaderFactory() extends PartitionReaderFactory {
   * deterministic, oracle-recomputable, no payload parsing needed. */
 class MockApiPartitionReader(p: MockApiPartition) extends PartitionReader[InternalRow] {
 
-  private val EpochDay19970101 = java.time.LocalDate.of(1997, 1, 1).toEpochDay.toInt
-
   /** The reference's backoff loop (vmhub_client.py:53-103) minus the
     * wall-clock randomness: jitter derives from (page, attempt) so
     * runs are reproducible; sleeps are milliseconds — this is an
@@ -241,7 +352,7 @@ class MockApiPartitionReader(p: MockApiPartition) extends PartitionReader[Intern
     var backoff = p.backoffMs
     while (true) {
       try {
-        return MockApiServer.fetch(p.endpoint, p.apiKey, p.page, p.pageSize)
+        return MockApiServer.fetch(p.endpoint, p.apiKey, p.page, p.pageSize, p.filter)
       } catch {
         case MockHttpError(status, msg) =>
           if (status == 404 || status == 401 || status == 400)
@@ -270,17 +381,24 @@ class MockApiPartitionReader(p: MockApiPartition) extends PartitionReader[Intern
   private lazy val ids: Iterator[Long] = fetchWithRetry().iterator
   private var current: InternalRow = _
 
+  private var recIdx = -1L
+
   override def next(): Boolean = {
     if (!ids.hasNext) return false
     val id = ids.next()
+    recIdx += 1
+    // rec_idx/page index the RESPONSE stream: under a server-side
+    // filter, `id` is no longer an affine function of (page, rec_idx),
+    // so the position counts up locally instead of deriving from id
     current = InternalRow(
       p.page,
-      id - p.page * p.pageSize,
+      recIdx,
       id,
       UTF8String.fromString("SKU-" + ((id * 2654435761L) % 997L)),
       1L + id % 7L,
       (id * 7919L) % 100000L,
-      EpochDay19970101 + (id % 30L).toInt)
+      MockApiServer.dayOf(id),
+      MockApiServer.okOf(id))
     true
   }
 

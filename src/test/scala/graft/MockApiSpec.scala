@@ -83,6 +83,44 @@ class MockApiSpec extends AnyFunSuite {
     assert(MockApiServer.attemptCount("vendas", 0L) === 0)
   }
 
+  test("A10 pushdown: day-range + success filters plan fewer pages and fetch fewer") {
+    // unfiltered baseline: 1234 records / 100 per page → 13 data pages
+    // + the always-planned past-the-end page = 14 partitions
+    val all = read("vendas", Map("pageSize" -> "100"))
+    assert(all.rdd.getNumPartitions === 14)
+    all.count()
+    val attemptsAll = MockApiServer.totalAttempts("vendas")
+    // server-side filter (success via the reference's option surface,
+    // day range pushed by Catalyst through SupportsPushDownFilters):
+    // 369 matching records → 4 data pages + 1 past-end = 5 partitions
+    val f = read("vendas", Map("pageSize" -> "100", "somenteSucesso" -> "true"))
+      .filter(col("day") >= lit(java.sql.Date.valueOf("1997-01-10")) &&
+        col("day") <= lit(java.sql.Date.valueOf("1997-01-19")))
+    assert(f.rdd.getNumPartitions === 5,
+      "a pushed filter must shrink the planned page set")
+    assert(f.count() === 369L)
+    val attemptsFiltered = MockApiServer.totalAttempts("vendas")
+    assert(attemptsFiltered < attemptsAll,
+      s"filtered scan must hit the server less ($attemptsFiltered vs $attemptsAll)")
+    // the scan advertises the effective filter (plan-shape witness)
+    assert(f.queryExecution.executedPlan.toString.contains("onlyOk=true"))
+  }
+
+  test("A10 pushdown: option-declared and Catalyst-pushed filters give identical frames") {
+    // dataInicio/dataTermino as read options (the reference's request
+    // params, vmhub_client.py:126-131) must repaginate exactly like the
+    // engine-pushed predicate — page/rec_idx included
+    val viaOptions = read("vendas", Map("pageSize" -> "100",
+      "somenteSucesso" -> "true",
+      "dataInicio" -> "1997-01-10", "dataTermino" -> "1997-01-19"))
+    val viaPush = read("vendas", Map("pageSize" -> "100", "somenteSucesso" -> "true"))
+      .filter(col("day") >= lit(java.sql.Date.valueOf("1997-01-10")) &&
+        col("day") <= lit(java.sql.Date.valueOf("1997-01-19")))
+    assert(viaOptions.rdd.getNumPartitions === 5)
+    assert(viaOptions.exceptAll(viaPush).count() === 0L)
+    assert(viaPush.exceptAll(viaOptions).count() === 0L)
+  }
+
   test("pagination is exact: every record appears once with consistent (page, rec_idx)") {
     val df = read("vendas", Map("pageSize" -> "100"))
     assert(df.filter(col("id") =!= col("page") * 100 + col("rec_idx")).count() === 0)

@@ -823,7 +823,7 @@ object TextQueries {
       * value from the generator parameters alone: a broken encoder,
       * a parquet binary round-trip bug, or a codec that misreads
       * dims/pixels each breaks the hash. Payloads the JDK cannot decode
-      * still take the FakeCodec stub path (multimodal_decode). Scale
+      * get an honest `unknown` record (multimodal_decode). Scale
       * shape: encode and decode are both iterator-to-iterator
       * mapPartitions over the scan — parallelism follows the files,
       * nothing collects. */
@@ -999,6 +999,46 @@ object TextQueries {
       graft.operators.Multimodal.decodeAudio(decimated).toDF()
         .localCheckpoint()
         .orderBy(col("doc_id"))
+    },
+
+    /** REAL multi-frame VIDEO decode through the JDK's animated-GIF
+      * path (round-12: the last FakeCodec modality closed with a
+      * genuine codec). Staging writes one animated GIF per document
+      * EXECUTOR-SIDE — frame count (2 + doc_id%4), dims, and each
+      * frame's solid color pure functions of doc_id — round-trips the
+      * bytes through a parquet binary column, and the judged decode
+      * walks a genuine ImageReader sequence: `getNumImages(true)` for
+      * the frame count, `read(f)` per stored frame for dims + the
+      * (0,0) pixel. GIF palettes are lossless for solid frames, so the
+      * oracle derives every row analytically — a miscounted sequence,
+      * palette corruption, or compositing mix-up breaks the hash
+      * (MultimodalSpec additionally proves a NON-solid frame decodes
+      * per-pixel). Scale shape: encode and decode are iterator
+      * flatMaps over the scan — one payload in, N frame rows out,
+      * parallelism follows the files. */
+    QueryDef("multimodal_video_frames", Some("""
+      WITH n AS (SELECT doc_id, 2 + doc_id % 4 AS nf,
+                        1 + doc_id % 8 AS w, 1 + (doc_id // 8) % 8 AS h
+                 FROM documents),
+      e AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM n)
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST((doc_id * 2654435761 + f * 7919) % 16777216 AS BIGINT) AS pixel
+      FROM e ORDER BY doc_id, frame_idx""")) { (s, d) =>
+      import s.implicits._
+      val root = graft.Staging.dir("gif", d)
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.operators.Multimodal.VideoCodec.encodeGif(id))
+        }).toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(s"$root/gif")
+      // decode once into a localCheckpoint, then sort the tiny frame
+      // table (see multimodal_image_resize): ordering is a real Sort
+      // in the plan, the decode runs exactly one pass
+      graft.operators.Multimodal.decodeVideoFrames(s.read.parquet(s"$root/gif"))
+        .toDF()
+        .localCheckpoint()
+        .orderBy(col("doc_id"), col("frame_idx"))
     },
   )
 }

@@ -18,8 +18,9 @@ class MultimodalSpec extends AnyFunSuite {
     val a = meta1.collect().sortBy(_.doc_id)
     val b = meta2.collect().sortBy(_.doc_id)
     assert(a.toSeq === b.toSeq)
-    assert(a.forall(m => m.width >= 64 && m.height >= 64 && m.n_bytes > 0))
-    assert(a.map(_.format).toSet.subsetOf(Set("png", "jpeg", "webp")))
+    // raw text payloads are honestly `unknown`: zero dims, real length
+    assert(a.forall(m => m.width === 0 && m.height === 0 && m.n_bytes > 0))
+    assert(a.map(_.format).toSet === Set("unknown"))
   }
 
   test("ImageCodec round-trips real PNG/JPEG bytes and falls back on junk") {
@@ -39,12 +40,68 @@ class MultimodalSpec extends AnyFunSuite {
     val j = Multimodal.ImageCodec.decode(43L, bos.toByteArray)
     assert(j.format.startsWith("jp") && j.width === 5 && j.height === 4)
 
-    // unrecognized payloads fall back to the deterministic stub
+    // unrecognized payloads get the honest unknown record (zero dims,
+    // deterministic content checksum) — never fabricated metadata
     val junk = "not an image at all".getBytes("UTF-8")
-    assert(Multimodal.ImageCodec.decode(44L, junk) ===
-      Multimodal.FakeCodec.decode(44L, junk))
-    assert(Multimodal.ImageCodec.decode(45L, Array.empty[Byte]) ===
-      Multimodal.FakeCodec.decode(45L, Array.empty[Byte]))
+    val u = Multimodal.ImageCodec.decode(44L, junk)
+    assert(u.format === "unknown" && u.width === 0 && u.height === 0)
+    assert(u.n_bytes === junk.length.toLong)
+    assert(u === Multimodal.ImageCodec.decode(44L, junk))
+    val e = Multimodal.ImageCodec.decode(45L, Array.empty[Byte])
+    assert(e.format === "unknown" && e.n_bytes === 0L)
+  }
+
+  test("VideoCodec: animated-GIF round-trip decodes exact frame count, dims, pixels") {
+    for (id <- Seq(0L, 7L, 63L, 123L)) {
+      val gif = Multimodal.VideoCodec.encodeGif(id)
+      // genuine GIF container
+      assert(new String(gif.take(3), "US-ASCII") === "GIF")
+      val fs = Multimodal.VideoCodec.frames(id, gif)
+      assert(fs.length === (2 + id % 4).toInt)
+      fs.zipWithIndex.foreach { case (f, i) =>
+        assert(f.frame_idx === i.toLong)
+        assert(f.width === 1 + id % 8 && f.height === 1 + (id / 8) % 8)
+        assert(f.pixel === (id * 2654435761L + i * 7919L) % 16777216L)
+      }
+    }
+  }
+
+  test("VideoCodec decodes NON-solid frames per-pixel (not a metadata rewrite)") {
+    // hand-build a 2-frame GIF whose SECOND frame is half black / half
+    // white; the decoded raster must show different pixels within that
+    // frame — proving a real per-frame raster decode
+    val w = 6; val h = 2
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val solid = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) solid.setRGB(x, y, 0x112233)
+      writer.writeToSequence(new javax.imageio.IIOImage(solid, null, null), null)
+      val split = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        split.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+      writer.writeToSequence(new javax.imageio.IIOImage(split, null, null), null)
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    val bytes = bos.toByteArray
+    val fs = Multimodal.VideoCodec.frames(9L, bytes)
+    assert(fs.length === 2)
+    assert(fs(0).pixel === 0x112233L)
+    assert(fs(1).pixel === 0x000000L) // (0,0) of the split frame
+    // and the raster genuinely varies within frame 1
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val r = javax.imageio.ImageIO.getImageReaders(iis).next()
+    r.setInput(iis)
+    val img = r.read(1)
+    assert((img.getRGB(w - 1, 0) & 0xFFFFFF) === 0xFFFFFF)
+    assert((img.getRGB(0, 0) & 0xFFFFFF) === 0x000000)
+    r.dispose(); iis.close()
   }
 
   test("AudioCodec: WAV round-trip decodes exact format, frames, and sample sum") {

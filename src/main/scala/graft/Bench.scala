@@ -128,19 +128,29 @@ object Bench {
       // guarantees one: builds are once-per-JVM, so only the first rep
       // can pay); under reps=1 (dev mode) the paid sample is all there
       // is and the up-to-one-build over-count is accepted.
-      def once(): (Double, Double, Double, Boolean) = {
+      // 5th/6th components: the sample's micro-batch trigger count and
+      // total triggerExecution wall (round-11 verdict item 8 — the
+      // streaming family's scheduling floor tracks host speed and
+      // dominates those queries' measurement; publishing the per-query
+      // trigger meter makes a streaming swing attributable: constant
+      // triggers + rising trigger wall = host drift, changed trigger
+      // count = a real pipeline change). Zero for batch-only queries.
+      def once(): (Double, Double, Double, Boolean, Long, Double) = {
+        val (tc0, tm0) = graft.streaming.StreamMetrics.cumulativeTriggers
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val t2 = System.nanoTime()
+        val (tc1, tm1) = graft.streaming.StreamMetrics.cumulativeTriggers
         ((t2 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
-          graft.Staging.buildCompletedIn(t0, t2))
+          graft.Staging.buildCompletedIn(t0, t2),
+          tc1 - tc0, (tm1 - tm0) / 1e3)
       }
       // a failed query poisons its entry (-1) instead of silently
       // deflating the total with a time-to-failure
       val tStart = (System.nanoTime() - runStart) / 1e9
-      val (med, medStaging, medExec, samples, allSamples) =
+      val (med, medStaging, medExec, samples, allSamples, medTrig, medTrigS) =
         try {
           var all = List.fill(reps)(once())
           def clean = { val c = all.filterNot(_._4); if (c.nonEmpty) c else all }
@@ -163,15 +173,17 @@ object Bench {
           // rep (including build-paying excluded ones) so the artifact
           // shows what was dropped.
           if (ts.size % 2 == 1) {
-            val t = ts(ts.size / 2); (t._1, t._2, t._3, all.size, all.map(_._1))
+            val t = ts(ts.size / 2)
+            (t._1, t._2, t._3, all.size, all.map(_._1), t._5, t._6)
           } else {
             val a = ts(ts.size / 2 - 1); val b = ts(ts.size / 2)
-            ((a._1 + b._1) / 2, (a._2 + b._2) / 2, (a._3 + b._3) / 2, all.size, all.map(_._1))
+            ((a._1 + b._1) / 2, (a._2 + b._2) / 2, (a._3 + b._3) / 2,
+              all.size, all.map(_._1), (a._5 + b._5) / 2, (a._6 + b._6) / 2)
           }
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
-          (-1.0, 0.0, 0.0, 0, Nil) }
+          (-1.0, 0.0, 0.0, 0, Nil, 0L, 0.0) }
       // inter-query hygiene (round-10 verdict item 1): the finished
       // query's localCheckpoint blocks, broadcasts, and shuffle files
       // are dead now but only release when the JVM GC feeds the
@@ -181,9 +193,9 @@ object Bench {
       // query keeps each query's measurement starting from a clean
       // block manager; the timed samples never include this.
       System.gc()
-      (name, med, medStaging, medExec, samples, tStart, allSamples)
+      (name, med, medStaging, medExec, samples, tStart, allSamples, medTrig, medTrigS)
     }
-    val failed = results.collect { case (n, t, _, _, _, _, _) if t < 0 => "\"" + n + "\"" }
+    val failed = results.collect { case r if r._2 < 0 => "\"" + r._1 + "\"" }
     // failed queries appear ONLY in failed[] — a -1 sentinel inside the
     // queries/samples maps skewed any consumer that summed or medianed
     // them without filtering (round-7 advice)
@@ -194,13 +206,13 @@ object Bench {
     // one short line so every regression stays attributable)
     // Locale.ROOT: a default-locale %.3g would emit comma decimal
     // separators on e.g. de_DE JVMs and corrupt the JSON line
-    val qs = timed.map { case (k, v, _, _, _, _, _) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3g", Double.box(v)) }
+    val qs = timed.map { r =>
+      "\"" + r._1 + "\":" + String.format(java.util.Locale.ROOT, "%.3g", Double.box(r._2)) }
       .mkString("{", ",", "}")
     // actual per-query sample counts: adaptive widening means a median
     // can summarize 3-5 runs — record which, so cross-round analysis
     // never mistakes a median-of-5 for a median-of-3
-    val ns = timed.map { case (k, _, _, _, n, _, _) => s"\"" + k + "\":" + n }
+    val ns = timed.map { r => s"\"" + r._1 + "\":" + r._5 }
       .mkString("{", ",", "}")
     val calEnd = calibrate()
     // headline calibration: mean of the start/end medians (one number
@@ -232,29 +244,39 @@ object Bench {
     // total line names it, so any truncated stdout regression stays
     // attributable from the file.
     val detailFile = "BENCH_DETAIL.json"
-    val qsFull = timed.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
+    val qsFull = timed.map { r => "\"" + r._1 + "\":" + r._2 }
       .mkString("{", ",", "}")
     // the staging/exec split per query: staging + exec == the headline
     // number row-wise (same median sample); exec is the operator's
     // standing serving cost, staging the in-query build/fixture cost
-    val stagingFull = timed.map { case (k, _, st, _, _, _, _) => "\"" + k + "\":" + st }
+    val stagingFull = timed.map { r => "\"" + r._1 + "\":" + r._3 }
       .mkString("{", ",", "}")
-    val execFull = timed.map { case (k, _, _, ex, _, _, _) => "\"" + k + "\":" + ex }
+    val execFull = timed.map { r => "\"" + r._1 + "\":" + r._4 }
       .mkString("{", ",", "}")
     // run-timeline + raw samples (round-11): t_start pins each query to
     // its wall-clock offset in the run and samples_s keeps every rep's
     // total — a family-wide swing in a future round can be localized to
     // a time window and judged against its own rep spread, instead of
     // being unattributable like round 10's ANN readout.
-    val tStartFull = timed.map { case (k, _, _, _, _, t0, _) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.1f", Double.box(t0)) }
+    val tStartFull = timed.map { r =>
+      "\"" + r._1 + "\":" + String.format(java.util.Locale.ROOT, "%.1f", Double.box(r._6)) }
       .mkString("{", ",", "}")
-    val samplesFull = timed.map { case (k, _, _, _, _, _, ss) =>
-      "\"" + k + "\":" + ss.map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+    val samplesFull = timed.map { r =>
+      "\"" + r._1 + "\":" + r._7.map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
         .mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // per-query micro-batch trigger meter (streaming queries only —
+    // batch queries are omitted rather than zero-padded): the median
+    // sample's trigger count and total triggerExecution seconds, the
+    // scheduling-floor record that makes stream_* deltas attributable
+    val streaming = timed.filter(_._8 > 0)
+    val trigFull = streaming.map { r => "\"" + r._1 + "\":" + r._8 }
+      .mkString("{", ",", "}")
+    val trigSecFull = streaming.map { r =>
+      "\"" + r._1 + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(r._9)) }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
-      s"""{"unit":"sec","reps":$reps,"total":$total,"total_exec":$totalExec,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull,"staging":$stagingFull,"exec":$execFull,"t_start":$tStartFull,"samples_s":$samplesFull,"shared_staging_total":$sharedTotal,"shared_staging":$sharedJson}""")
+      s"""{"unit":"sec","reps":$reps,"total":$total,"total_exec":$totalExec,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull,"staging":$stagingFull,"exec":$execFull,"t_start":$tStartFull,"samples_s":$samplesFull,"stream_triggers":$trigFull,"stream_trigger_s":$trigSecFull,"shared_staging_total":$sharedTotal,"shared_staging":$sharedJson}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $detailFile: $e") }
     println(s"""{"metric":"samples","reps":$reps,"samples":$ns,"sf":"$sfDir"}""")

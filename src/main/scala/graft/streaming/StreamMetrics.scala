@@ -31,6 +31,21 @@ object StreamMetrics {
   private val attached = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val RingCap = 4096   // bounded: old entries roll off, log lines persist
 
+  // JVM-cumulative trigger meter (round-11 verdict item 8): ~20
+  // stream_* bench queries carry a 1-3 s micro-batch scheduling floor
+  // that tracks host speed and dominates their measurement. Bench
+  // snapshots these around each sample and publishes the per-query
+  // delta (trigger count + total trigger-execution wall) so a
+  // round-over-round streaming swing is attributable from the
+  // artifact: constant triggers + rising trigger wall = host drift;
+  // changed trigger count = a real pipeline change.
+  private val trigCount = new java.util.concurrent.atomic.AtomicLong()
+  private val trigMs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (micro-batches executed, total triggerExecution ms) since JVM
+    * start — monotonic; consumers diff two snapshots. */
+  def cumulativeTriggers: (Long, Long) = (trigCount.get, trigMs.get)
+
   private val listener: StreamingQueryListener = new StreamingQueryListener {
     override def onQueryStarted(e: QueryStartedEvent): Unit =
       log.info(s"""{"stream":"${Option(e.name).getOrElse(e.id.toString)}","event":"started","run_id":"${e.runId}"}""")
@@ -43,6 +58,8 @@ object StreamMetrics {
         p.processedRowsPerSecond)
       ring.add(m)
       while (ring.size > RingCap) ring.poll()
+      trigCount.incrementAndGet()
+      trigMs.addAndGet(math.max(m.triggerMs, 0L))
       log.info(s"""{"stream":"${m.query}","event":"progress","batch":${m.batchId},"input_rows":${m.inputRows},"trigger_ms":${m.triggerMs},"rows_per_sec":${m.rowsPerSec}}""")
     }
 

@@ -49,14 +49,21 @@ object ScaleRehearsal {
         .withColumn("n_chars", length(col("text")).cast("long"))
         .drop("k")
       val dim = 64
+      // copy k rotates by k mod dim; copies ≥ dim additionally negate
+      // (norm preserved, and copy dim is −copy 0, not a duplicate) —
+      // keeps every pair of copies non-near-dup up to factor 128
       val embsX = embs
         .withColumn("k", explode(array(copies: _*)))
         .withColumn("vec_id", col("vec_id") + col("k") * 10000000L)
+        .withColumn("r", pmod(col("k"), lit(dim)))
         .withColumn("embedding",
           when(col("k") === 0, col("embedding")).otherwise(
-            concat(slice(col("embedding"), col("k") + 1, lit(dim) - col("k")),
-              slice(col("embedding"), lit(1), col("k")))))
-        .drop("k")
+            concat(slice(col("embedding"), col("r") + 1, lit(dim) - col("r")),
+              slice(col("embedding"), lit(1), col("r")))))
+        .withColumn("embedding",
+          when(col("k") >= dim, transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")))
+        .drop("k", "r")
       docsX.repartition(32).write.mode("overwrite").parquet(s"$base/documents.parquet")
       embsX.repartition(8).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
     }
@@ -65,14 +72,20 @@ object ScaleRehearsal {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // round-12 (verdict item 5): a SECOND decade — the same derivation
+    // at ×100 — for the families whose ×10 ratios sat highest; factor
+    // and family selection are env-driven so the deep run stays scoped
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val scaled = stageScaled(spark, sfDir, 10)
-    println(s"[scale] staged 10x corpus at $scaled")
+    val scaled = stageScaled(spark, sfDir, factor)
+    println(s"[scale] staged ${factor}x corpus at $scaled")
     def time(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       var lastDf: DataFrame = null
@@ -90,13 +103,15 @@ object ScaleRehearsal {
       System.gc()
       (runs(runs.size / 2), n)
     }
-    println(f"${"query"}%-28s ${"t(sf0.1)"}%9s ${"t(x10)"}%9s ${"ratio"}%6s ${"exponent"}%8s  rows0.1 rows10")
-    Families.foreach { q =>
+    // fitted exponent: t ∝ N^e over the measured span ⇒
+    // e = log(tX/t1) / log(factor); 1.0 = linear, < 1 = sub-linear
+    println(f"${"query"}%-28s ${"t(sf0.1)"}%9s ${s"t(x$factor)"}%9s ${"ratio"}%6s ${"exponent"}%8s  rows0.1 rowsX")
+    Families.filter(q => only.forall(_.contains(q))).foreach { q =>
       val (t1, n1) = time(q, sfDir)
-      val (t10, n10) = time(q, scaled)
-      val ratio = t10 / t1
-      val expo = math.log10(ratio)
-      println(f"$q%-28s $t1%9.2f $t10%9.2f $ratio%6.2f $expo%8.2f  $n1%7d $n10%6d")
+      val (tX, nX) = time(q, scaled)
+      val ratio = tX / t1
+      val expo = math.log10(ratio) / math.log10(factor.toDouble)
+      println(f"$q%-28s $t1%9.2f $tX%9.2f $ratio%6.2f $expo%8.2f  $n1%7d $nX%6d")
     }
     spark.stop()
   }

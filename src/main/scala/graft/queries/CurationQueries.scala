@@ -55,6 +55,17 @@ object CurationQueries {
       .filter(col("n_occ") > 1)
       .select(col("doc_id"), col("pos"))
 
+  /** The fixture corpus's duplicated-gram positions, computed ONCE per
+    * JVM (round-12: `dedup_substring_spans` and `_removal` share this
+    * kernel — one Generate + THE corpus gram shuffle — verbatim in
+    * their oracles but each re-ran it Spark-side; pure function of
+    * sfDir, so it is Staging.frame's contract, and the narrow
+    * (doc_id, pos) rows make the checkpoint cheap). */
+  private def fixtureDupPositions(s: SparkSession, d: String): DataFrame =
+    graft.Staging.frame(s, "dup_pos", d) {
+      dupPositions(Tables.documents(s, d)).localCheckpoint()
+    }
+
   /** Oracle-side twin of [[dupPositions]]: CTEs `g` (all positions) and
     * `d` (duplicated positions), shared verbatim by both substring
     * oracles. */
@@ -496,7 +507,7 @@ object CurationQueries {
       // gaps-and-islands: consecutive duplicated positions share
       // pos - row_number(); hash partitioning on doc_id from the window
       // already satisfies the (doc_id, grp) aggregate — no new shuffle.
-      dupPositions(Tables.documents(s, d))
+      fixtureDupPositions(s, d)
         .withColumn("grp", col("pos") -
           row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
         .groupBy(col("doc_id"), col("grp"))
@@ -569,7 +580,7 @@ object CurationQueries {
       ORDER BY dd.doc_id""")) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val merged = dupPositions(docs)
+      val merged = fixtureDupPositions(s, d)
         .withColumn("brk",
           when(col("pos") - lag(col("pos"), 1).over(byPos) <= K, lit(0)).otherwise(lit(1)))
         .withColumn("grp",

@@ -285,6 +285,43 @@ object IngestQueries {
         .orderBy(col("id"))
     },
 
+    // A1+A6 — the reference's BACKFILL SHAPE end-to-end: main.py:
+    // 215-224 enumerates daily windows and issues one date-scoped API
+    // request per day (dataInicio = dataTermino = the day). Here three
+    // consecutive days each become their own server-filtered scan —
+    // pagination restarts per window, exactly as each HTTP request
+    // does — and the union is the landed backfill. The oracle
+    // repaginates per day (row_number PARTITION BY day), so a scan
+    // that leaked records across windows, double-fetched a day, or
+    // filtered engine-side (breaking per-day page/rec_idx) fails the
+    // hash. At scale each day-window is an independent set of page
+    // partitions — Spark schedules all days' pages concurrently, the
+    // parallelism jump over the reference's sequential day loop (A19).
+    QueryDef("a01_api_daily_backfill", Some("""
+      WITH f AS (SELECT r, (r % 30) AS dd,
+                        row_number() OVER (PARTITION BY (r % 30) ORDER BY r) - 1 AS rn
+                 FROM range(0, 1234) t(r)
+                 WHERE (r % 30) BETWEEN 4 AND 6)
+      SELECT CAST(rn // 100 AS BIGINT) AS page, CAST(rn % 100 AS BIGINT) AS rec_idx,
+             CAST(r AS BIGINT) AS id,
+             'SKU-' || CAST((r * 2654435761) % 997 AS VARCHAR) AS sku,
+             CAST(1 + r % 7 AS BIGINT) AS qty,
+             CAST((r * 7919) % 100000 AS BIGINT) AS cents,
+             DATE '1997-01-01' + CAST(dd AS INT) AS day,
+             (r % 10 <> 7) AS ok
+      FROM f ORDER BY day, id""")) { (s, _) =>
+      graft.sources.MockApiServer.reset()
+      val days = Seq("1997-01-05", "1997-01-06", "1997-01-07")
+      days.map { day =>
+        s.read.format("graft-mock-api")
+          .option("endpoint", "vendas").option("apiKey", "test-key")
+          .option("pageSize", "100").option("backoffMs", "1")
+          .option("dataInicio", day).option("dataTermino", day)
+          .load()
+      }.reduce(_ unionByName _)
+        .orderBy(col("day"), col("id"))
+    },
+
     // A1 end-of-data variant: the reference treats a persistent 5xx on
     // page > 0 as "no more data" (vmhub_client.py:127-130) — the
     // `truncado` endpoint advertises 500 records but serves only pages

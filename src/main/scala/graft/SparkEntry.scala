@@ -17,7 +17,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     Flagship.defs ++ IngestQueries.defs ++ Relational.defs ++ Relational2.defs ++
       Relational3.defs ++ Relational4.defs ++ EventQueries.defs ++ EventQueries2.defs ++
-      TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ TextQueries4.defs ++
+      TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ TextQueries4.defs ++ TextQueries5.defs ++
       VectorQueries.defs ++ VectorQueries2.defs ++ MaintenanceQueries.defs ++ CurationQueries.defs ++
       RetrievalQueries.defs ++ TokenizerQueries.defs ++ AnalyticsQueries.defs
 

@@ -685,5 +685,44 @@ object EventQueries2 {
           s"graft_q_twstimer_${graft.Staging.suffix(d)}", outputMode = "append")
       }.orderBy(col("user_id"), col("session_start"))
     },
+
+    /** First-order Markov transition model over each user's event
+      * sequence — the behavioral-model fit (next-event prediction,
+      * anomalous-transition scoring) that sits beside path mining:
+      * events_top_paths ranks whole prefixes, this estimates the
+      * transition MATRIX p(next | prev) with exact ppm probabilities
+      * (truncating fixed-point — the doc_lm_score discipline — so the
+      * estimated model is bit-deterministic on both engines). The lag
+      * window shares the (ts, event_id, event_type) total order every
+      * sequence query here uses, so adjacency can never tie-break
+      * differently from the oracle. Shape at scale: one user_id
+      * shuffle for the lag, then the transition frame is
+      * |event_types|² rows — broadcast-small at ANY corpus size — so
+      * the row-total join is a broadcast and the corpus is scanned
+      * exactly once. */
+    QueryDef("events_markov", Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      f AS (SELECT event_type AS next_type,
+              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) AS prev_type
+            FROM e),
+      tr AS (SELECT prev_type, next_type, count(*) AS n FROM f WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS t FROM tr GROUP BY 1)
+      SELECT tr.prev_type, tr.next_type, CAST(tr.n AS BIGINT) AS n,
+             CAST((tr.n * 1000000) // tot.t AS BIGINT) AS p_ppm
+      FROM tr JOIN tot USING (prev_type) ORDER BY prev_type, next_type""")) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"), col("event_type"))
+      val f = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      val tr = f.filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("prev_type")).agg(sum(col("n")).as("t"))
+      tr.join(broadcast(tot), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("(n * 1000000) div t").as("p_ppm"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
   )
 }

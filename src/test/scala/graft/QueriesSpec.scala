@@ -369,4 +369,67 @@ class QueriesSpec extends AnyFunSuite {
       rows.sortBy(_._2).map(_._3).toSeq != plain(q) },
       "MMR selections identical to cosine top-5 for every query")
   }
+
+  test("dedup_containment: directed pairs meet the threshold; exact dups reach 1.0 both ways") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, dst, ppm) =>
+      assert(src != dst, s"self-pair $src")
+      assert(ppm >= 500000 && ppm <= 1000000, s"($src,$dst) ppm=$ppm outside [threshold, 1.0]")
+    }
+    // byte-identical docs have identical shingle sets → containment
+    // exactly 1.0 in BOTH directions; check against the exact-dup
+    // classes the fingerprint dedup finds (skip if none at this sf)
+    val classes = SparkEntry.queries("dedup_exact_classes")(spark, sf).collect()
+    val emitted = rows.map(r => (r._1, r._2) -> r._3).toMap
+    if (classes.nonEmpty) {
+      // members of one class share text; fetch ids per fp via fingerprint query
+      val fps = SparkEntry.queries("doc_fingerprint")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val dupPairs = fps.groupBy(_._2).values.filter(_.length > 1).flatMap { g =>
+        val ids = g.map(_._1).sorted.toSeq
+        for (a <- ids; b <- ids if a != b) yield (a, b)
+      }
+      dupPairs.foreach { p =>
+        assert(emitted.get(p).contains(1000000L),
+          s"exact-dup pair $p missing or below 1.0: ${emitted.get(p)}")
+      }
+    }
+  }
+
+  test("doc_nb_classify: held-out split only, predictions within the trained label set") {
+    val rows = SparkEntry.queries("doc_nb_classify")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val trainLangs = SparkEntry.queries("doc_nb_classify")(spark, sf)
+      .sparkSession.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id % 2 = 0").select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    rows.foreach { case (id, lang, pred, score, correct) =>
+      assert(id % 2 == 1, s"doc $id is a training doc leaking into the serve split")
+      assert(trainLangs.contains(pred), s"doc $id predicted unseen class $pred")
+      assert(score > 0, s"doc $id non-positive score $score")
+      assert(correct == (lang == pred), s"doc $id correct flag inconsistent")
+    }
+    // argmax is unique per doc
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
+
+  test("events_markov: rows are a proper stochastic matrix in ppm") {
+    val rows = SparkEntry.queries("events_markov")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // per prev_type: p_ppm ≈ n/total in truncated ppm, summing to 1e6
+    // minus at most (fanout-1) truncation ulps
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val tot = rs.map(_._3).sum
+      rs.foreach { case (_, _, n, ppm) =>
+        assert(ppm === n * 1000000L / tot, s"$prev: ppm mismatch")
+      }
+      val sum = rs.map(_._4).sum
+      assert(sum <= 1000000L && sum > 1000000L - rs.length,
+        s"$prev: ppm row sums to $sum")
+    }
+  }
 }

@@ -583,5 +583,61 @@ object IngestQueries {
           col("r.o_totalprice").as("o_totalprice"))
         .orderBy(col("o_orderkey"))
     },
+
+    // A21 — per-tenant KV config lookup (firestore_helper.py:8-28),
+    // the last SURVEY §2 row, now a judged dataflow op. The settings
+    // store (operators/ConfigStore.scala) is staged as a real parquet
+    // document table and read BACK here — the lookup is a BROADCAST
+    // hash join (the store is O(tenants): KBs–MBs at any corpus scale,
+    // so a billion-row worklist resolves with zero shuffle; the final
+    // global sort is the only exchange). The reference's two ValueError
+    // modes (missing document firestore_helper.py:18; missing/EMPTY
+    // vmhubToken or cnpj :24 — `if not tok or not cnpj` treats '' like
+    // absent) surface as a per-row `error` column with the reference's
+    // message shape — the PERMISSIVE translation of fail-fast, same
+    // stance as A5's _corrupt_record; the strict scalar API itself
+    // (throws, returns the pair) is ConfigStore.getCustomerData,
+    // spec-gated in ConfigStoreSpec. The oracle regenerates the staged
+    // store from the same customer-key arithmetic, so a row lost or
+    // mangled in the parquet round-trip breaks the hash.
+    QueryDef("a21_config_lookup", Some("""
+      WITH store AS (
+        SELECT 'u' || CAST(c_custkey AS VARCHAR) AS user_id,
+               CASE WHEN c_custkey % 7 = 2 THEN ''
+                    ELSE 'tok-' || CAST((c_custkey * 2654435761) % 1000000007 AS VARCHAR) END AS tok,
+               CASE WHEN c_custkey % 11 = 5 THEN NULL
+                    ELSE lpad(CAST((c_custkey * 7919) % 100000000000000 AS VARCHAR), 14, '0') END AS cnpj
+        FROM customer WHERE c_custkey % 5 <> 3),
+      looked AS (
+        SELECT 'u' || CAST(c.c_custkey AS VARCHAR) AS user_id, s.user_id AS hit, s.tok, s.cnpj
+        FROM customer c LEFT JOIN store s ON s.user_id = 'u' || CAST(c.c_custkey AS VARCHAR))
+      SELECT user_id,
+        CASE WHEN hit IS NOT NULL AND tok <> '' AND cnpj IS NOT NULL AND cnpj <> '' THEN tok END AS vmhub_token,
+        CASE WHEN hit IS NOT NULL AND tok <> '' AND cnpj IS NOT NULL AND cnpj <> '' THEN cnpj END AS cnpj,
+        CASE WHEN hit IS NULL THEN 'no config document found at /users/' || user_id || '/config/settings'
+             WHEN tok = '' OR cnpj IS NULL OR cnpj = ''
+               THEN 'config document at /config/settings is missing ''vmhubToken'' or ''cnpj'''
+             END AS error
+      FROM looked ORDER BY user_id""")) { (s, d) =>
+      val store = s.read.parquet(graft.operators.ConfigStore.storeDir(s, d))
+        .select(col("user_id").as("hit"),
+          element_at(col("settings"), "vmhubToken").as("tok"),
+          element_at(col("settings"), "cnpj").as("cnpj_v"))
+      val worklist = Tables.customer(s, d)
+        .select(concat(lit("u"), col("c_custkey").cast("string")).as("user_id"))
+      val ok = col("hit").isNotNull && col("tok") =!= "" &&
+        col("cnpj_v").isNotNull && col("cnpj_v") =!= ""
+      worklist.join(broadcast(store), col("user_id") === col("hit"), "left")
+        .select(col("user_id"),
+          when(ok, col("tok")).as("vmhub_token"),
+          when(ok, col("cnpj_v")).as("cnpj"),
+          when(col("hit").isNull,
+            concat(lit("no config document found at /users/"), col("user_id"),
+              lit("/config/settings")))
+            .when(col("tok") === "" || col("cnpj_v").isNull || col("cnpj_v") === "",
+              lit(graft.operators.ConfigStore.MissingField))
+            .as("error"))
+        .orderBy(col("user_id"))
+    },
   )
 }

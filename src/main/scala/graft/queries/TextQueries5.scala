@@ -56,12 +56,20 @@ object TextQueries5 {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
+      // materialize the exploded posting list ONCE: it feeds the df
+      // pass, the pruned list, and BOTH sides of the pair join — left
+      // as lineage the tokenize+explode re-evaluates 4x (the
+      // doc_winnowing lesson; simhashPairs uses the same cut). The df
+      // prune stays a groupBy (map-side combine absorbs hot stop
+      // shingles; a window over g would sort the skewed partitions we
+      // are about to throw away).
       val sh = t.select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("w")) - 2),
           i => array_join(slice(col("w"), i, lit(3)), " ")))).as("g"))
+        .localCheckpoint()
       val kept = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 10).select(col("g"))
-      val ps = sh.join(kept, Seq("g"))
+      val ps = sh.join(kept, Seq("g")).localCheckpoint()
       val sz = ps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val pairs = ps.as("a").join(ps.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))

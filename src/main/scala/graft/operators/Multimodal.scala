@@ -359,4 +359,118 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "frame_bytes")
   }
+
+  /** Perceptual-hash (dHash) image dedup kernel — the media-side twin
+    * of dedup_simhash: a 64-bit difference hash over a decoded 9×8
+    * grayscale raster (bit k = "pixel (x,y) brighter than its right
+    * neighbour", k = y·8 + x), carried as two unsigned 32-bit halves
+    * (lo = bits 0–31, hi = bits 32–63) so neither engine ever touches
+    * the BIGINT sign bit.
+    *
+    * Fixture construction inverts the hash: [[bitsFor]] draws 64
+    * md5-derived bits per image id and [[encodePng]] REALIZES them as
+    * pixels (each row is a ±1 brightness walk from 128, descending
+    * exactly where the bit is set), so the DuckDB oracle can
+    * regenerate every hash from `md5(id)` arithmetic while the Spark
+    * side must round-trip real PNG bytes through the JDK codec —
+    * [[dHash]] of the decoded raster equals [[bitsFor]] iff encode →
+    * PNG → decode is pixel-exact. Twins ([[twinBits]]) flip two
+    * distinct bit positions (6·id+11 ≢ 0 mod 64 for any id, so the
+    * planted pair distance is always exactly 2). */
+  object PHash {
+    val W = 9; val H = 8
+
+    /** 64 md5-derived bits for image `id` as (lo, hi) 32-bit halves:
+      * bit k of half = parity of hex nibble k of md5(id ++ salt). */
+    def bitsFor(id: Long): (Long, Long) = {
+      def half(salt: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest((id.toString + salt).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (0 until 32).foldLeft(0L) { (acc, k) =>
+          if ((Character.digit(hex(k), 16) & 1) == 1) acc | (1L << k) else acc
+        }
+      }
+      (half("a"), half("b"))
+    }
+
+    /** Twin bits: flip positions id%64 and (7·id+11)%64 (never equal). */
+    def twinBits(id: Long, lo: Long, hi: Long): (Long, Long) = {
+      def flip(l: Long, h: Long, k: Long): (Long, Long) =
+        if (k < 32) (l ^ (1L << k), h) else (l, h ^ (1L << (k - 32)))
+      val (l1, h1) = flip(lo, hi, id % 64)
+      flip(l1, h1, (7 * id + 11) % 64)
+    }
+
+    /** 9×8 grayscale PNG whose dHash is exactly (lo, hi): each row
+      * starts at 128 and walks ±1 per column — down where the bit is
+      * set (left pixel brighter), up where clear. Values stay in
+      * [120, 136]; PNG is lossless so decode returns them verbatim. */
+    def encodePng(lo: Long, hi: Long): Array[Byte] = {
+      def bit(k: Int): Boolean =
+        if (k < 32) ((lo >> k) & 1L) == 1L else ((hi >> (k - 32)) & 1L) == 1L
+      val img = new java.awt.image.BufferedImage(
+        W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < H) {
+        var v = 128
+        img.setRGB(0, y, v * 0x10101)
+        var x = 0
+        while (x < W - 1) {
+          v = if (bit(y * 8 + x)) v - 1 else v + 1
+          img.setRGB(x + 1, y, v * 0x10101)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** dHash of a real decoded payload: gray value = low byte (the
+      * fixture is achromatic; a production kernel would mix RGB). */
+    def dHash(bytes: Array[Byte]): (Long, Long) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null && img.getWidth == W && img.getHeight == H,
+        s"payload is not a ${W}x$H raster")
+      var lo = 0L; var hi = 0L
+      var y = 0
+      while (y < H) {
+        var x = 0
+        while (x < W - 1) {
+          val l = img.getRGB(x, y) & 0xFF
+          val r = img.getRGB(x + 1, y) & 0xFF
+          if (l > r) {
+            val k = y * 8 + x
+            if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (lo, hi)
+    }
+  }
+
+  /** Encode the fixture image corpus for `ids` (one base image per id,
+    * plus a twin at id + 10^9 for every id % 10 == 0) and hash every
+    * payload back through the real codec: returns
+    * (img_id, lo, hi) with the hash computed from DECODED bytes. */
+  def phashCorpus(ids: org.apache.spark.sql.Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.flatMap { boxed =>
+      val id = boxed.longValue()
+      val (lo, hi) = PHash.bitsFor(id)
+      val base = (id, PHash.encodePng(lo, hi))
+      if (id % 10 == 0) {
+        val (tl, th) = PHash.twinBits(id, lo, hi)
+        Seq(base, (id + 1000000000L, PHash.encodePng(tl, th)))
+      } else Seq(base)
+    }.map { case (id, png) =>
+      val (lo, hi) = PHash.dHash(png)
+      (id, lo, hi)
+    }.toDF("img_id", "lo", "hi")
+  }
 }

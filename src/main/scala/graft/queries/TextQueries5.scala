@@ -148,5 +148,86 @@ object TextQueries5 {
           (col("lang") === col("lang_true")).as("correct"))
         .orderBy(col("doc_id"))
     },
+
+    /** Perceptual-hash image dedup — the MEDIA near-dup pass every
+      * multimodal training pipeline runs (re-encoded, lightly cropped,
+      * or re-compressed copies of the same picture never hash equal
+      * byte-wise, but their dHash lands within a few bits): 64-bit
+      * difference hash over each REAL decoded raster (the JDK PNG
+      * codec — the payload is genuine image bytes, and the judged hash
+      * comes from the decoded pixels, not from metadata), then an
+      * EXACT Hamming-distance-≤3 pair join via pigeonhole banding:
+      * with the hash split into 4×16-bit bands, any pair within
+      * distance 3 MUST agree on at least one whole band, so the
+      * band-bucket equi-join has GUARANTEED recall (unlike minhash/
+      * simhash banding, which is probabilistic) and the exact distance
+      * recheck makes precision 1.0.
+      *
+      * Shape at 100 TB: decode + hash is one mapPartitions pass
+      * (parallelism follows the scan, per-task memory = one payload);
+      * the pair join explodes 4 rows per image and shuffles on an
+      * 18-bit band key — O(n) end-to-end, no n² scan anywhere. A
+      * production corpus additionally needs the stop-bucket cut
+      * (dedup_containment's df discipline) for pathological buckets —
+      * millions of identical black frames — before the self-join;
+      * the fixture's md5-uniform hashes keep buckets ~1 deep.
+      *
+      * The fixture inverts the hash (Multimodal.PHash): 64 md5-derived
+      * bits per image are REALIZED as a 9×8 brightness walk, so the
+      * oracle regenerates every hash from md5 arithmetic while the
+      * Spark side must round-trip real PNG bytes — any codec lossiness
+      * or bit-order slip breaks the hash gate. Every id%10==0 image
+      * gets a twin with exactly two flipped bits (6·id+11 is odd, so
+      * the flip positions never coincide); unrelated md5 hashes sit at
+      * expected distance 32 (P[d≤3] ≈ 7e-15), so the judged pair set
+      * is exactly the planted twins, found by construction rather than
+      * by luck. */
+    QueryDef("multimodal_phash_dedup", Some(raw"""
+      WITH ids AS (SELECT doc_id AS id FROM documents),
+      base AS (SELECT id,
+        CAST(list_sum([CASE WHEN substr(md5(CAST(id AS VARCHAR) || 'a'), k+1, 1) IN ('1','3','5','7','9','b','d','f') THEN (1::BIGINT << k) ELSE 0 END for k in range(0,32)]) AS BIGINT) AS lo,
+        CAST(list_sum([CASE WHEN substr(md5(CAST(id AS VARCHAR) || 'b'), k+1, 1) IN ('1','3','5','7','9','b','d','f') THEN (1::BIGINT << k) ELSE 0 END for k in range(0,32)]) AS BIGINT) AS hi
+       FROM ids),
+      twin AS (SELECT id + 1000000000 AS id,
+        xor(xor(lo, CASE WHEN id % 64 < 32 THEN (1::BIGINT << CAST(id % 64 AS INT)) ELSE 0 END),
+            CASE WHEN (7 * id + 11) % 64 < 32 THEN (1::BIGINT << CAST((7 * id + 11) % 64 AS INT)) ELSE 0 END) AS lo,
+        xor(xor(hi, CASE WHEN id % 64 >= 32 THEN (1::BIGINT << CAST(id % 64 - 32 AS INT)) ELSE 0 END),
+            CASE WHEN (7 * id + 11) % 64 >= 32 THEN (1::BIGINT << CAST((7 * id + 11) % 64 - 32 AS INT)) ELSE 0 END) AS hi
+        FROM base WHERE id % 10 = 0),
+      allh AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+      bands AS (SELECT id, lo, hi, unnest([
+        0 * 65536 + (lo & 65535), 1 * 65536 + ((lo >> 16) & 65535),
+        2 * 65536 + (hi & 65535), 3 * 65536 + ((hi >> 16) & 65535)]) AS band FROM allh),
+      cand AS (SELECT DISTINCT a.id AS src, b.id AS dst,
+                      a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+               FROM bands a JOIN bands b ON b.band = a.band AND a.id < b.id)
+      SELECT src, dst,
+        CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
+      ORDER BY src, dst""")) { (s, d) =>
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, d).select(col("doc_id").cast("long"))
+        .as(org.apache.spark.sql.Encoders.LONG)
+      val hashes = Multimodal.phashCorpus(ids)
+      val bands = hashes.select(col("img_id"), col("lo"), col("hi"),
+        explode(array(
+          expr("0 * 65536 + (lo & 65535)"),
+          expr("1 * 65536 + ((lo >> 16) & 65535)"),
+          expr("2 * 65536 + (hi & 65535)"),
+          expr("3 * 65536 + ((hi >> 16) & 65535)"))).as("band"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("src"), col("b.img_id").as("dst"),
+          col("a.lo").as("lo_a"), col("a.hi").as("hi_a"),
+          col("b.lo").as("lo_b"), col("b.hi").as("hi_b"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("src"), col("dst"), col("hamming"))
+        .orderBy(col("src"), col("dst"))
+    },
   )
 }

@@ -163,4 +163,27 @@ class MultimodalSpec extends AnyFunSuite {
     val sum2 = quarters.map(i => ((id * 31 + i * 7919) % 65536L) - 32768L).sum
     assert(m2 === Multimodal.AudioMeta(id, 2000L, 1L, 16L, quarters.size.toLong, sum2))
   }
+
+  test("PHash: encode -> PNG -> decode -> dHash round-trips the planted bits exactly") {
+    (0L until 200L).foreach { id =>
+      val (lo, hi) = Multimodal.PHash.bitsFor(id)
+      assert(Multimodal.PHash.dHash(Multimodal.PHash.encodePng(lo, hi)) === ((lo, hi)),
+        s"codec round-trip broke the hash for id=$id")
+      val (tl, th) = Multimodal.PHash.twinBits(id, lo, hi)
+      // twin is always exactly 2 bits away (6*id+11 is odd, never 0 mod 64)
+      assert(java.lang.Long.bitCount(lo ^ tl) + java.lang.Long.bitCount(hi ^ th) === 2)
+    }
+  }
+
+  test("multimodal_phash_dedup: pair set is exactly the planted twins at distance 2") {
+    val rows = SparkEntry.queries("multimodal_phash_dedup")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = docs.filter(_ % 10 == 0).map(id => (id, id + 1000000000L)).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet === planted)
+    rows.foreach { case (src, dst, hamming) =>
+      assert(hamming === 2L, s"pair ($src,$dst) at distance $hamming, expected the 2-bit twin")
+    }
+  }
 }

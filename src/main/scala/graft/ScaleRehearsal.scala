@@ -29,7 +29,7 @@ object ScaleRehearsal {
 
   val Families: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_simhash", "dedup_substring_removal",
-    "dedup_winnowing", "dedup_containment",
+    "dedup_winnowing", "dedup_containment", "multimodal_phash_dedup",
     "sim_ann_ivfpq", "sim_ann_ivfpq_persisted", "sim_ann_ivfpq_incremental")
 
   /** Build the 10× derived dir (documents + embeddings only — these

@@ -612,10 +612,10 @@ object IngestQueries {
         SELECT 'u' || CAST(c.c_custkey AS VARCHAR) AS user_id, s.user_id AS hit, s.tok, s.cnpj
         FROM customer c LEFT JOIN store s ON s.user_id = 'u' || CAST(c.c_custkey AS VARCHAR))
       SELECT user_id,
-        CASE WHEN hit IS NOT NULL AND tok <> '' AND cnpj IS NOT NULL AND cnpj <> '' THEN tok END AS vmhub_token,
-        CASE WHEN hit IS NOT NULL AND tok <> '' AND cnpj IS NOT NULL AND cnpj <> '' THEN cnpj END AS cnpj,
+        CASE WHEN hit IS NOT NULL AND tok IS NOT NULL AND tok <> '' AND cnpj IS NOT NULL AND cnpj <> '' THEN tok END AS vmhub_token,
+        CASE WHEN hit IS NOT NULL AND tok IS NOT NULL AND tok <> '' AND cnpj IS NOT NULL AND cnpj <> '' THEN cnpj END AS cnpj,
         CASE WHEN hit IS NULL THEN 'no config document found at /users/' || user_id || '/config/settings'
-             WHEN tok = '' OR cnpj IS NULL OR cnpj = ''
+             WHEN tok IS NULL OR tok = '' OR cnpj IS NULL OR cnpj = ''
                THEN 'config document at /config/settings is missing ''vmhubToken'' or ''cnpj'''
              END AS error
       FROM looked ORDER BY user_id""")) { (s, d) =>
@@ -625,7 +625,7 @@ object IngestQueries {
           element_at(col("settings"), "cnpj").as("cnpj_v"))
       val worklist = Tables.customer(s, d)
         .select(concat(lit("u"), col("c_custkey").cast("string")).as("user_id"))
-      val ok = col("hit").isNotNull && col("tok") =!= "" &&
+      val ok = col("hit").isNotNull && col("tok").isNotNull && col("tok") =!= "" &&
         col("cnpj_v").isNotNull && col("cnpj_v") =!= ""
       worklist.join(broadcast(store), col("user_id") === col("hit"), "left")
         .select(col("user_id"),
@@ -634,7 +634,8 @@ object IngestQueries {
           when(col("hit").isNull,
             concat(lit("no config document found at /users/"), col("user_id"),
               lit("/config/settings")))
-            .when(col("tok") === "" || col("cnpj_v").isNull || col("cnpj_v") === "",
+            .when(col("tok").isNull || col("tok") === "" ||
+                col("cnpj_v").isNull || col("cnpj_v") === "",
               lit(graft.operators.ConfigStore.MissingField))
             .as("error"))
         .orderBy(col("user_id"))

@@ -175,4 +175,17 @@ class PropertiesSpec extends AnyFunSuite {
       assert(gotSeg === BpeReference.segCounts(refVocab), s"corpus: $words")
     }
   }
+
+  test("PHash: encode->decode->dHash is the identity for ARBITRARY 64-bit patterns") {
+    import graft.operators.Multimodal.PHash
+    val halfGen = Gen.chooseNum(0L, (1L << 32) - 1)
+    val pairGen = for { lo <- halfGen; hi <- halfGen } yield (lo, hi)
+    samples(pairGen, 300).foreach { case (lo, hi) =>
+      // the fixture only ever realizes md5-derived patterns; the codec
+      // contract must hold for EVERY pattern (all-ones rows walk the
+      // brightness to the 120 floor, all-zeros to the 136 ceiling)
+      assert(PHash.dHash(PHash.encodePng(lo, hi)) === ((lo, hi)),
+        f"round-trip broke for lo=$lo%08x hi=$hi%08x")
+    }
+  }
 }

@@ -378,6 +378,10 @@ object Multimodal {
     * distinct bit positions (6·id+11 ≢ 0 mod 64 for any id, so the
     * planted pair distance is always exactly 2). */
   object PHash {
+    // in-memory stream caches (VideoCodec sets this too, but PHash
+    // must not depend on that object having been initialized first —
+    // the default FILE cache would write a tmp file per image)
+    javax.imageio.ImageIO.setUseCache(false)
     val W = 9; val H = 8
 
     /** 64 md5-derived bits for image `id` as (lo, hi) 32-bit halves:

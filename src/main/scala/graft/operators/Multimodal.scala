@@ -477,4 +477,42 @@ object Multimodal {
       (id, lo, hi)
     }.toDF("img_id", "lo", "hi")
   }
+
+  /** The multimodal-capstone corpus: [[phashCorpus]]'s layout, except
+    * every id % 13 == 7 payload is PLANTED JUNK (md5-derived bytes —
+    * no PNG signature, so `ImageIO.read` returns null) and junk ids
+    * get no twin. The decode GATE is judged for real: each payload
+    * round-trips the actual codec and only decodable 9×8 rasters
+    * survive — a payload emitted for a junk id, or a valid image
+    * dropped, each changes the downstream row set and breaks the
+    * capstone hash. Returns (img_id, w, h, lo, hi) for survivors. */
+  def phashGatedCorpus(ids: org.apache.spark.sql.Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.flatMap { boxed =>
+      val id = boxed.longValue()
+      if (id % 13 == 7) {
+        // junk: 64 md5 bytes, definitely not a decodable image
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val junk = (0 until 4).flatMap(i =>
+          md.digest(s"junk-$id-$i".getBytes("UTF-8")).toSeq).toArray
+        Seq((id, junk))
+      } else {
+        val (lo, hi) = PHash.bitsFor(id)
+        val base = (id, PHash.encodePng(lo, hi))
+        if (id % 10 == 0) {
+          val (tl, th) = PHash.twinBits(id, lo, hi)
+          Seq(base, (id + 1000000000L, PHash.encodePng(tl, th)))
+        } else Seq(base)
+      }
+    }.flatMap { case (id, bytes) =>
+      // the gate: a genuine decode attempt, not an arithmetic check
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth != PHash.W || img.getHeight != PHash.H) None
+      else {
+        val (lo, hi) = PHash.dHash(bytes)
+        Some((id, img.getWidth.toLong, img.getHeight.toLong, lo, hi))
+      }
+    }.toDF("img_id", "w", "h", "lo", "hi")
+  }
 }

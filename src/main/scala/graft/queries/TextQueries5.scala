@@ -229,5 +229,63 @@ object TextQueries5 {
         .select(col("src"), col("dst"), col("hamming"))
         .orderBy(col("src"), col("dst"))
     },
+
+    /** The MULTIMODAL CAPSTONE — curate_full_pipeline's media twin:
+      * binary ingest → REAL decode gate → perceptual-hash near-dup
+      * survivorship as ONE judged lineage, so any stage-ordering or
+      * column-contract drift breaks the hash. Every id%13==7 payload
+      * is planted JUNK (md5 bytes, no PNG signature): the gate is a
+      * genuine `ImageIO.read` attempt, and a junk payload surviving
+      * it — or a valid raster rejected by it — changes the row set.
+      * Dedup survivorship is keep-lowest-id over the exact Hamming-≤3
+      * pair set (the pigeonhole banding of multimodal_phash_dedup), so
+      * every planted twin drops and every base survives. Shape at
+      * 100 TB: the decode gate is one mapPartitions pass at scan
+      * parallelism; the pair join shuffles 4 band rows per surviving
+      * image; survivorship is one anti-join on img_id — no stage
+      * rescans the payload bytes after the gate. */
+    QueryDef("multimodal_full_pipeline", Some(raw"""
+      WITH ids AS (SELECT doc_id AS id FROM documents),
+      valid AS (SELECT id FROM ids WHERE id % 13 <> 7),
+      base AS (SELECT id,
+        CAST(list_sum([CASE WHEN substr(md5(CAST(id AS VARCHAR) || 'a'), k+1, 1) IN ('1','3','5','7','9','b','d','f') THEN (1::BIGINT << k) ELSE 0 END for k in range(0,32)]) AS BIGINT) AS lo,
+        CAST(list_sum([CASE WHEN substr(md5(CAST(id AS VARCHAR) || 'b'), k+1, 1) IN ('1','3','5','7','9','b','d','f') THEN (1::BIGINT << k) ELSE 0 END for k in range(0,32)]) AS BIGINT) AS hi
+       FROM valid),
+      twin AS (SELECT id + 1000000000 AS id,
+        xor(xor(lo, CASE WHEN id % 64 < 32 THEN (1::BIGINT << CAST(id % 64 AS INT)) ELSE 0 END),
+            CASE WHEN (7 * id + 11) % 64 < 32 THEN (1::BIGINT << CAST((7 * id + 11) % 64 AS INT)) ELSE 0 END) AS lo,
+        xor(xor(hi, CASE WHEN id % 64 >= 32 THEN (1::BIGINT << CAST(id % 64 - 32 AS INT)) ELSE 0 END),
+            CASE WHEN (7 * id + 11) % 64 >= 32 THEN (1::BIGINT << CAST((7 * id + 11) % 64 - 32 AS INT)) ELSE 0 END) AS hi
+        FROM base WHERE id % 10 = 0),
+      allh AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+      bands AS (SELECT id, lo, hi, unnest([
+        0 * 65536 + (lo & 65535), 1 * 65536 + ((lo >> 16) & 65535),
+        2 * 65536 + (hi & 65535), 3 * 65536 + ((hi >> 16) & 65535)]) AS band FROM allh),
+      dropped AS (SELECT DISTINCT b.id
+                  FROM bands a JOIN bands b ON b.band = a.band AND a.id < b.id
+                  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3)
+      SELECT id AS img_id, CAST(9 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h, lo, hi
+      FROM allh WHERE id NOT IN (SELECT id FROM dropped)
+      ORDER BY img_id""")) { (s, d) =>
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, d).select(col("doc_id").cast("long"))
+        .as(org.apache.spark.sql.Encoders.LONG)
+      // gate output feeds both band sides and the final anti-join —
+      // materialize the decode pass once (the containment discipline)
+      val corpus = Multimodal.phashGatedCorpus(ids).localCheckpoint()
+      val bands = corpus.select(col("img_id"), col("lo"), col("hi"),
+        explode(array(
+          expr("0 * 65536 + (lo & 65535)"),
+          expr("1 * 65536 + ((lo >> 16) & 65535)"),
+          expr("2 * 65536 + (hi & 65535)"),
+          expr("3 * 65536 + ((hi >> 16) & 65535)"))).as("band"))
+      val dropped = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.img_id") < col("b.img_id"))
+        .filter(expr("bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)") <= 3)
+        .select(col("b.img_id").as("img_id")).distinct()
+      corpus.join(dropped, Seq("img_id"), "left_anti")
+        .select(col("img_id"), col("w"), col("h"), col("lo"), col("hi"))
+        .orderBy(col("img_id"))
+    },
   )
 }

@@ -186,4 +186,18 @@ class MultimodalSpec extends AnyFunSuite {
       assert(hamming === 2L, s"pair ($src,$dst) at distance $hamming, expected the 2-bit twin")
     }
   }
+
+  test("multimodal_full_pipeline: junk gated by a real decode, twins dropped, bases survive") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val junk = docs.filter(_ % 13 == 7)
+    assert(junk.nonEmpty, "fixture must plant at least one junk payload at this sf")
+    val rows = SparkEntry.queries("multimodal_full_pipeline")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = rows.map(_._1).toSet
+    val expected = docs.filter(_ % 13 != 7).toSet
+    assert(got === expected,
+      s"survivors != valid bases (missing=${expected -- got}, extra=${got -- expected})")
+    rows.foreach { case (id, w, h) => assert(w == 9 && h == 8, s"img $id dims ${w}x$h") }
+  }
 }

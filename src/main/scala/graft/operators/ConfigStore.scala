@@ -36,8 +36,12 @@ import org.apache.spark.sql.functions._
   * The staged store derives deterministically from the customer table
   * so the DuckDB oracle can regenerate it from arithmetic: tenants
   * `k % 5 == 3` have NO document, `k % 7 == 2` carry an empty-string
-  * `vmhubToken`, `k % 11 == 5` lack the `cnpj` key entirely — covering
-  * absent-doc, empty-field, and absent-field distinctly.
+  * `vmhubToken`, `k % 11 == 5` map the `cnpj` key to NULL — covering
+  * absent-doc, empty-field, and null-field distinctly. (A NULL value
+  * stands in for a truly absent key deliberately: the reference's
+  * `data.get('cnpj')` returns None for BOTH, so the two are
+  * indistinguishable to its contract — and keeping the key present
+  * keeps `element_at` total under ANSI map semantics.)
   */
 object ConfigStore {
 
@@ -59,6 +63,7 @@ object ConfigStore {
           when(k % 7 === 2, lit(""))
             .otherwise(concat(lit("tok-"), ((k * 2654435761L) % 1000000007L).cast("string"))),
           lit("cnpj"),
+          // NULL-valued key, not absent (see the object scaladoc)
           when(k % 11 === 5, lit(null).cast("string"))
             .otherwise(lpad(((k * 7919L) % 100000000000000L).cast("string"), 14, "0"))
         ).as("settings"))

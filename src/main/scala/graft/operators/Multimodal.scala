@@ -457,57 +457,67 @@ object Multimodal {
     }
   }
 
-  /** Encode the fixture image corpus for `ids` (one base image per id,
-    * plus a twin at id + 10^9 for every id % 10 == 0) and hash every
-    * payload back through the real codec: returns
-    * (img_id, lo, hi) with the hash computed from DECODED bytes. */
+  /** The ONE copy of the fixture's base+twin payload rule (one base
+    * image per id, plus a twin at id + 10^9 for every id % 10 == 0) —
+    * phashCorpus and phashGatedCorpus both build on this so the twin
+    * cadence, offset, and flip positions can never drift between the
+    * dedup query and the capstone (and their two SQL oracles encode
+    * the same constants). */
+  private def phashPayloads(id: Long): Seq[(Long, Array[Byte])] = {
+    val (lo, hi) = PHash.bitsFor(id)
+    val base = (id, PHash.encodePng(lo, hi))
+    if (id % 10 == 0) {
+      val (tl, th) = PHash.twinBits(id, lo, hi)
+      Seq(base, (id + 1000000000L, PHash.encodePng(tl, th)))
+    } else Seq(base)
+  }
+
+  /** Encode the fixture image corpus for `ids` ([[phashPayloads]]'s
+    * layout) and hash every payload back through the real codec:
+    * returns (img_id, lo, hi) with the hash computed from DECODED
+    * bytes. */
   def phashCorpus(ids: org.apache.spark.sql.Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.flatMap { boxed =>
-      val id = boxed.longValue()
-      val (lo, hi) = PHash.bitsFor(id)
-      val base = (id, PHash.encodePng(lo, hi))
-      if (id % 10 == 0) {
-        val (tl, th) = PHash.twinBits(id, lo, hi)
-        Seq(base, (id + 1000000000L, PHash.encodePng(tl, th)))
-      } else Seq(base)
-    }.map { case (id, png) =>
-      val (lo, hi) = PHash.dHash(png)
-      (id, lo, hi)
-    }.toDF("img_id", "lo", "hi")
+    ids.flatMap(boxed => phashPayloads(boxed.longValue()))
+      .map { case (id, png) =>
+        val (lo, hi) = PHash.dHash(png)
+        (id, lo, hi)
+      }.toDF("img_id", "lo", "hi")
   }
 
-  /** The multimodal-capstone corpus: [[phashCorpus]]'s layout, except
-    * every id % 13 == 7 payload is PLANTED JUNK (md5-derived bytes —
-    * no PNG signature, so `ImageIO.read` returns null) and junk ids
-    * get no twin. The decode GATE is judged for real: each payload
-    * round-trips the actual codec and only decodable 9×8 rasters
-    * survive — a payload emitted for a junk id, or a valid image
-    * dropped, each changes the downstream row set and breaks the
-    * capstone hash. Returns (img_id, w, h, lo, hi) for survivors. */
+  /** The multimodal-capstone corpus: [[phashPayloads]]'s layout,
+    * except every id % 13 == 7 payload is PLANTED JUNK (md5-derived
+    * bytes) and junk ids get no twin. The decode GATE is judged for
+    * real: each payload round-trips the actual codec and only
+    * decodable 9×8 rasters survive — a payload emitted for a junk id,
+    * or a valid image dropped, each changes the downstream row set
+    * and breaks the capstone hash. A reader CLAIMING junk bytes (a
+    * magic-number coincidence in the md5 prefix — BMP's 'BM', JPEG's
+    * FFD8 — odds ~2^-16 per junk id, certain to occur at corpus
+    * scale) throws from read() rather than returning null, so decode
+    * exceptions gate the row exactly like a null decode instead of
+    * failing the task. Returns (img_id, w, h, lo, hi) for
+    * survivors. */
   def phashGatedCorpus(ids: org.apache.spark.sql.Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.flatMap { boxed =>
       val id = boxed.longValue()
       if (id % 13 == 7) {
-        // junk: 64 md5 bytes, definitely not a decodable image
+        // junk: 64 md5 bytes (no valid image STRUCTURE, though a
+        // 2-byte magic prefix can collide — see the gate below)
         val md = java.security.MessageDigest.getInstance("MD5")
         val junk = (0 until 4).flatMap(i =>
           md.digest(s"junk-$id-$i".getBytes("UTF-8")).toSeq).toArray
         Seq((id, junk))
-      } else {
-        val (lo, hi) = PHash.bitsFor(id)
-        val base = (id, PHash.encodePng(lo, hi))
-        if (id % 10 == 0) {
-          val (tl, th) = PHash.twinBits(id, lo, hi)
-          Seq(base, (id + 1000000000L, PHash.encodePng(tl, th)))
-        } else Seq(base)
-      }
+      } else phashPayloads(id)
     }.flatMap { case (id, bytes) =>
-      // the gate: a genuine decode attempt, not an arithmetic check
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // the gate: a genuine decode attempt, not an arithmetic check;
+      // a throwing reader (claimed-but-garbage payload) gates the row
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
       if (img == null || img.getWidth != PHash.W || img.getHeight != PHash.H) None
       else {
         val (lo, hi) = PHash.dHash(bytes)

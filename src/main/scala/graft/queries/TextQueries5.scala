@@ -131,8 +131,13 @@ object TextQueries5 {
       val tr = t.filter(pmod(col("doc_id"), lit(2L)) === 0)
         .select(col("lang"), explode(col("w")).as("token"))
       val cwl = tr.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
-      val cl = tr.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      val v = tr.agg(countDistinct(col("token")).as("v"))
+      // cl and v are exact algebraic reductions of the (lang, token, c)
+      // model table — deriving them from cwl keeps the train split
+      // genuinely scanned ONCE (three aggregates straight off `tr`
+      // would each re-run the scan+tokenize+explode: different grouping
+      // keys, so no exchange reuse)
+      val cl = cwl.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      val v = cwl.select(col("token")).distinct().agg(count(lit(1)).as("v"))
       val te = t.filter(pmod(col("doc_id"), lit(2L)) === 1)
         .select(col("doc_id"), col("lang").as("lang_true"), explode(col("w")).as("token"))
       val sc = te.crossJoin(broadcast(cl)).crossJoin(broadcast(v))

@@ -387,10 +387,21 @@ class QueriesSpec extends AnyFunSuite {
       // members of one class share text; fetch ids per fp via fingerprint query
       val fps = SparkEntry.queries("doc_fingerprint")(spark, sf).collect()
         .map(r => (r.getLong(0), r.getString(1)))
-      val dupPairs = fps.groupBy(_._2).values.filter(_.length > 1).flatMap { g =>
-        val ids = g.map(_._1).sorted.toSeq
-        for (a <- ids; b <- ids if a != b) yield (a, b)
-      }
+      // only classes the query's own contract guarantees it can see:
+      // a class of 11+ byte-identical docs pushes every shared 3-gram
+      // past the df<=10 prune (and docs under 3 tokens have no grams),
+      // so such pairs legitimately emit nothing — check within-scope
+      // classes only, instead of encoding fixture luck into the assert
+      val docTokens = spark.read.parquet(s"$sf/documents.parquet")
+        .selectExpr("doc_id", "size(split(lower(trim(text)), '\\s+')) AS n")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val dupPairs = fps.groupBy(_._2).values
+        .filter(g => g.length > 1 && g.length <= 10 &&
+          g.forall(d => docTokens.getOrElse(d._1, 0) >= 3))
+        .flatMap { g =>
+          val ids = g.map(_._1).sorted.toSeq
+          for (a <- ids; b <- ids if a != b) yield (a, b)
+        }
       dupPairs.foreach { p =>
         assert(emitted.get(p).contains(1000000L),
           s"exact-dup pair $p missing or below 1.0: ${emitted.get(p)}")
@@ -402,8 +413,7 @@ class QueriesSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("doc_nb_classify")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4)))
     assert(rows.nonEmpty)
-    val trainLangs = SparkEntry.queries("doc_nb_classify")(spark, sf)
-      .sparkSession.read.parquet(s"$sf/documents.parquet")
+    val trainLangs = spark.read.parquet(s"$sf/documents.parquet")
       .filter("doc_id % 2 = 0").select("lang").distinct()
       .collect().map(_.getString(0)).toSet
     rows.foreach { case (id, lang, pred, score, correct) =>

@@ -135,14 +135,24 @@ object Bench {
       // trigger meter makes a streaming swing attributable: constant
       // triggers + rising trigger wall = host drift, changed trigger
       // count = a real pipeline change). Zero for batch-only queries.
+      // trigger snapshots drain the (async) listener bus first, so a
+      // micro-batch completing at a sample's edge is counted in THE
+      // sample that ran it, never attributed to a later sample or a
+      // later query (round-12 ADVICE). Best-effort: a drain failure
+      // degrades to the old approximate attribution, never fails bench.
+      def triggerSnapshot(): (Long, Long) = {
+        try org.apache.spark.graftbus.ListenerBusDrain.drain(spark.sparkContext)
+        catch { case _: Throwable => () }
+        graft.streaming.StreamMetrics.cumulativeTriggers
+      }
       def once(): (Double, Double, Double, Boolean, Long, Double) = {
-        val (tc0, tm0) = graft.streaming.StreamMetrics.cumulativeTriggers
+        val (tc0, tm0) = triggerSnapshot()
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val t2 = System.nanoTime()
-        val (tc1, tm1) = graft.streaming.StreamMetrics.cumulativeTriggers
+        val (tc1, tm1) = triggerSnapshot()
         ((t2 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
           graft.Staging.buildCompletedIn(t0, t2),
           tc1 - tc0, (tm1 - tm0) / 1e3)

@@ -76,8 +76,19 @@ object ScaleRehearsal {
     // at ×100 — for the families whose ×10 ratios sat highest; factor
     // and family selection are env-driven so the deep run stays scoped
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // factor=1 would divide the exponent by log10(1)=0; factor<1 is
+    // nonsense for a scale-UP rehearsal — reject the config up front
+    // (round-12 ADVICE, the same degenerate-config hazard Bench guards)
+    require(factor > 1, s"SPARK_GRAFT_SCALE_FACTOR must be > 1, got $factor")
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
+    // a typo'd selector silently matching no families would run nothing
+    // and print a headline-free table — mirror Bench's BENCH_ONLY guard
+    only.foreach { sel =>
+      val unknown = sel -- Families.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names unknown families: ${unknown.mkString(",")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -26,10 +26,31 @@ package graft
   */
 object Staging {
 
+  /** Per-key once-only holder. Builds run inside the holder's lazy val,
+    * NOT inside a ConcurrentHashMap mapping function: computeIfAbsent
+    * forbids the mapping function from touching other mappings, and the
+    * shared-frame builds are NESTED (sim_ann_ivfpq's fine-codebook build
+    * calls Staging.frame for the coarse assignment it depends on). When
+    * the inner absent key hashed to the outer key's bin, JDK 9+ threw
+    * IllegalStateException("Recursive update") — nondeterministically,
+    * because keys embed applicationId (round-12 ADVICE, medium). With
+    * putIfAbsent + lazy val, map insertion is instant and never
+    * re-entered; the winner's lazy val does the build under the
+    * holder's own monitor, so per-key build-once locking is preserved
+    * and different keys can build freely inside each other. */
+  private final class Holder[T](build: () => T) { lazy val value: T = build() }
+
+  private def once[T](map: java.util.concurrent.ConcurrentHashMap[String, Holder[T]],
+      key: String)(build: => T): T = {
+    val fresh = new Holder[T](() => build)
+    val prior = map.putIfAbsent(key, fresh)
+    (if (prior == null) fresh else prior).value
+  }
+
   private val frames =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, Holder[org.apache.spark.sql.DataFrame]]()
   private val dirsBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Holder[String]]()
   private val buildSecs =
     new java.util.concurrent.ConcurrentHashMap[String, Double]()
   private val buildWindows =
@@ -71,13 +92,12 @@ object Staging {
   /** JVM-wide memoized eager frame: `build` runs once per
     * (application, key, raw input dir); every later caller gets the
     * SAME DataFrame (callers checkpoint inside `build` so the shared
-    * frame is materialized, not a lineage). computeIfAbsent gives
-    * per-key build locking. */
+    * frame is materialized, not a lineage). Per-key build locking via
+    * the lazy [[Holder]] — builds may nest across keys (see Holder). */
   def frame(s: org.apache.spark.sql.SparkSession, key: String, raw: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    frames.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$key|${suffix(raw)}",
-      _ => timed(s"$key|${suffix(raw)}")(build))
+    once(frames, s"${s.sparkContext.applicationId}|$key|${suffix(raw)}")(
+      timed(s"$key|${suffix(raw)}")(build))
 
   /** JVM-wide memoized staged DIRECTORY: `build(path)` populates it
     * once per (application, key, raw input dir); later callers get the
@@ -85,9 +105,8 @@ object Staging {
     * trusts stale tmp content across runs. */
   def onceDir(s: org.apache.spark.sql.SparkSession, key: String, raw: String)(
       build: String => Unit): String =
-    dirsBuilt.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$key|${suffix(raw)}",
-      _ => timed(s"$key|${suffix(raw)}") { val p = dir(key, raw); build(p); p })
+    once(dirsBuilt, s"${s.sparkContext.applicationId}|$key|${suffix(raw)}")(
+      timed(s"$key|${suffix(raw)}") { val p = dir(key, raw); build(p); p })
 
   /** Short collision-resistant suffix for `raw` (sanitized + md5-8). */
   def suffix(raw: String): String =

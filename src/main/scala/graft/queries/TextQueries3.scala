@@ -95,7 +95,8 @@ object TextQueries3 {
       b AS (SELECT w[i] || ' ' || w[i + 1] AS bigram FROM e)
       SELECT bigram, count(*) AS n FROM b GROUP BY 1
       ORDER BY n DESC, bigram LIMIT 20""")) { (s, d) =>
-      val docs = Tables.documents(s, d).select(tokens(col("text")).as("w"))
+      // shared tokenize prefix (round 13) — see SharedText
+      val docs = SharedText.tokenized(s, d).select(col("w"))
         .filter(size(col("w")) >= 2)
       docs.withColumn("i", explode(sequence(lit(1), size(col("w")) - 1)))
         .select(concat_ws(" ",

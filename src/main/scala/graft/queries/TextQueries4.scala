@@ -46,13 +46,10 @@ object TextQueries4 {
       SELECT tr.doc_id, count(e.g) AS n_shared, count(e.g) > 0 AS contaminated
       FROM tr LEFT JOIN e ON tr.g = e.g
       GROUP BY 1 ORDER BY tr.doc_id""")) { (s, d) =>
-      val n = 3
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("w"))
-        .filter(size(col("w")) >= n)
-        .select(col("doc_id"), explode(array_distinct(
-          transform(sequence(lit(1), size(col("w")) - (n - 1)),
-            i => array_join(slice(col("w"), i, lit(n)), " ")))).as("g"))
+      // the distinct-3-gram posting list is the JVM-shared shingles3
+      // artifact (round 13) — identical expression to the inline form
+      // it replaces, also consumed by dedup_containment[_incremental]
+      val sh = SharedText.shingles3(s, d)
       val eval  = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("g")).distinct().withColumn("hit", lit(1))
       val train = sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -524,7 +521,8 @@ object TextQueries4 {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              CAST(sum(p_ppm) // count(*) AS BIGINT) AS lm_ppm
       FROM sc GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
-      val t = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("w"))
+      // shared tokenize prefix (round 13) — see SharedText
+      val t = SharedText.tokenized(s, d).select(col("doc_id"), col("w"))
       val bgf = t.filter(size(col("w")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("p"))

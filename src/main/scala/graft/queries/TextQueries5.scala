@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries5 {
 
+  /** The persisted df-pruned containment posting index `(g, idx_id)`
+    * over the standing-corpus slice (doc_id % 5 ≠ 0), written ONCE per
+    * JVM — the build-once/serve-many lifecycle artifact
+    * `dedup_containment_incremental` probes (the sharedMinhashIndex
+    * discipline). Returns the index path. */
+  private def sharedContainmentIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.Staging.onceDir(s, "ctidx_shared", d) { p =>
+      val standing = SharedText.shingles3(s, d)
+        .filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+        .withColumnRenamed("doc_id", "idx_id")
+      val kept = standing.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10).select(col("g"))
+      standing.join(kept, Seq("g"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** CONTAINMENT near-dup detection (Broder's containment coefficient
@@ -53,20 +70,17 @@ object TextQueries5 {
       FROM pairs JOIN sz ON sz.doc_id = pairs.src
       WHERE inter * 2 >= sz.n
       ORDER BY src, dst""")) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("w"))
-        .filter(size(col("w")) >= 3)
-      // materialize the exploded posting list ONCE: it feeds the df
-      // pass, the pruned list, and BOTH sides of the pair join — left
-      // as lineage the tokenize+explode re-evaluates 4x (the
-      // doc_winnowing lesson; simhashPairs uses the same cut). The df
-      // prune stays a groupBy (map-side combine absorbs hot stop
-      // shingles; a window over g would sort the skewed partitions we
-      // are about to throw away).
-      val sh = t.select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("w")) - 2),
-          i => array_join(slice(col("w"), i, lit(3)), " ")))).as("g"))
-        .localCheckpoint()
+      // the exploded posting list is the JVM-shared shingles3 artifact
+      // (round 13 — it feeds the df pass, the pruned list, BOTH sides
+      // of the pair join here, AND doc_decontaminate's probe; left as
+      // lineage the tokenize+explode re-evaluated 4x per query — the
+      // doc_winnowing lesson). The df prune stays a groupBy (map-side
+      // combine absorbs hot stop shingles; a window over g would sort
+      // the skewed partitions we are about to throw away). Storage
+      // bound: the shared frame is O(corpus tokens) of executor
+      // storage — see SharedText's scaladoc; the persisted-artifact
+      // production shape is dedup_containment_incremental.
+      val sh = SharedText.shingles3(s, d)
       val kept = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 10).select(col("g"))
       val ps = sh.join(kept, Seq("g")).localCheckpoint()
@@ -80,6 +94,67 @@ object TextQueries5 {
         .select(col("src"), col("dst"),
           expr("(inter * 1000000) div n_sh").as("containment_ppm"))
         .orderBy(col("src"), col("dst"))
+    },
+
+    /** INCREMENTAL containment — the persisted-index production shape
+      * of `dedup_containment` (round-13 verdict item 5): the standing
+      * corpus (doc_id % 5 ≠ 0) is df-pruned ONCE and persisted as a
+      * parquet posting index `(g, idx_id)`; each incoming batch
+      * (doc_id % 5 = 0) shingles itself and probes the index with one
+      * equi-join on the shingle — "is this new document already mostly
+      * inside the corpus?", the dedup-at-ingest question an append-only
+      * training-data pipeline actually asks. This is what replaces the
+      * full-corpus posting-list materialization at true scale: the
+      * O(corpus tokens) artifact lives as a columnar store with a
+      * build-once lifecycle (the `dedup_minhash_incremental` /
+      * `sim_ann_ivfpq_persisted` discipline), and each batch's work is
+      * O(batch postings × bounded fan-out) — the index's df ≤ 10 cut
+      * bounds every posting list, so a batch shingle matches at most
+      * 10 standing docs and the probe is linear in the batch.
+      *
+      * Semantics: df is computed over the STANDING corpus only (an
+      * incremental pipeline cannot see future batches); the
+      * denominator is the batch doc's own distinct-3-gram count, so
+      * containment C(batch→idx) = |matched ∩| / |S(batch)| is exact
+      * and a batch doc whose shingles are all corpus-common stop
+      * shingles scores low — the conservative direction. Exact
+      * integer cross-multiplication at the 50% threshold; the roster
+      * left-join keeps every batch doc in the output. */
+    QueryDef("dedup_containment_incremental", Some(raw"""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS g
+             FROM t WHERE len(w) >= 3),
+      idx0 AS (SELECT doc_id AS idx_id, g FROM sh WHERE doc_id % 5 <> 0),
+      keep AS (SELECT g FROM idx0 GROUP BY g HAVING count(*) <= 10),
+      idx AS (SELECT idx0.idx_id, idx0.g FROM idx0 JOIN keep USING (g)),
+      bat AS (SELECT doc_id, g FROM sh WHERE doc_id % 5 = 0),
+      sz AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
+      hits AS (SELECT bat.doc_id, idx.idx_id, count(*) AS inter FROM bat JOIN idx USING (g) GROUP BY 1, 2),
+      sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_containers, min(h.idx_id) AS first_container
+             FROM hits h JOIN sz ON sz.doc_id = h.doc_id
+             WHERE h.inter * 2 >= sz.n GROUP BY 1)
+      SELECT b.doc_id, CAST(COALESCE(sc.n_containers, 0) AS BIGINT) AS n_containers,
+             sc.first_container, sc.n_containers IS NOT NULL AS is_contained
+      FROM (SELECT DISTINCT doc_id FROM bat) b
+      LEFT JOIN sc ON sc.doc_id = b.doc_id
+      ORDER BY b.doc_id""")) { (s, d) =>
+      val idx = s.read.parquet(sharedContainmentIndex(s, d))
+      val batch = SharedText.shingles3(s, d)
+        .filter(pmod(col("doc_id"), lit(5L)) === 0)
+      val sz = batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val hits = batch.join(idx, Seq("g"))
+        .groupBy(col("doc_id"), col("idx_id")).agg(count(lit(1)).as("inter"))
+      val scored = hits.join(sz, Seq("doc_id"))
+        .filter(col("inter") * 2 >= col("n_sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_containers"), min(col("idx_id")).as("first_container"))
+      batch.select(col("doc_id")).distinct()
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+          col("first_container"),
+          col("n_containers").isNotNull.as("is_contained"))
+        .orderBy(col("doc_id"))
     },
 
     /** TRAINED corpus classifier — multinomial Naive-Bayes-family
@@ -126,8 +201,10 @@ object TextQueries5 {
       rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, lang) AS rk FROM agg)
       SELECT doc_id, lang_true AS lang, lang AS lang_pred, score_ppm, lang = lang_true AS correct
       FROM rk WHERE rk = 1 ORDER BY doc_id""")) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      // the tokenize prefix is the JVM-shared `tokens` artifact
+      // (round 13): identical expression, so train/score see the same
+      // token stream as before, minus the per-query corpus re-scan
+      val t = SharedText.tokenized(s, d)
       val tr = t.filter(pmod(col("doc_id"), lit(2L)) === 0)
         .select(col("lang"), explode(col("w")).as("token"))
       val cwl = tr.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))

@@ -392,8 +392,12 @@ class QueriesSpec extends AnyFunSuite {
       // past the df<=10 prune (and docs under 3 tokens have no grams),
       // so such pairs legitimately emit nothing — check within-scope
       // classes only, instead of encoding fixture luck into the assert
+      // token counts via the engine's own tokenizer — a selectExpr
+      // regex string here previously double-escaped and undercounted
+      import org.apache.spark.sql.functions.{col, size}
       val docTokens = spark.read.parquet(s"$sf/documents.parquet")
-        .selectExpr("doc_id", "size(split(lower(trim(text)), '\\s+')) AS n")
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       val dupPairs = fps.groupBy(_._2).values
         .filter(g => g.length > 1 && g.length <= 10 &&
@@ -407,6 +411,47 @@ class QueriesSpec extends AnyFunSuite {
           s"exact-dup pair $p missing or below 1.0: ${emitted.get(p)}")
       }
     }
+  }
+
+  test("dedup_containment_incremental: full batch roster; containers come from the index side") {
+    val rows = SparkEntry.queries("dedup_containment_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // roster: exactly the batch docs (doc_id % 5 == 0) with >= 3 tokens,
+    // one row each — the left-join keeps zero-hit docs in the output
+    import org.apache.spark.sql.functions.{col, size}
+    val expectedRoster = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .filter("doc_id % 5 = 0 AND n >= 3")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet === expectedRoster)
+    assert(rows.map(_._1).distinct.length === rows.length, "duplicate roster rows")
+    rows.foreach { case (id, n, first, contained) =>
+      assert(id % 5 == 0, s"doc $id is not a batch doc")
+      assert(contained == (n > 0), s"doc $id flag inconsistent with n_containers=$n")
+      assert(first.isDefined == (n > 0), s"doc $id first_container/count mismatch")
+      first.foreach(f => assert(f % 5 != 0,
+        s"doc $id names container $f which is not a standing-index doc"))
+    }
+    // exact-dup classes spanning the split are the planted containment
+    // witnesses: a batch doc byte-identical to a standing doc has its
+    // whole shingle set inside the index (provided the class is small
+    // enough that the df<=10 prune keeps the shared shingles)
+    val fps = SparkEntry.queries("doc_fingerprint")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = rows.map(r => r._1 -> r._4).toMap
+    fps.groupBy(_._2).values
+      .filter(g => g.length > 1 && g.length <= 10)
+      .foreach { g =>
+        val ids = g.map(_._1)
+        val batchIds = ids.filter(i => expectedRoster.contains(i))
+        val standing = ids.filter(_ % 5 != 0)
+        if (standing.nonEmpty) batchIds.foreach { b =>
+          assert(byDoc(b), s"batch doc $b is byte-identical to standing ${standing.head} but not flagged contained")
+        }
+      }
   }
 
   test("doc_nb_classify: held-out split only, predictions within the trained label set") {

@@ -30,7 +30,17 @@ object ScaleRehearsal {
   val Families: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_simhash", "dedup_substring_removal",
     "dedup_winnowing", "dedup_containment", "multimodal_phash_dedup",
-    "sim_ann_ivfpq", "sim_ann_ivfpq_persisted", "sim_ann_ivfpq_incremental")
+    "sim_ann_ivfpq", "sim_ann_ivfpq_persisted", "sim_ann_ivfpq_incremental",
+    // round 13 (verdict items 2+3): the expensive join family and the
+    // two capstone pipelines — the remaining argued-but-unmeasured
+    // 100× shapes
+    "join_interval_overlap", "join_range_band", "join_skew_salted",
+    "curate_full_pipeline", "multimodal_full_pipeline")
+
+  /** Families reading the relational fixture (events/orders/customer)
+    * rather than documents/embeddings — routed to [[stageScaledRel]]. */
+  private val RelFamilies: Set[String] =
+    Set("join_interval_overlap", "join_range_band", "join_skew_salted")
 
   /** Build the 10× derived dir (documents + embeddings only — these
     * families read nothing else). Idempotent per JVM via onceDir. */
@@ -68,6 +78,48 @@ object ScaleRehearsal {
       embsX.repartition(8).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
     }
 
+  /** The relational twin of [[stageScaled]] (round 13): a ×factor
+    * events/orders/customer fixture for the join family. The same
+    * non-degeneracy principle as the document salting applies, adapted
+    * to band semantics: copy k shifts `value` by +k·1000 — the fixture
+    * values span [0, ~560], so 1000-wide strips keep every copy's
+    * band/interval pairs strictly LOCAL to its own strip (band width
+    * 0.05 and interval lengths ≤ 0.16 never bridge the gaps; a +k
+    * shift was the first attempt and silently piled up to `factor`
+    * copies inside the shared low-value region — a factor² pair
+    * blow-up the first ×100 run surfaced as a stuck join). Copying
+    * values in place would likewise densify a FIXED support ×factor
+    * and measure the intrinsic ~factor² growth of the answer itself
+    * (pair density is quadratic in per-band density — a property of
+    * the QUERY, not the plan); the disjoint-strip model is the
+    * production analog where new data occupies new key/value regions,
+    * and keeps the expected output ~factor× so the exponent measures
+    * the operator. Join keys shift by k·10⁹ (event_id,
+    * o_custkey/c_custkey), preserving each copy's skew profile for
+    * the salted join while keeping copies disjoint. `ts` round-trips
+    * raw (readRawEvents) so the derived fixture keeps the source
+    * encoding. */
+  def stageScaledRel(spark: SparkSession, sfDir: String, factor: Int): String =
+    Staging.onceDir(spark, s"scaled_rel_x$factor", sfDir) { base =>
+      val copies = (0 until factor).map(lit(_))
+      def fan(df: DataFrame): DataFrame =
+        df.withColumn("k", explode(array(copies: _*)))
+      fan(graft.Tables.readRawEvents(spark, s"$sfDir/events.parquet"))
+        .withColumn("event_id", col("event_id") + col("k") * 1000000000L)
+        .withColumn("value", col("value") + col("k") * lit(1000.0))
+        .drop("k")
+        .repartition(32).write.mode("overwrite").parquet(s"$base/events.parquet")
+      fan(spark.read.parquet(s"$sfDir/orders.parquet"))
+        .withColumn("o_custkey", col("o_custkey") + col("k") * 1000000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + col("k") * 1000000000L)
+        .drop("k")
+        .repartition(32).write.mode("overwrite").parquet(s"$base/orders.parquet")
+      fan(spark.read.parquet(s"$sfDir/customer.parquet"))
+        .withColumn("c_custkey", col("c_custkey") + col("k") * 1000000000L)
+        .drop("k")
+        .repartition(8).write.mode("overwrite").parquet(s"$base/customer.parquet")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
@@ -95,8 +147,18 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val scaled = stageScaled(spark, sfDir, factor)
-    println(s"[scale] staged ${factor}x corpus at $scaled")
+    val selected = Families.filter(q => only.forall(_.contains(q)))
+    // stage lazily: only the fixtures the selected families read
+    lazy val scaledDocs = {
+      val p = stageScaled(spark, sfDir, factor)
+      println(s"[scale] staged ${factor}x documents/embeddings at $p"); p
+    }
+    lazy val scaledRel = {
+      val p = stageScaledRel(spark, sfDir, factor)
+      println(s"[scale] staged ${factor}x events/orders/customer at $p"); p
+    }
+    def scaledDirFor(q: String): String =
+      if (RelFamilies.contains(q)) scaledRel else scaledDocs
     def time(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       var lastDf: DataFrame = null
@@ -117,9 +179,9 @@ object ScaleRehearsal {
     // fitted exponent: t ∝ N^e over the measured span ⇒
     // e = log(tX/t1) / log(factor); 1.0 = linear, < 1 = sub-linear
     println(f"${"query"}%-28s ${"t(sf0.1)"}%9s ${s"t(x$factor)"}%9s ${"ratio"}%6s ${"exponent"}%8s  rows0.1 rowsX")
-    Families.filter(q => only.forall(_.contains(q))).foreach { q =>
+    selected.foreach { q =>
       val (t1, n1) = time(q, sfDir)
-      val (tX, nX) = time(q, scaled)
+      val (tX, nX) = time(q, scaledDirFor(q))
       val ratio = tX / t1
       val expo = math.log10(ratio) / math.log10(factor.toDouble)
       println(f"$q%-28s $t1%9.2f $tX%9.2f $ratio%6.2f $expo%8.2f  $n1%7d $nX%6d")

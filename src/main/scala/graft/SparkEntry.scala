@@ -19,7 +19,8 @@ object SparkEntry {
       Relational3.defs ++ Relational4.defs ++ EventQueries.defs ++ EventQueries2.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ TextQueries4.defs ++ TextQueries5.defs ++
       VectorQueries.defs ++ VectorQueries2.defs ++ MaintenanceQueries.defs ++ CurationQueries.defs ++
-      RetrievalQueries.defs ++ TokenizerQueries.defs ++ UnigramQueries.defs ++ AnalyticsQueries.defs
+      RetrievalQueries.defs ++ TokenizerQueries.defs ++ UnigramQueries.defs ++
+      WordpieceQueries.defs ++ AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

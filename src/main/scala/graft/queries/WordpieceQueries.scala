@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** WordPiece merge training (Schuster & Nakajima, "Japanese and Korean
+  * voice search", ICASSP 2012 — the BERT tokenizer's trainer),
+  * completing the production tokenizer triad: BPE merges the most
+  * FREQUENT adjacent pair (TokenizerQueries), unigram-LM prunes a
+  * seeded vocabulary (UnigramQueries), WordPiece merges the pair with
+  * the highest LIKELIHOOD RATIO score(a,b) = count(ab) /
+  * (count(a)·count(b)) — "merge the pair most surprising under
+  * independence", so a rare-but-always-together pair beats a frequent
+  * coincidence. Everything else — the word-frequency collapse (the
+  * distinct-words scale story), overlap-counted pair statistics, the
+  * leftmost-greedy gaps-and-islands merge application — is shared
+  * VERBATIM with the BPE trainer ([[TokenizerQueries.applyMerge]]),
+  * so the two families differ exactly where the algorithms differ:
+  * the per-round argmax.
+  *
+  * Exact arithmetic: the ratio is scored as
+  * `(cnt · 10⁹) div (c_a · c_b)` — truncating integer division over
+  * positive operands, identical in Spark (`div`) and DuckDB (`//`) —
+  * with total-order tiebreak (score desc, pair count desc, pair
+  * lexicographic), the repo's standing fixed-point discipline. Both
+  * factors are bounded by the corpus symbol-instance count (~10⁶ at
+  * sf0.1), so the products stay far inside int64.
+  *
+  * Per round the plan adds ONE map-side-combined symbol-count
+  * aggregate (vocab-sized) to BPE's shape; both join the pair frame
+  * broadcast-small. The `##` continuation-prefix display convention of
+  * deployed WordPiece is presentational and deliberately omitted —
+  * symbols are plain concatenations, as in the BPE family.
+  *
+  * Reference tie-in: the reference has no tokenizer surface (it
+  * delegates analysis to BigQuery, README.md:3); this family belongs
+  * to the LLM-pipeline extension mandated by the build brief.
+  */
+object WordpieceQueries {
+
+  private val Rounds = 3
+
+  /** Round argmax under the likelihood-ratio score — a 1-row frame.
+    * Output columns (a, b, cnt, score_ppb); [[TokenizerQueries
+    * .applyMerge]] consumes (a, b) and ignores the metrics. */
+  private[graft] def topPairWp(r: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("idx"))
+    val pairs = r.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("sym"), col("nxt"))
+      .agg(sum(col("wc")).as("cnt"))
+    val syms = r.groupBy(col("sym")).agg(sum(col("wc")).as("c"))
+    pairs
+      .join(syms.select(col("sym"), col("c").as("c_a")), Seq("sym"))
+      .join(syms.select(col("sym").as("nxt"), col("c").as("c_b")), Seq("nxt"))
+      .withColumn("score_ppb", expr("(cnt * 1000000000) div (c_a * c_b)"))
+      .orderBy(col("score_ppb").desc, col("cnt").desc, col("sym"), col("nxt"))
+      .limit(1)
+      .select(col("sym").as("a"), col("nxt").as("b"), col("cnt"), col("score_ppb"))
+  }
+
+  /** Per-round 1-row selections + final segmented rows — the BPE
+    * trainChain with the WordPiece argmax swapped in (same
+    * localCheckpoint lineage barriers, see TokenizerQueries). */
+  private[graft] def trainChainWp(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
+    val z = (Vector.empty[DataFrame],
+      TokenizerQueries.charRows(docs).localCheckpoint(true))
+    (1 to Rounds).foldLeft(z) { case ((sels, r), _) =>
+      val sel = topPairWp(r).localCheckpoint(true)
+      (sels :+ sel, TokenizerQueries.applyMerge(r, sel).localCheckpoint(true))
+    }
+  }
+
+  // ---- oracle: the BPE chain CTEs with the WordPiece selection; the
+  // apply CTEs (n/c/r) are textually the BPE ones — the algorithms
+  // share the application step by definition.
+
+  private def roundSql(k: Int): String = {
+    val p = s"r${k - 1}"
+    s"""
+p$k AS (
+  SELECT sym, nxt, sum(wc) AS cnt FROM (
+    SELECT word, wc, sym, lead(sym) OVER (PARTITION BY word ORDER BY idx) AS nxt FROM $p) t
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+sc$k AS (SELECT sym, sum(wc) AS c FROM $p GROUP BY sym),
+sel$k AS (
+  SELECT a, b, cnt, score_ppb FROM (
+    SELECT p.sym AS a, p.nxt AS b, p.cnt AS cnt,
+           (p.cnt * 1000000000) // (sa.c * sb.c) AS score_ppb
+    FROM p$k p JOIN sc$k sa ON sa.sym = p.sym JOIN sc$k sb ON sb.sym = p.nxt) t
+  ORDER BY score_ppb DESC, cnt DESC, a, b LIMIT 1),
+n$k AS (
+  SELECT word, wc, idx, sym, lead(sym) OVER (PARTITION BY word ORDER BY idx) AS nxt FROM $p),
+c$k AS (
+  SELECT word, idx FROM (
+    SELECT word, idx, row_number() OVER (PARTITION BY word, grp ORDER BY idx) AS rr FROM (
+      SELECT n.word, n.idx, n.idx - row_number() OVER (PARTITION BY n.word ORDER BY n.idx) AS grp
+      FROM n$k n, sel$k s WHERE n.sym = s.a AND n.nxt = s.b) t1) t2
+  WHERE rr % 2 = 1),
+r$k AS (
+  SELECT word, wc, CAST(row_number() OVER (PARTITION BY word ORDER BY idx) AS INT) AS idx, sym FROM (
+    SELECT n.word, n.wc, n.idx,
+           CASE WHEN st.idx IS NOT NULL THEN s.a || s.b ELSE n.sym END AS sym
+    FROM n$k n CROSS JOIN sel$k s
+    LEFT JOIN c$k st ON st.word = n.word AND st.idx = n.idx
+    LEFT JOIN c$k cn ON cn.word = n.word AND cn.idx + 1 = n.idx
+    WHERE cn.idx IS NULL) t3)"""
+  }
+
+  private val chainSql: String =
+    """
+WITH wfreq AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word FROM documents) t
+  WHERE word <> '' GROUP BY word),
+r0 AS (
+  SELECT word, wc, CAST(i AS INT) AS idx, substr(word, CAST(i AS INT), 1) AS sym
+  FROM (SELECT word, wc, unnest(range(1, length(word) + 1)) AS i FROM wfreq) t),""" +
+      (1 to Rounds).map(roundSql).mkString(",")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The learned merge table with the selection metrics — rank, pair,
+    // merged symbol, overlap-counted pair count, and the exact-ppb
+    // likelihood-ratio score the argmax used.
+    QueryDef("text_wordpiece_train", Some(chainSql + s"""
+      SELECT CAST(k AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
+             a || b AS merged, CAST(cnt AS BIGINT) AS pair_count,
+             CAST(score_ppb AS BIGINT) AS score_ppb FROM (
+        ${(1 to Rounds).map(k => s"SELECT $k AS k, * FROM sel$k").mkString(" UNION ALL ")}) u
+      ORDER BY merge_rank""")) { (s, d) =>
+      val (sels, _) = trainChainWp(Tables.documents(s, d))
+      sels.zipWithIndex.map { case (sel, i) =>
+        sel.select(lit(i + 1L).as("merge_rank"), col("a").as("left_sym"),
+          col("b").as("right_sym"), concat(col("a"), col("b")).as("merged"),
+          col("cnt").as("pair_count"), col("score_ppb"))
+      }.reduce(_ union _).orderBy(col("merge_rank"))
+    },
+
+    // Corpus re-segmented with the learned merges: top-20 subword
+    // tokens by frequency-weighted occurrence — selection AND
+    // application both inside the hash gate (the text_bpe_segment
+    // shape under the other selection rule).
+    QueryDef("text_wordpiece_segment", Some(chainSql + s"""
+      SELECT sym AS token, CAST(sum(wc) AS BIGINT) AS n
+      FROM r$Rounds GROUP BY sym ORDER BY n DESC, token LIMIT 20""")) { (s, d) =>
+      val (_, rFinal) = trainChainWp(Tables.documents(s, d))
+      rFinal.groupBy(col("sym").as("token"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    },
+  )
+}

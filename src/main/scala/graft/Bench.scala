@@ -141,8 +141,14 @@ object Bench {
       // later query (round-12 ADVICE). Best-effort: a drain failure
       // degrades to the old approximate attribution, never fails bench.
       def triggerSnapshot(): (Long, Long) = {
+        // NonFatal only: a bare Throwable here would swallow
+        // InterruptedException (eating Ctrl-C/harness cancellation for
+        // the whole 200+-query loop) and fatal errors like OOM
         try org.apache.spark.graftbus.ListenerBusDrain.drain(spark.sparkContext)
-        catch { case _: Throwable => () }
+        catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case scala.util.control.NonFatal(_) => ()
+        }
         graft.streaming.StreamMetrics.cumulativeTriggers
       }
       def once(): (Double, Double, Double, Boolean, Long, Double) = {

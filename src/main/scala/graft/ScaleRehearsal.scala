@@ -130,8 +130,16 @@ object ScaleRehearsal {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     // factor=1 would divide the exponent by log10(1)=0; factor<1 is
     // nonsense for a scale-UP rehearsal — reject the config up front
-    // (round-12 ADVICE, the same degenerate-config hazard Bench guards)
-    require(factor > 1, s"SPARK_GRAFT_SCALE_FACTOR must be > 1, got $factor")
+    // (round-12 ADVICE, the same degenerate-config hazard Bench guards).
+    // Upper bound: the derivations space copies 10^7 ids apart while
+    // multimodal_full_pipeline plants twins at id + 10^9 — at factor
+    // 101+ a high copy's base ids collide with copy-0's twin ids and
+    // the banding/survivorship counts corrupt SILENTLY; embeddings'
+    // rotate-then-negate scheme likewise guarantees non-near-dup
+    // copies only up to 2·dim = 128.
+    require(factor > 1 && factor <= 100,
+      s"SPARK_GRAFT_SCALE_FACTOR must be in [2, 100] (id-spacing and " +
+        s"rotation-derivation invariants), got $factor")
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
     // a typo'd selector silently matching no families would run nothing

@@ -52,14 +52,28 @@ object StreamProbe {
       }
       val t1 = System.nanoTime()
       if (!quiet) println(s"=== parts=$parts shm=$shm wall=${(t1 - t0) / 1e9}")
+      // drain the async listener bus BEFORE polling, so the final
+      // batch's progress event is attributed to THIS matrix cell, not
+      // the next one — the same fix Bench's trigger meter carries
+      try org.apache.spark.graftbus.ListenerBusDrain.drain(spark.sparkContext)
+      catch { case scala.util.control.NonFatal(_) => () }
       var s = progress.poll()
       while (s != null) { if (!quiet) println(s"  $s"); s = progress.poll() }
     }
 
-    pipeline(8, false, quiet = true)   // warmup
-    println("---- measured ----")
-    for (r <- 1 to 2; parts <- Seq(8, 4, 2); shm <- Seq(false, true))
-      pipeline(parts, shm, quiet = false)
+    def wipeShm(): Unit = {
+      import org.apache.hadoop.fs.Path
+      val p = new Path("/dev/shm/graft_probe_ckpt")
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    wipeShm()   // RAM-backed checkpoints must never accumulate across runs
+    try {
+      pipeline(8, false, quiet = true)   // warmup
+      println("---- measured ----")
+      for (r <- 1 to 2; parts <- Seq(8, 4, 2); shm <- Seq(false, true))
+        pipeline(parts, shm, quiet = false)
+    } finally wipeShm()
     spark.stop()
   }
 }

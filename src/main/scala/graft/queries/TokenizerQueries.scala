@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
   */
 object TokenizerQueries {
 
-  private val Rounds = 3
+  private[graft] val Rounds = 3
 
   /** Word-frequency table exploded to per-character rows
     * `(word, wc, idx, sym)`, idx dense 1..len. The ONE corpus-size
@@ -108,24 +108,31 @@ object TokenizerQueries {
     * chain (measured: 8.4 s → ~1 s at sf0.1 for the 3-round chain).
     * At 100 TB this barrier is exactly where a production run would
     * persist the between-rounds vocabulary table. */
-  private[graft] def trainChain(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
+  private[graft] def trainChain(docs: DataFrame): (Seq[DataFrame], DataFrame) =
+    trainChainWith(docs, topPair)
+
+  /** The same chain under ANY per-round argmax — the merge-application
+    * machinery is selection-agnostic, which is how the WordPiece
+    * family ([[WordpieceQueries]]) reuses it with only the likelihood-
+    * ratio argmax swapped in. `sel`'s frame must expose (a, b) plus
+    * whatever metrics its caller reports. */
+  private[graft] def trainChainWith(docs: DataFrame,
+      sel: DataFrame => DataFrame): (Seq[DataFrame], DataFrame) = {
     val z = (Vector.empty[DataFrame], charRows(docs).localCheckpoint(true))
     (1 to Rounds).foldLeft(z) { case ((sels, r), _) =>
-      val sel = topPair(r).localCheckpoint(true)
-      (sels :+ sel, applyMerge(r, sel).localCheckpoint(true))
+      val s = sel(r).localCheckpoint(true)
+      (sels :+ s, applyMerge(r, s).localCheckpoint(true))
     }
   }
 
   // ---- oracle (generated from the same Rounds constant — cannot drift)
 
-  private def roundSql(k: Int): String = {
+  /** The merge-APPLICATION CTEs (n/c/r) for round k — selection-
+    * agnostic (consume whatever `sel$k(a, b, …)` an argmax CTE
+    * defines), shared verbatim with the WordPiece oracle. */
+  private[graft] def applySql(k: Int): String = {
     val p = s"r${k - 1}"
     s"""
-p$k AS (
-  SELECT sym, nxt, sum(wc) AS cnt FROM (
-    SELECT word, wc, sym, lead(sym) OVER (PARTITION BY word ORDER BY idx) AS nxt FROM $p) t
-  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
-sel$k AS (SELECT sym AS a, nxt AS b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
 n$k AS (
   SELECT word, wc, idx, sym, lead(sym) OVER (PARTITION BY word ORDER BY idx) AS nxt FROM $p),
 c$k AS (
@@ -144,13 +151,8 @@ r$k AS (
     WHERE cn.idx IS NULL) t3)"""
   }
 
-  /** Shared oracle prefix: wfreq + r0 + all round CTEs. r0 explodes
-    * each word into characters via the per-row `range(1, length+1)`
-    * list — the exact twin of Spark's `sequence(1, length)`, with no
-    * word-length cap on either side (a fixed `generate_series(1, 64)`
-    * bound would silently truncate only the oracle on a drifted
-    * fixture and surface as an opaque hash diff — round-9 ADVICE). */
-  private val chainSql: String =
+  /** Shared WITH prefix (wfreq + r0) — see the r0 scaladoc below. */
+  private[graft] def chainPrefixSql: String =
     """
 WITH wfreq AS (
   SELECT word, count(*) AS wc FROM (
@@ -158,8 +160,26 @@ WITH wfreq AS (
   WHERE word <> '' GROUP BY word),
 r0 AS (
   SELECT word, wc, CAST(i AS INT) AS idx, substr(word, CAST(i AS INT), 1) AS sym
-  FROM (SELECT word, wc, unnest(range(1, length(word) + 1)) AS i FROM wfreq) t),""" +
-      (1 to Rounds).map(roundSql).mkString(",")
+  FROM (SELECT word, wc, unnest(range(1, length(word) + 1)) AS i FROM wfreq) t),"""
+
+  private def roundSql(k: Int): String = {
+    val p = s"r${k - 1}"
+    s"""
+p$k AS (
+  SELECT sym, nxt, sum(wc) AS cnt FROM (
+    SELECT word, wc, sym, lead(sym) OVER (PARTITION BY word ORDER BY idx) AS nxt FROM $p) t
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+sel$k AS (SELECT sym AS a, nxt AS b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),${applySql(k)}"""
+  }
+
+  /** Shared oracle prefix: wfreq + r0 + all round CTEs. r0 explodes
+    * each word into characters via the per-row `range(1, length+1)`
+    * list — the exact twin of Spark's `sequence(1, length)`, with no
+    * word-length cap on either side (a fixed `generate_series(1, 64)`
+    * bound would silently truncate only the oracle on a drifted
+    * fixture and surface as an opaque hash diff — round-9 ADVICE). */
+  private val chainSql: String =
+    chainPrefixSql + (1 to Rounds).map(roundSql).mkString(",")
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * coincidence. Everything else — the word-frequency collapse (the
   * distinct-words scale story), overlap-counted pair statistics, the
   * leftmost-greedy gaps-and-islands merge application — is shared
-  * VERBATIM with the BPE trainer ([[TokenizerQueries.applyMerge]]),
-  * so the two families differ exactly where the algorithms differ:
-  * the per-round argmax.
+  * with the BPE trainer by construction: this object supplies ONLY
+  * the argmax ([[topPairWp]]) to [[TokenizerQueries.trainChainWith]]
+  * and ONLY the selection CTE around [[TokenizerQueries.applySql]],
+  * so the two families differ exactly where the algorithms differ.
   *
   * Exact arithmetic: the ratio is scored as
   * `(cnt · 10⁹) div (c_a · c_b)` — truncating integer division over
@@ -40,7 +41,7 @@ import org.apache.spark.sql.functions._
   */
 object WordpieceQueries {
 
-  private val Rounds = 3
+  private val Rounds = TokenizerQueries.Rounds
 
   /** Round argmax under the likelihood-ratio score — a 1-row frame.
     * Output columns (a, b, cnt, score_ppb); [[TokenizerQueries
@@ -61,21 +62,14 @@ object WordpieceQueries {
       .select(col("sym").as("a"), col("nxt").as("b"), col("cnt"), col("score_ppb"))
   }
 
-  /** Per-round 1-row selections + final segmented rows — the BPE
-    * trainChain with the WordPiece argmax swapped in (same
-    * localCheckpoint lineage barriers, see TokenizerQueries). */
-  private[graft] def trainChainWp(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
-    val z = (Vector.empty[DataFrame],
-      TokenizerQueries.charRows(docs).localCheckpoint(true))
-    (1 to Rounds).foldLeft(z) { case ((sels, r), _) =>
-      val sel = topPairWp(r).localCheckpoint(true)
-      (sels :+ sel, TokenizerQueries.applyMerge(r, sel).localCheckpoint(true))
-    }
-  }
+  /** The BPE chain with the WordPiece argmax swapped in. */
+  private[graft] def trainChainWp(docs: DataFrame): (Seq[DataFrame], DataFrame) =
+    TokenizerQueries.trainChainWith(docs, topPairWp)
 
-  // ---- oracle: the BPE chain CTEs with the WordPiece selection; the
-  // apply CTEs (n/c/r) are textually the BPE ones — the algorithms
-  // share the application step by definition.
+  // ---- oracle: the shared chain prefix + per-round WordPiece
+  // selection CTE + the shared application CTEs (TokenizerQueries
+  // .applySql — the algorithms share the application step by
+  // definition, so its SQL lives in exactly one place).
 
   private def roundSql(k: Int): String = {
     val p = s"r${k - 1}"
@@ -90,35 +84,11 @@ sel$k AS (
     SELECT p.sym AS a, p.nxt AS b, p.cnt AS cnt,
            (p.cnt * 1000000000) // (sa.c * sb.c) AS score_ppb
     FROM p$k p JOIN sc$k sa ON sa.sym = p.sym JOIN sc$k sb ON sb.sym = p.nxt) t
-  ORDER BY score_ppb DESC, cnt DESC, a, b LIMIT 1),
-n$k AS (
-  SELECT word, wc, idx, sym, lead(sym) OVER (PARTITION BY word ORDER BY idx) AS nxt FROM $p),
-c$k AS (
-  SELECT word, idx FROM (
-    SELECT word, idx, row_number() OVER (PARTITION BY word, grp ORDER BY idx) AS rr FROM (
-      SELECT n.word, n.idx, n.idx - row_number() OVER (PARTITION BY n.word ORDER BY n.idx) AS grp
-      FROM n$k n, sel$k s WHERE n.sym = s.a AND n.nxt = s.b) t1) t2
-  WHERE rr % 2 = 1),
-r$k AS (
-  SELECT word, wc, CAST(row_number() OVER (PARTITION BY word ORDER BY idx) AS INT) AS idx, sym FROM (
-    SELECT n.word, n.wc, n.idx,
-           CASE WHEN st.idx IS NOT NULL THEN s.a || s.b ELSE n.sym END AS sym
-    FROM n$k n CROSS JOIN sel$k s
-    LEFT JOIN c$k st ON st.word = n.word AND st.idx = n.idx
-    LEFT JOIN c$k cn ON cn.word = n.word AND cn.idx + 1 = n.idx
-    WHERE cn.idx IS NULL) t3)"""
+  ORDER BY score_ppb DESC, cnt DESC, a, b LIMIT 1),${TokenizerQueries.applySql(k)}"""
   }
 
   private val chainSql: String =
-    """
-WITH wfreq AS (
-  SELECT word, count(*) AS wc FROM (
-    SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word FROM documents) t
-  WHERE word <> '' GROUP BY word),
-r0 AS (
-  SELECT word, wc, CAST(i AS INT) AS idx, substr(word, CAST(i AS INT), 1) AS sym
-  FROM (SELECT word, wc, unnest(range(1, length(word) + 1)) AS i FROM wfreq) t),""" +
-      (1 to Rounds).map(roundSql).mkString(",")
+    TokenizerQueries.chainPrefixSql + (1 to Rounds).map(roundSql).mkString(",")
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -35,7 +35,15 @@ object ScaleRehearsal {
     // two capstone pipelines — the remaining argued-but-unmeasured
     // 100× shapes
     "join_interval_overlap", "join_range_band", "join_skew_salted",
-    "curate_full_pipeline", "multimodal_full_pipeline")
+    "curate_full_pipeline", "multimodal_full_pipeline",
+    // round 13: the tokenizer trainers' Heaps-law claim (cost linear in
+    // DISTINCT words after one corpus word-count) measured directly —
+    // the salted derivation grows the vocabulary ×factor, the exact
+    // stress. BPE/WordPiece re-run their full chains per rep (no
+    // memoized artifacts), so the trainer cost is what's timed;
+    // unigram's judged queries serve from Staging-memoized artifacts
+    // and would only measure the post-build read, so they stay out.
+    "text_bpe_train", "text_wordpiece_train")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

@@ -261,9 +261,23 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("q05_region_revenue", "sim_ann_ivf", "doc_tfidf", "dedup_embedding_cosine",
         "sim_ann_recall", "doc_decontaminate", "doc_pack_sequences",
         "sim_ann_ivfpq_recall", "text_bpe_train", "doc_dsir_weights",
-        "curate_quality_stump", "vec_quantize_int8")) {
+        "curate_quality_stump", "vec_quantize_int8",
+        "dedup_containment_incremental", "text_unigram_tokenize",
+        "text_wordpiece_train")) {
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian product")
     }
+  }
+
+  test("text_unigram_tokenize: the corpus pays one BROADCAST join on the word") {
+    // the deployment claim: tokenizing is a map-side pass because the
+    // word->pieces map is Heaps-law small — the corpus-side join must
+    // plan as a broadcast hash join, never a shuffle on the token
+    // stream's word key
+    val p = plan("text_unigram_tokenize")
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram tokenize corpus join is not broadcast: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "unigram tokenize shuffles the token stream on the word key")
   }
 
   test("join_null_aware_anti: both NOT IN legs plan as broadcast anti joins") {

@@ -175,7 +175,7 @@ object ScaleRehearsal {
     }
     def scaledDirFor(q: String): String =
       if (RelFamilies.contains(q)) scaledRel else scaledDocs
-    def time(name: String, dir: String): (Double, Long) = {
+    def time(name: String, dir: String): (Double, Long, Double) = {
       val fn = SparkEntry.queries(name)
       var lastDf: DataFrame = null
       def once(): Double = {
@@ -185,22 +185,31 @@ object ScaleRehearsal {
         lastDf = df
         (System.nanoTime() - t0) / 1e9
       }
+      // Staging.frame/onceDir artifacts build once per (JVM, dir) —
+      // inside the FIRST rep — and later reps serve from the memo, so
+      // the median alone under-reports families with shared inputs
+      // (the Bench shared_staging discipline). The build seconds that
+      // landed during these reps are reported as a separate column;
+      // memoized families' exponents then explicitly measure the
+      // SERVE path (ivfpq_persisted's long-standing stance).
+      val shared0 = Staging.sharedBuildSeconds.values.sum
       val runs = List.fill(reps)(once()).sorted
+      val sharedBuilt = Staging.sharedBuildSeconds.values.sum - shared0
       // row count untimed, from the last materialized frame — a sanity
       // check that the scaled corpus produces non-degenerate output
       val n = lastDf.count()
       System.gc()
-      (runs(runs.size / 2), n)
+      (runs(runs.size / 2), n, sharedBuilt)
     }
     // fitted exponent: t ∝ N^e over the measured span ⇒
     // e = log(tX/t1) / log(factor); 1.0 = linear, < 1 = sub-linear
-    println(f"${"query"}%-28s ${"t(sf0.1)"}%9s ${s"t(x$factor)"}%9s ${"ratio"}%6s ${"exponent"}%8s  rows0.1 rowsX")
+    println(f"${"query"}%-28s ${"t(sf0.1)"}%9s ${s"t(x$factor)"}%9s ${"ratio"}%6s ${"exponent"}%8s  rows0.1 rowsX  shared(b/X)")
     selected.foreach { q =>
-      val (t1, n1) = time(q, sfDir)
-      val (tX, nX) = time(q, scaledDirFor(q))
+      val (t1, n1, b1) = time(q, sfDir)
+      val (tX, nX, bX) = time(q, scaledDirFor(q))
       val ratio = tX / t1
       val expo = math.log10(ratio) / math.log10(factor.toDouble)
-      println(f"$q%-28s $t1%9.2f $tX%9.2f $ratio%6.2f $expo%8.2f  $n1%7d $nX%6d")
+      println(f"$q%-28s $t1%9.2f $tX%9.2f $ratio%6.2f $expo%8.2f  $n1%7d $nX%6d  $b1%.1f/$bX%.1f")
     }
     spark.stop()
   }

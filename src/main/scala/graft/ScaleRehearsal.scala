@@ -41,9 +41,11 @@ object ScaleRehearsal {
     // the salted derivation grows the vocabulary ×factor, the exact
     // stress. BPE/WordPiece re-run their full chains per rep (no
     // memoized artifacts), so the trainer cost is what's timed;
-    // unigram's judged queries serve from Staging-memoized artifacts
-    // and would only measure the post-build read, so they stay out.
-    "text_bpe_train", "text_wordpiece_train")
+    // unigram's judged tokenize serves from Staging-memoized artifacts,
+    // so its median measures the SERVE path (broadcast word→pieces
+    // join) with the one-time train/segment build reported in the
+    // table's shared(b/X) column.
+    "text_bpe_train", "text_wordpiece_train", "text_unigram_tokenize")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

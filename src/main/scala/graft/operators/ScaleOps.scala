@@ -181,6 +181,37 @@ object ScaleOps {
       .drop("__gr_pid", "__gr_off")
   }
 
+  /** EXCLUSIVE global prefix sum of `value` over a total `order`, with
+    * no single-partition window anywhere — [[globalRank]]'s discipline
+    * extended from counts to sums: range-repartition on the order key,
+    * per-partition PARTIAL sums roll into an O(#partitions) exclusive
+    * offset frame (broadcast), and each partition's running sum rides
+    * its own local window plus its offset. `outCol` is 0 for the
+    * globally first row. Same localCheckpoint pin as globalRank: the
+    * offsets frame and the join side must see ONE evaluation of the
+    * RangePartitioner's sampled bounds or offsets could attach to a
+    * different partitioning and sums would be silently wrong. */
+  def globalRunningSum(df: DataFrame, outCol: String, value: Column,
+      order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("__gs_pid", spark_partition_id())
+      .withColumn("__gs_v", value.cast("long"))
+      .localCheckpoint()
+    val offsets = ranged.groupBy(col("__gs_pid")).agg(sum(col("__gs_v")).as("__gs_n"))
+      .withColumn("__gs_off",
+        coalesce(sum(col("__gs_n")).over(
+          Window.orderBy(col("__gs_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gs_pid"), col("__gs_off"))
+    val w = Window.partitionBy(col("__gs_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offsets), "__gs_pid")
+      .withColumn(outCol,
+        col("__gs_off") + coalesce(sum(col("__gs_v")).over(w), lit(0L)))
+      .drop("__gs_pid", "__gs_off", "__gs_v")
+  }
+
   /** SQL-standard `ntile(k)` from a 0-based global rank and the total
     * row count — pure integer arithmetic (the first `n % k` tiles get
     * `n/k + 1` rows, the rest `n/k`), bit-equal to the builtin on a

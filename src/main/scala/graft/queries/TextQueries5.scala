@@ -157,6 +157,53 @@ object TextQueries5 {
         .orderBy(col("doc_id"))
     },
 
+    /** BUDGET-CONSTRAINED curation — "keep the highest-quality
+      * documents until a token budget is hit" (here 60% of corpus
+      * tokens), the selection rule a compute-bounded training run
+      * actually applies on top of its quality scores: ranking every
+      * document by doc_quality's exact score and admitting greedily
+      * until the cumulative token count reaches the budget. A document
+      * is admitted iff its EXCLUSIVE running-token prefix is still
+      * under budget (it "starts inside" the budget — the
+      * concatenate-and-chop stance doc_pack_sequences already judges),
+      * so the selection is a pure function of the total order
+      * (quality desc, doc_id) with no fractional-document ambiguity.
+      *
+      * Shape at 100 TB: the global prefix sum is
+      * [[graft.operators.ScaleOps.globalRunningSum]] — range
+      * repartition on the quality key, per-partition partial sums, an
+      * O(#partitions) broadcast offset frame — the events_rfm
+      * globalRank discipline extended to sums, with NO
+      * single-partition window anywhere; the token budget itself is a
+      * 1-row broadcast. Quality doubles are bit-identical on both
+      * engines (doc_quality's judged parity), and the budget cut is
+      * exact integer arithmetic. */
+    QueryDef("curate_token_budget", Some(raw"""
+      WITH t AS (SELECT doc_id, $qualityScoreSql AS quality,
+                   CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n
+                 FROM documents),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM t),
+      r AS (SELECT doc_id, quality, n,
+              CAST(COALESCE(sum(n) OVER (ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+            FROM t)
+      SELECT doc_id, quality, n AS n_tokens, cum_before
+      FROM r, tot WHERE cum_before < (tt * 60) // 100
+      ORDER BY cum_before, doc_id""")) { (s, d) =>
+      import graft.operators.ScaleOps
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        size(filter(tokens(col("text")), x => x =!= "")).cast("long").as("n"))
+      val tot = t.agg(sum(col("n")).as("tt"))
+      ScaleOps.globalRunningSum(t, "cum_before", col("n"),
+          col("quality").desc, col("doc_id"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum_before") < expr("(tt * 60) div 100"))
+        .select(col("doc_id"), col("quality"), col("n").as("n_tokens"),
+          col("cum_before"))
+        .orderBy(col("cum_before"), col("doc_id"))
+    },
+
     /** TRAINED corpus classifier — multinomial Naive-Bayes-family
       * train/serve as one judged lineage: fit per-class token counts on
       * the even-doc_id half (the labeled training split), then classify

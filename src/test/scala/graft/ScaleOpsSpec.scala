@@ -163,4 +163,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("__gr_pid"), plan.take(1500))
   }
+
+  test("globalRunningSum equals the single-partition exclusive window, incl. ties and zeros") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(13, 200, 4)) {
+      // duplicate order keys + zero values exercise tie-breaks across
+      // range-partition boundaries and the empty-prefix coalesce
+      val rows = scala.util.Random.shuffle((1 to n).toList)
+        .map(i => (i.toLong, (i % 7).toLong, (i % 5).toLong))
+      val df = rows.toDF("id", "m", "v")
+      val got = ScaleOps.globalRunningSum(df, "run", $"v", $"m", $"id")
+      val ref = df.withColumn("ref_run",
+        coalesce(sum($"v").over(Window.orderBy($"m", $"id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val bad = got.join(ref.select($"id".as("rid"), $"ref_run"), $"id" === $"rid")
+        .filter($"run" =!= $"ref_run").collect()
+      assert(bad.isEmpty, s"n=$n divergent: ${bad.mkString(", ")}")
+      // globally-first row gets 0; the full sum is never included
+      val mx = got.agg(max($"run" + $"v"), min($"run")).head
+      assert(mx.getLong(1) === 0L)
+      assert(mx.getLong(0) === rows.map(_._3).sum)
+    }
+    // scale property: no unpartitioned row-level window on the data
+    val big = (1 to 1000).map(i => (i.toLong, (i % 13).toLong, 1L)).toDF("id", "m", "v")
+    val plan = ScaleOps.globalRunningSum(big, "run", $"v", $"m", $"id")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__gs_pid"), plan.take(1500))
+  }
 }

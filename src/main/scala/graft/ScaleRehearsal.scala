@@ -45,7 +45,10 @@ object ScaleRehearsal {
     // so its median measures the SERVE path (broadcast word→pieces
     // join) with the one-time train/segment build reported in the
     // table's shared(b/X) column.
-    "text_bpe_train", "text_wordpiece_train", "text_unigram_tokenize")
+    "text_bpe_train", "text_wordpiece_train", "text_unigram_tokenize",
+    // round 13: budget-constrained curation — the distributed prefix
+    // sum (globalRunningSum) under a genuinely reshuffled total order
+    "curate_token_budget")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

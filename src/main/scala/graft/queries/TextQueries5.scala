@@ -191,9 +191,15 @@ object TextQueries5 {
       FROM r, tot WHERE cum_before < (tt * 60) // 100
       ORDER BY cum_before, doc_id""")) { (s, d) =>
       import graft.operators.ScaleOps
+      // pinned once: the scored frame feeds the budget total, the
+      // RangePartitioner's SAMPLING pass, and the actual shuffle — left
+      // as lineage the scan+quality+tokenize ran 3× per query (the ×100
+      // rehearsal measured it); the materialized frame is 3 narrow
+      // columns per doc
       val t = Tables.documents(s, d).select(col("doc_id"),
         qualityScore(col("text")).as("quality"),
         size(filter(tokens(col("text")), x => x =!= "")).cast("long").as("n"))
+        .localCheckpoint()
       val tot = t.agg(sum(col("n")).as("tt"))
       ScaleOps.globalRunningSum(t, "cum_before", col("n"),
           col("quality").desc, col("doc_id"))

@@ -194,9 +194,20 @@ object ScaleOps {
   def globalRunningSum(df: DataFrame, outCol: String, value: Column,
       order: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranged = df.repartitionByRange(order: _*)
+    // integral values only — a silent cast("long") would truncate a
+    // DoubleType column per row and diverge from any window reference
+    // without an error; widen to long explicitly at the call site if
+    // the input is a narrower integral type
+    val withV = df.withColumn("__gs_v", value)
+    val vType = withV.schema("__gs_v").dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(vType),
+      s"globalRunningSum requires an integral value column, got $vType")
+    val ranged = withV.repartitionByRange(order: _*)
       .withColumn("__gs_pid", spark_partition_id())
-      .withColumn("__gs_v", value.cast("long"))
+      .withColumn("__gs_v", col("__gs_v").cast("long"))
       .localCheckpoint()
     val offsets = ranged.groupBy(col("__gs_pid")).agg(sum(col("__gs_v")).as("__gs_n"))
       .withColumn("__gs_off",

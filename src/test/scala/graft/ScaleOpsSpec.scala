@@ -166,10 +166,13 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("globalRunningSum equals the single-partition exclusive window, incl. ties and zeros") {
     import org.apache.spark.sql.expressions.Window
+    // seeded shuffle: the permutation determines the range-partition
+    // boundaries under test — a failure must be reproducible
+    val rng = new scala.util.Random(42)
     for (n <- Seq(13, 200, 4)) {
       // duplicate order keys + zero values exercise tie-breaks across
       // range-partition boundaries and the empty-prefix coalesce
-      val rows = scala.util.Random.shuffle((1 to n).toList)
+      val rows = rng.shuffle((1 to n).toList)
         .map(i => (i.toLong, (i % 7).toLong, (i % 5).toLong))
       val df = rows.toDF("id", "m", "v")
       val got = ScaleOps.globalRunningSum(df, "run", $"v", $"m", $"id")

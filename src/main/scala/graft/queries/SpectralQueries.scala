@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.{Staging, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spectral embedding analysis — PCA's top principal direction by
+  * SUFFICIENT STATISTICS plus a fixed-point POWER ITERATION, the
+  * dimensionality-reduction member of the vector family (production
+  * uses: whitening/compacting embedding stores before ANN, drift
+  * diagnostics on the dominant direction, low-rank pre-filters).
+  *
+  * The scale shape is the regression-by-sufficient-statistics
+  * discipline (Relational4) lifted to matrices: ONE corpus pass
+  * computes the per-dimension sums (means), ONE explode-aggregate pass
+  * computes the centered upper-triangle Gram matrix (d(d+1)/2 = 2,080
+  * cells at d=64, map-side combined — never a vector self-join), and
+  * everything after runs on broadcast-small 64/2,080-row frames: the
+  * spectral solve costs O(d² · iters) independent of corpus size. At
+  * 100 TB the corpus contributes exactly two scans.
+  *
+  * Exact arithmetic (the repo's fixed-point discipline, here for
+  * linear algebra): embeddings quantize by floor(x·10⁶); all integer
+  * divisions are TRUNCATING toward zero — Spark's `div` and DuckDB's
+  * `//` share that semantic even on negative operands (verified:
+  * −7//2 = −3 in DuckDB; an assumed floor semantic drifted the means
+  * by 1 during development and the hash gate caught it); the Gram
+  * matrix rescales by `(max|c| div 10⁶) + 1` so every matrix–vector
+  * product stays inside int64 at any corpus size up to the documented
+  * 800k-vector ×100 bound (|c| ≤ 3.2e18 there — audited at build
+  * time); three iterations from the all-ones ppm start, renormalized
+  * to ≤10⁶ by max-component truncating division. Every step is
+  * integer-exact and replayed CTE-for-CTE by the oracle;
+  * SpectralSpec adds a third direct-Scala replay (bit-for-bit) AND a
+  * quality dial — cosine ≥ 0.99 against a DOUBLE-precision twin of
+  * the same 3 iterations, which is what the fixed point claims to
+  * track. (Convergence to the true eigenvector is a property of the
+  * spectrum, not the arithmetic: the fixture's md5-random embeddings
+  * are deliberately isotropic, λ1/λ2 ≈ 1, where no fixed iteration
+  * count separates the top direction; production embedding corpora
+  * are anisotropic and converge in a few iterations — the spec
+  * REPORTS the fixture's flatness readout rather than asserting an
+  * unreachable bar.)
+  *
+  * Reference tie-in: the reference has no vector surface (it delegates
+  * analysis to BigQuery, README.md:3); this belongs to the
+  * LLM-pipeline extension mandated by the build brief.
+  */
+object SpectralQueries {
+
+  private val Q = 1000000L   // ppm quantization / normalization target
+  private val Iters = 3
+
+  /** Truncating integer division a/b — Spark's `div` and DuckDB's `//`
+    * BOTH truncate toward zero (verified on negative operands: −7//2 =
+    * −3 in DuckDB), so plain `div` is exact cross-engine parity even
+    * for the negative sums embeddings produce. Integral `div` (not
+    * `/`): double division would round above 2^53, and the Gram cells
+    * reach 3.2e18 at the ×100 bound. */
+  private def tdiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
+
+  /** The trained artifact `(dim, mean_q, v_ppm)` — per-dimension
+    * quantized floor-mean and the iterated direction — built once per
+    * (JVM, dir); both queries serve from it (train-once lifecycle). */
+  private[graft] def pcaArtifact(s: SparkSession, d: String): DataFrame =
+    Staging.frame(s, "pca_v", d) {
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
+          .as("qx"))
+        .localCheckpoint()
+      val vals = q.select(col("vec_id"), posexplode(col("qx")).as(Seq("i", "x")))
+      val nRows = q.count() // plan-time scalar for the mean divisor
+      val means = vals.groupBy(col("i")).agg(sum(col("x")).as("sx"))
+        .withColumn("m", tdiv(col("sx"), lit(nRows)))
+        .select(col("i"), col("m"))
+      val zv = vals.join(broadcast(means), Seq("i"))
+        .select(col("vec_id"), col("i"), (col("x") - col("m")).as("z"))
+        .localCheckpoint()
+      // centered upper-triangle Gram matrix in ONE map-side-combined
+      // aggregate — explode per-row (i ≤ j) products, never a
+      // corpus self-join on vec_id
+      val zArr = zv.groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, z))), t -> t.z)").as("za"))
+      val cov = zArr.select(explode(expr(
+          "flatten(transform(sequence(0, size(za) - 1), i -> " +
+            "transform(sequence(i, size(za) - 1), j -> " +
+            "struct(i AS i, j AS j, za[i] * za[j] AS p))))")).as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(sum(col("t.p")).as("c"))
+        .localCheckpoint()
+      // int64 headroom audit: |c| ≤ rows·(2Q)² — 3.2e18 at the 800k
+      // ×100 bound, inside int64 but close; fail loudly past it
+      val cmax = cov.agg(max(abs(col("c"))).as("cm")).head.getLong(0)
+      require(cmax < Long.MaxValue / 2,
+        s"Gram cells at int64 risk: $cmax — requantize (lower Q)")
+      val scale = cmax / Q + 1
+      val cRed = cov.select(col("i"), col("j"), tdiv(col("c"), lit(scale)).as("c"))
+      val cFull = cRed.union(
+        cRed.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+        .localCheckpoint()
+      var v = cFull.select(col("i").as("j")).distinct()
+        .withColumn("v", lit(Q)).localCheckpoint()
+      (1 to Iters).foreach { _ =>
+        val u = cFull.join(broadcast(v), Seq("j"))
+          .groupBy(col("i")).agg(sum(col("c") * col("v")).as("u"))
+        val den = u.agg((tdiv(max(abs(col("u"))), lit(Q)) + 1).as("dn"))
+        v = u.crossJoin(broadcast(den))
+          .select(col("i").as("j"), tdiv(col("u"), col("dn")).as("v"))
+          .localCheckpoint()
+      }
+      means.join(v.withColumnRenamed("j", "i"), Seq("i"))
+        .select(col("i").cast("long").as("dim"), col("m").as("mean_q"),
+          col("v").as("v_ppm"))
+        .localCheckpoint()
+    }
+
+  // ---- oracle: the identical chain in DuckDB (`//` truncates toward
+  // zero exactly like Spark's `div`; iterations unrolled from the same
+  // constants — cannot drift)
+
+  private def chainSql: String = {
+    def iter(k: Int): String = {
+      val pv = if (k == 1) "v0" else s"v${k - 1}"
+      s"""
+u$k AS (SELECT cf.i, CAST(sum(cf.c * $pv.v) AS BIGINT) AS u FROM cf JOIN $pv ON $pv.j = cf.j GROUP BY 1),
+d$k AS (SELECT (max(abs(u)) // $Q) + 1 AS dn FROM u$k),
+v$k AS (SELECT i AS j, CAST(u // dn AS BIGINT) AS v FROM u$k, d$k)"""
+    }
+    raw"""
+WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS qx FROM embeddings),
+nn AS (SELECT count(*) AS n FROM e),
+exp AS (SELECT vec_id, CAST(unnest(range(0, len(qx))) AS INT) AS i, qx FROM e),
+vals AS (SELECT vec_id, i, qx[i + 1] AS x FROM exp),
+means AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM vals GROUP BY i),
+mm AS (SELECT i, CAST(sx // n AS BIGINT) AS m FROM means, nn),
+zv AS (SELECT vec_id, vals.i, x - m AS z FROM vals JOIN mm ON mm.i = vals.i),
+cov AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.z * b.z) AS BIGINT) AS c
+        FROM zv a JOIN zv b ON b.vec_id = a.vec_id AND b.i >= a.i GROUP BY 1, 2),
+sc AS (SELECT (max(abs(c)) // $Q) + 1 AS s FROM cov),
+cr AS (SELECT i, j, CAST(c // s AS BIGINT) AS c FROM cov, sc),
+cf AS (SELECT i, j, c FROM cr UNION ALL SELECT j AS i, i AS j, c FROM cr WHERE i <> j),
+v0 AS (SELECT DISTINCT i AS j, CAST($Q AS BIGINT) AS v FROM cf),${(1 to Iters).map(iter).mkString(",")}"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The trained spectral artifact: per-dimension quantized floor-mean
+    // and the iterated principal direction in ppm.
+    QueryDef("vec_pca_power", Some(chainSql + s"""
+      SELECT CAST(mm.i AS BIGINT) AS dim, mm.m AS mean_q, v$Iters.v AS v_ppm
+      FROM mm JOIN v$Iters ON v$Iters.j = mm.i ORDER BY dim""")) { (s, d) =>
+      pcaArtifact(s, d).orderBy(col("dim"))
+    },
+
+    // The deployment half: every vector's exact integer projection onto
+    // the trained direction — one broadcast join against the 64-row
+    // artifact, a single corpus pass (the map-side re-encode shape of
+    // vec_quantize_int8).
+    QueryDef("vec_pca_project", Some(chainSql + s"""
+      , pj AS (SELECT vec_id, CAST(sum((x - m) * v) AS BIGINT) AS proj
+               FROM vals JOIN mm ON mm.i = vals.i
+               JOIN v$Iters ON v$Iters.j = vals.i
+               GROUP BY 1)
+      SELECT vec_id, proj FROM pj ORDER BY vec_id""")) { (s, d) =>
+      val art = pcaArtifact(s, d)
+        .select(col("dim").cast("int").as("i"), col("mean_q"), col("v_ppm"))
+      Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
+            .as("qx"))
+        .select(col("vec_id"), posexplode(col("qx")).as(Seq("i", "x")))
+        .join(broadcast(art), Seq("i"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("x") - col("mean_q")) * col("v_ppm")).as("proj"))
+        .orderBy(col("vec_id"))
+    },
+  )
+}

@@ -268,6 +268,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("curate_token_budget: the global prefix sum is partition-keyed, not a single-partition window") {
+    // the budget selection's scale claim: every row-level WindowExec is
+    // keyed by the range-partition id (globalRunningSum); the only
+    // global window runs on the one-row-per-partition offsets frame
+    val p = plan("curate_token_budget")
+    assert(p.contains("__gs_pid"),
+      "token budget is not using the distributed prefix sum: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("text_unigram_tokenize: the corpus pays one BROADCAST join on the word") {
     // the deployment claim: tokenizing is a map-side pass because the
     // word->pieces map is Heaps-law small — the corpus-side join must

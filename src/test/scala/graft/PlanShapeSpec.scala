@@ -263,7 +263,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "sim_ann_ivfpq_recall", "text_bpe_train", "doc_dsir_weights",
         "curate_quality_stump", "vec_quantize_int8",
         "dedup_containment_incremental", "text_unigram_tokenize",
-        "text_wordpiece_train")) {
+        "text_wordpiece_train", "vec_pca_project", "curate_token_budget")) {
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian product")
     }
   }

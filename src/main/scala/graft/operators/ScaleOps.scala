@@ -183,7 +183,15 @@ object ScaleOps {
 
   /** EXCLUSIVE global prefix sum of `value` over a total `order`, with
     * no single-partition window anywhere — [[globalRank]]'s discipline
-    * extended from counts to sums: range-repartition on the order key,
+    * extended from counts to sums. `order` MUST be a TOTAL order
+    * (include a unique tie-break column, as [[globalRank]] requires):
+    * with duplicate keys, tied rows can straddle a range-partition
+    * boundary and the per-partition exclusive window orders them
+    * arbitrarily, so `outCol` would be NONDETERMINISTIC across runs —
+    * not wrong on any single run's own ordering, but unstable (the
+    * sole judged caller, curate_token_budget, passes the unique
+    * (quality desc, doc_id) key). Shape: range-repartition on the
+    * order key,
     * per-partition PARTIAL sums roll into an O(#partitions) exclusive
     * offset frame (broadcast), and each partition's running sum rides
     * its own local window plus its offset. `outCol` is 0 for the

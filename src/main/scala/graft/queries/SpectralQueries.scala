@@ -71,6 +71,17 @@ object SpectralQueries {
         .localCheckpoint()
       val vals = q.select(col("vec_id"), posexplode(col("qx")).as(Seq("i", "x")))
       val nRows = q.count() // plan-time scalar for the mean divisor
+      // INPUT-derived int64 audit (round-13 ADVICE): in non-ANSI Spark
+      // an overflowing sum(z_i·z_j) WRAPS before any check on the
+      // computed cells can see it, so the bound must come from the
+      // inputs — |x| ≤ Q and |m| ≤ Q give |z| ≤ 2Q, hence
+      // |c| ≤ nRows·(2Q)²; requiring that to fit int64 rejects
+      // out-of-headroom corpora (>~2.3M vectors at Q=10⁶) BEFORE the
+      // Gram aggregate can wrap. The cmax check below then only sizes
+      // the rescale margin, which is all it can soundly do.
+      require(nRows <= Long.MaxValue / (4L * Q * Q),
+        s"Gram sums could exceed int64: $nRows vectors x (2Q)^2 at Q=$Q " +
+          "- requantize (lower Q) or shard the corpus")
       val means = vals.groupBy(col("i")).agg(sum(col("x")).as("sx"))
         .withColumn("m", tdiv(col("sx"), lit(nRows)))
         .select(col("i"), col("m"))
@@ -89,8 +100,10 @@ object SpectralQueries {
         .groupBy(col("t.i").as("i"), col("t.j").as("j"))
         .agg(sum(col("t.p")).as("c"))
         .localCheckpoint()
-      // int64 headroom audit: |c| ≤ rows·(2Q)² — 3.2e18 at the 800k
-      // ×100 bound, inside int64 but close; fail loudly past it
+      // margin check on the computed cells (|c| ≤ 3.2e18 at the 800k
+      // ×100 bound): NOT an overflow guard — a wrapped sum would pass
+      // it — the input-derived require above is the sound audit; this
+      // read sizes the rescale and keeps a loud secondary tripwire
       val cmax = cov.agg(max(abs(col("c"))).as("cm")).head.getLong(0)
       require(cmax < Long.MaxValue / 2,
         s"Gram cells at int64 risk: $cmax — requantize (lower Q)")

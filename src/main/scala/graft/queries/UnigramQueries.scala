@@ -95,7 +95,14 @@ object UnigramQueries {
     // ≤ 2^r hops per (word, f, t); max hops = word length (all single
     // chars), so ceil(log2 maxLen) rounds suffice. maxLen is a 1-value
     // plan-time driver read (the stageDayFiles/scd2 precedent).
-    val maxLen = occ.agg(max(col("t"))).head.getInt(0)
+    // max over ZERO rows is null — an empty/degenerate corpus would
+    // otherwise surface as an opaque NPE from inside a Staging build
+    // (round-13 ADVICE); fail with a diagnostic instead
+    val maxLenRow = occ.agg(max(col("t"))).head
+    require(!maxLenRow.isNullAt(0),
+      "unigram segment: corpus has no words (empty piece-occurrence frame) " +
+        "- nothing to train on")
+    val maxLen = maxLenRow.getInt(0)
     require(maxLen <= 99,
       s"fixed-width cut encoding supports words up to 99 chars, got $maxLen")
     val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(maxLen - 1))

@@ -56,7 +56,19 @@ object WordpieceQueries {
     pairs
       .join(syms.select(col("sym"), col("c").as("c_a")), Seq("sym"))
       .join(syms.select(col("sym").as("nxt"), col("c").as("c_b")), Seq("nxt"))
-      .withColumn("score_ppb", expr("(cnt * 1000000000) div (c_a * c_b)"))
+      // int64 headroom guard (round-13 ADVICE): past ~3e9 symbol
+      // instances, c_a·c_b (and past ~9e9, cnt·1e9) silently wraps in
+      // non-ANSI Spark and would select WRONG merges with no error.
+      // Both factors ≤ 3e9 keeps the product ≤ 9e18 < 2^63, and
+      // cnt ≤ min(c_a, c_b) bounds the numerator transitively — so the
+      // guard fails loudly exactly where the scaladoc's bound ends
+      // (the winnowFingerprints raise_error discipline; per-row, no
+      // extra driver action in the lazy train chain).
+      .withColumn("score_ppb", expr(
+        "CASE WHEN c_a > 3000000000 OR c_b > 3000000000 THEN " +
+          "CAST(raise_error('topPairWp: symbol instance count exceeds the " +
+          "3e9 int64 scoring headroom - requantize or shard the corpus') AS BIGINT) " +
+          "ELSE (cnt * 1000000000) div (c_a * c_b) END"))
       .orderBy(col("score_ppb").desc, col("cnt").desc, col("sym"), col("nxt"))
       .limit(1)
       .select(col("sym").as("a"), col("nxt").as("b"), col("cnt"), col("score_ppb"))

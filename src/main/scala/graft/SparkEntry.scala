@@ -20,7 +20,8 @@ object SparkEntry {
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ TextQueries4.defs ++ TextQueries5.defs ++
       VectorQueries.defs ++ VectorQueries2.defs ++ MaintenanceQueries.defs ++ CurationQueries.defs ++
       RetrievalQueries.defs ++ TokenizerQueries.defs ++ UnigramQueries.defs ++
-      WordpieceQueries.defs ++ SpectralQueries.defs ++ AnalyticsQueries.defs
+      WordpieceQueries.defs ++ SpectralQueries.defs ++ KmeansQueries.defs ++
+      AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

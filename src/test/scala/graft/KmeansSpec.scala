@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Third implementation for the standalone k-means family (the
+  * SpectralSpec discipline): a direct in-memory Scala replay of the
+  * exact spherical-Lloyd fixed-point chain — seeds vec_id < k, max-
+  * cosine assignment with lowest-c_id tiebreak, per-dimension integer
+  * floor-mean update, 2 rounds — must match the engine bit-for-bit,
+  * the DuckDB oracle being the second implementation. The dot products
+  * are exact int64 and the cosine divides identical doubles, so the
+  * three implementations have no legitimate reason to differ by even
+  * one ULP. */
+class KmeansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  private val K = 16
+  private val Iters = 2 // VectorQueries.kmeansIters
+
+  /** Quantized corpus collected THROUGH the engine's own quantize
+    * expression (quantization parity is judged elsewhere; this spec
+    * isolates the Lloyd loop). */
+  private lazy val corpus: Array[(Long, Array[Long])] = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+  }
+
+  private def dot(a: Array[Long], b: Array[Long]): Long =
+    a.indices.map(i => a(i) * b(i)).sum
+
+  /** Direct spherical Lloyd: returns (centroids sorted by c_id,
+    * assignment vec_id -> c_id). Floor division on possibly-negative
+    * sums via the engine's exact formula. */
+  private def direct(): (Seq[(Long, Array[Long])], Map[Long, Long]) = {
+    def assign(cents: Seq[(Long, Array[Long])]): Map[Long, Long] = {
+      val withN2 = cents.map { case (id, cq) => (id, cq, math.sqrt(dot(cq, cq).toDouble)) }
+      corpus.map { case (vid, q) =>
+        val qn = math.sqrt(dot(q, q).toDouble)
+        // max cosine, ties -> lowest c_id: pick via strict > on the
+        // double, scanning in ascending c_id order
+        var bestId = -1L; var bestSim = Double.NegativeInfinity
+        withN2.sortBy(_._1).foreach { case (cid, cq, cn) =>
+          val sim = dot(q, cq).toDouble / (qn * cn)
+          if (sim > bestSim) { bestSim = sim; bestId = cid }
+        }
+        vid -> bestId
+      }.toMap
+    }
+    var cents: Seq[(Long, Array[Long])] =
+      corpus.filter(_._1 < K).map { case (id, q) => (id, q) }
+    for (_ <- 1 to Iters) {
+      val asg = assign(cents)
+      val byCluster = corpus.groupBy { case (vid, _) => asg(vid) }
+      cents = byCluster.toSeq.sortBy(_._1).map { case (cid, members) =>
+        val d = members.head._2.length
+        val cq = Array.tabulate(d) { i =>
+          val sv = members.map(_._2(i)).sum
+          val cnt = members.length.toLong
+          (sv - ((sv % cnt + cnt) % cnt)) / cnt // floor div, both engines' formula
+        }
+        (cid, cq)
+      }
+    }
+    (cents.sortBy(_._1), assign(cents))
+  }
+
+  test("vec_kmeans_train matches the direct spherical-Lloyd replay bit-for-bit") {
+    val (cents, _) = direct()
+    val want = cents.flatMap { case (cid, cq) =>
+      cq.zipWithIndex.map { case (v, i) => (cid, i.toLong, v) }
+    }
+    val engine = SparkEntry.queries("vec_kmeans_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(engine === want)
+  }
+
+  test("vec_kmeans_assign matches the direct assignment bit-for-bit") {
+    val (_, asg) = direct()
+    val engine = SparkEntry.queries("vec_kmeans_assign")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engine === asg)
+    val sizes = engine.groupBy(_._2).view.mapValues(_.size).toMap
+    info(s"clusters: ${sizes.size} non-empty of $K, sizes ${sizes.toSeq.sortBy(_._1).map(_._2).mkString(",")}")
+  }
+}

@@ -105,6 +105,31 @@ class PlanShapeSpec extends AnyFunSuite {
         "so map tasks keep at most k rows per language before the exchange: " + p.take(2000))
   }
 
+  test("vec_kmeans_assign: codebook broadcasts; corpus never sort-merge-joins") {
+    // the k-row centroid frame must enter every Lloyd/serve pass as a
+    // broadcast (BroadcastNestedLoopJoin under the crossJoin form) —
+    // a SortMergeJoin would mean the CORPUS shuffled on a join key,
+    // the one plan shape that breaks the family's 100 TB story
+    val p = plan("vec_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroids must broadcast into the assignment pass: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus must not shuffle-join or cartesian against the codebook: " + p.take(2000))
+  }
+
+  test("vec_kmeans_train: the update aggregate map-side combines to k*d rows") {
+    // the judged query serves from a checkpointed artifact (its plan is
+    // a Scan ExistingRDD) — inspect the actual training lineage instead
+    val p = graft.queries.KmeansQueries.trainLineage(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the (cluster, pos) update must be a partial+final HashAggregate: " + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "every Lloyd round's centroids must broadcast: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "training must never shuffle-join the corpus: " + p.take(2000))
+  }
+
   test("join_bucketed: co-located SMJ with no Exchange on the join key") {
     val p = plan("join_bucketed")
     assert(p.contains("SortMergeJoin"), "bucketed join must be a SortMergeJoin: " + p.take(2000))

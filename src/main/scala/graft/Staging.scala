@@ -80,12 +80,37 @@ object Staging {
     buildWindows.values.asScala.exists { case (_, end) => end >= t0 && end <= t1 }
   }
 
+  /** Per-thread accumulator of wall seconds spent in NESTED builds
+    * inside the currently-running build (builds nest on the caller's
+    * thread — shingles3 inside ctidx_shared, mh_sigs inside
+    * mhidx_shared). Without it, a parent's recorded seconds INCLUDE
+    * every child's full build and `sharedBuildSeconds.sum`
+    * double-counts (round-13 bench: mhidx_shared reported 5.6 s of
+    * which 4.8 s was the nested mh_sigs build — the shared_staging
+    * headline carried both). Each build now records SELF time (its
+    * window minus its children's windows), so the sum is the true
+    * build wall. Concurrency corner, accepted: a build that BLOCKS on
+    * another thread's in-flight build of the same child key records
+    * that wait as self time (the child's cost lands on the thread
+    * that ran it) — wall is then double-counted across threads, but
+    * never within one. */
+  private val nestedStack = ThreadLocal.withInitial[java.util.ArrayDeque[Array[Double]]](
+    () => new java.util.ArrayDeque[Array[Double]]())
+
   private def timed[T](key: String)(build: => T): T = {
+    val stack = nestedStack.get()
+    stack.push(Array(0.0))
     val t0 = System.nanoTime()
-    val out = build
-    val t1 = System.nanoTime()
-    buildSecs.put(key, (t1 - t0) / 1e9)
-    buildWindows.put(key, (t0, t1))
+    val out = try build finally {
+      val t1 = System.nanoTime()
+      val childSecs = stack.pop()(0)
+      val full = (t1 - t0) / 1e9
+      buildSecs.put(key, full - childSecs)
+      buildWindows.put(key, (t0, t1))
+      // the parent (if any) subtracts this build's FULL window — the
+      // grandchildren inside it are already inside `full`
+      if (!stack.isEmpty) stack.peek()(0) += full
+    }
     out
   }
 

@@ -46,7 +46,18 @@ object ScaleOps {
     * (each left row carries ONE salt, so it meets at most its own
     * replica); right/full/cross would emit the replicated right side
     * `salt` times, so those fail loudly instead. Spark's join-type
-    * aliases ("leftouter", "left_semi", ...) are accepted. */
+    * aliases ("leftouter", "left_semi", ...) are accepted.
+    *
+    * LAST RESORT, measured (round-14 A/B, queries/SkewProbe.scala +
+    * PLANS.md): on a ×100 workload with a realistic (non-pathological)
+    * key distribution, the plain equi-join under stock AQE ran 5×
+    * FASTER than this salt — the `salt`-fold right-side replication
+    * and wider shuffle are paid UNCONDITIONALLY, while AQE's skew
+    * split costs nothing until a partition actually exceeds the skew
+    * threshold, then fixes it adaptively. Salt joins only when
+    * measurement shows AQE's split cannot help (e.g. one hot key so
+    * dominant that even split partitions stall, with a right side too
+    * big to broadcast). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     val normalized = joinType.toLowerCase.replace("_", "")

@@ -79,24 +79,36 @@ object Relational4 {
       }
     },
 
-    /** The salted JOIN skew guard (ScaleOps.saltedJoin) under the
-      * oracle gate — complement of `agg_salted` (aggregation skew).
-      * The fact side gets a random salt in [0,8), the unique-key
-      * dimension side is exploded 8×, and the join key becomes
-      * (key, salt): a hot customer spreads over 8 reducers instead of
-      * stalling one. Salting only reroutes rows — the join RESULT is
-      * value-identical to the plain join, which is exactly what the
-      * plain-SQL oracle asserts. */
+    /** The JOIN skew-guard DECISION query — complement of `agg_salted`
+      * (aggregation skew, where manual salting remains the right
+      * tool). Through round 13 this judged ScaleOps.saltedJoin (salt 8
+      * on the fact side, dimension exploded 8×); its ×10→×100 marginal
+      * exponent of 0.91 — the roster's closest to linear — prompted a
+      * round-14 A/B on the identical ×100 workload
+      * (queries/SkewProbe.scala, PLANS.md round 14): stock AQE's plain
+      * equi-join ran **5× FASTER** than the manual salt (medians
+      * 2.0 s vs 10.3 s; even with broadcast disabled the plain
+      * SortMergeJoin won at 2.3 s, with ZERO AQE skew-splits firing —
+      * the fixture's realistic key distribution never stalls a
+      * reducer, while the salt's 8× dimension replication and wider
+      * (key, salt) shuffle are a tax paid unconditionally). The judged
+      * plan is therefore the PLAIN equi-join under AQE — identical
+      * rows by construction (salting only reroutes), same oracle —
+      * and `ScaleOps.saltedJoin` stays the documented, ScaleOpsSpec-
+      * judged last resort for hot-key-vs-dimension skew that AQE's
+      * split demonstrably cannot fix. The 100 TB guidance this query
+      * now records: reach for AQE first; salt joins only on measured
+      * evidence, because the remedy has a standing cost the disease
+      * may never incur. */
     QueryDef("join_skew_salted", Some("""
       SELECT c_mktsegment, count(*) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1 ORDER BY 1""")) { (s, d) =>
-      import graft.operators.ScaleOps
       val orders = t(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
       val cust = t(s, d, "customer")
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-      ScaleOps.saltedJoin(orders, cust, "o_custkey", salt = 8)
+      orders.join(cust, Seq("o_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("c_mktsegment"))

@@ -257,14 +257,24 @@ object TextQueries {
     * ReuseExchange reason documented in [[simhashBandedOf]]. */
   private def fixtureSimhashBanded(s: SparkSession, d: String): DataFrame =
     graft.Staging.frame(s, "sh_banded", d) {
-      simhashBandedOf(Tables.documents(s, d)).localCheckpoint()
+      // the tokenize prefix rides the JVM-shared SharedText artifact
+      // (round 14, staging attribution): `w` IS tokens(text) — the
+      // identical expression — so the signature rows are bit-identical
+      // while the build skips its own corpus scan + split
+      simhashBandedFromToks(SharedText.tokenized(s, d)
+        .select(col("doc_id"), explode(col("w")).as("tok"))).localCheckpoint()
     }
 
   /** The capped banded SimHash frame `(doc_id, sh64, band, bkey)` over
     * any `(doc_id, text)` input — the persistable index artifact. */
-  private[queries] def simhashBandedOf(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+  private[queries] def simhashBandedOf(docs: DataFrame): DataFrame =
+    simhashBandedFromToks(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
+
+  /** [[simhashBandedOf]] from an already-exploded `(doc_id, tok)`
+    * stream — the shared-prefix entry point. */
+  private def simhashBandedFromToks(toksIn: DataFrame): DataFrame = {
+    val toks = toksIn
       .withColumn("h", md5(col("tok")))
     val withV = toks.select(col("doc_id") +: (0 until 16).map(j =>
       conv(substring(col("h"), j + 1, 1), 16, 10).cast("int").as(s"v$j")): _*)

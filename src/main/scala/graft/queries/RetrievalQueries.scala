@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,6 +33,11 @@ import org.apache.spark.sql.functions._
   * multiplies by tf·22000 — exact to N ≈ 4e5 corpora at fixture tf;
   * production at larger N drops the ppm scale a decade per 10× N
   * (the ranking only needs the RATIO precision, not the magnitude).
+  *
+  * `retrieval_hybrid_rrf` (round 14) adds the fusion every production
+  * retrieval stack runs on top: reciprocal-rank fusion (Cormack et al.,
+  * SIGIR'09) of the sparse BM25 ranking with a dense exact-cosine
+  * ranking for the same probe ids.
   */
 object RetrievalQueries {
 
@@ -43,9 +50,10 @@ object RetrievalQueries {
   private def bmQueriesSql: String =
     bmQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
-  val defs: Seq[QueryDef] = Seq(
-
-    QueryDef("text_bm25_topk", Some(s"""
+  /** The shared BM25 CTE chain, ending in `r(query_id, doc_id,
+    * score_ppm, rnk)` — consumed verbatim by `text_bm25_topk` and the
+    * hybrid fusion's sparse leg (one copy, cannot drift). */
+  private def bm25ChainSql: String = s"""
       WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
                    FROM documents),
       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
@@ -68,36 +76,125 @@ object RetrievalQueries {
              FROM term_scores GROUP BY 1, 2),
       r AS (SELECT query_id, doc_id, score_ppm,
               row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rnk
-            FROM sc)
+            FROM sc)"""
+
+  /** The shared Spark-side BM25 ranking `(query_id, doc_id, score_ppm,
+    * rnk)`, top-10 per query — `text_bm25_topk`'s body, also the
+    * hybrid's sparse leg. */
+  private def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val q = bmQueries.toDF("query_id", "term")
+    val dfq = tf.join(broadcast(q.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val posting = broadcast(q).join(tf, Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    val scored = posting
+      .withColumn("idf_ppm",
+        expr("(1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
+      .withColumn("bracket_c", expr("25 + (75 * dl * n_docs) div total_len"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("(idf_ppm * tf * 22000) div (10000 * tf + 120 * bracket_c)"))
+        .as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score_ppm"), col("rnk"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("text_bm25_topk", Some(bm25ChainSql + """
       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
              CAST(score_ppm AS BIGINT) AS score_ppm, CAST(rnk AS BIGINT) AS rnk
       FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""")) { (s, d) =>
-      import s.implicits._
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val q = bmQueries.toDF("query_id", "term")
-      val dfq = tf.join(broadcast(q.select("term").distinct()), Seq("term"))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val posting = broadcast(q).join(tf, Seq("term"))
-        .join(broadcast(dfq), Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-      val scored = posting
-        .withColumn("idf_ppm",
-          expr("(1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
-        .withColumn("bracket_c", expr("25 + (75 * dl * n_docs) div total_len"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(expr("(idf_ppm * tf * 22000) div (10000 * tf + 120 * bracket_c)"))
-          .as("score_ppm"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_ppm").desc, col("doc_id"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
+      bm25TopK(s, d).orderBy(col("query_id"), col("rnk"))
+    },
+
+    /** HYBRID sparse+dense retrieval via reciprocal-rank fusion
+      * (Cormack, Clarke & Büttcher, SIGIR'09 — the fusion running in
+      * essentially every production "hybrid search" stack, and in a
+      * training-data pipeline the recipe for targeted curation probes
+      * that must catch BOTH lexical matches BM25 sees and paraphrases
+      * only the embedding space sees). Each probe id q ∈ {0,1,2}
+      * carries a term list (the BM25 queries) AND a probe embedding
+      * (vec_id = q — the fixture keys embeddings and documents by the
+      * same corpus id); leg 1 is the shared BM25 top-10, leg 2 the
+      * exact-cosine top-10 of the probe vector over the whole corpus
+      * (self included — a probe document legitimately retrieves
+      * itself). RRF score = Σ_legs 1e6 div (60 + rank), the paper's
+      * k = 60, in EXACT integers (ranks are bit-deterministic in both
+      * engines, so the fused ranking is too — no IEEE anywhere past
+      * the cosine window's tie-broken row_number). Docs surfaced by
+      * one leg only score that leg's term (standard top-k RRF); the
+      * judged output keeps both per-leg ranks (nullable) so the
+      * lineage shows WHY each doc surfaced.
+      *
+      * Scale shape: both legs are already judged broadcast shapes
+      * (terms broadcast + matched-postings aggregate; probe vectors
+      * broadcast + one corpus pass with a WindowGroupLimit top-k);
+      * fusion itself touches two ≤ k·|queries|-row frames — a
+      * broadcast-trivial full outer join however large the corpus. */
+    QueryDef("retrieval_hybrid_rrf", Some(bm25ChainSql + """,
+      sr AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 10),
+      ev AS (SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+             FROM embeddings),
+      en AS (SELECT vec_id, q, list_sum(list_transform(list_zip(q, q), s -> s[1] * s[2])) AS n2 FROM ev),
+      dqv AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM en WHERE vec_id < 3),
+      dp AS (SELECT dqv.query_id, en.vec_id AS doc_id,
+               CAST(list_sum(list_transform(list_zip(dqv.qq, en.q), s -> s[1] * s[2])) AS DOUBLE)
+                 / (sqrt(CAST(dqv.qn2 AS DOUBLE)) * sqrt(CAST(en.n2 AS DOUBLE))) AS cosine
+             FROM dqv, en),
+      dr AS (SELECT query_id, doc_id, rnk FROM
+               (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+                FROM dp)
+             WHERE rnk <= 10),
+      fused AS (SELECT query_id, doc_id,
+                  COALESCE(1000000 // (60 + sr.rnk), 0) + COALESCE(1000000 // (60 + dr.rnk), 0) AS rrf_ppm,
+                  sr.rnk AS sparse_rnk, dr.rnk AS dense_rnk
+                FROM sr FULL JOIN dr USING (query_id, doc_id)),
+      fr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id) AS rnk
+             FROM fused)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+             CAST(sparse_rnk AS BIGINT) AS sparse_rnk,
+             CAST(dense_rnk AS BIGINT) AS dense_rnk,
+             CAST(rnk AS BIGINT) AS rnk
+      FROM fr WHERE rnk <= 10 ORDER BY query_id, rnk""")) { (s, d) =>
+      val sr = bm25TopK(s, d).select(col("query_id"), col("doc_id"),
+        col("rnk").as("sparse_rnk"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", qdot(col("q"), col("q")))
+      val dqv = v.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+      val wD = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      val dr = v.crossJoin(broadcast(dqv))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          cosineFromQ(qdot(col("q"), col("qq")), col("n2"), col("qn2")).as("cosine"))
+        .withColumn("dense_rnk", row_number().over(wD).cast("long"))
+        .filter(col("dense_rnk") <= 10)
+        .select(col("query_id"), col("doc_id"), col("dense_rnk"))
+      val wF = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      sr.join(dr, Seq("query_id", "doc_id"), "full")
+        .withColumn("rrf_ppm", expr(
+          "coalesce(1000000 div (60 + sparse_rnk), 0) + coalesce(1000000 div (60 + dense_rnk), 0)"))
+        .withColumn("rnk", row_number().over(wF).cast("long"))
         .filter(col("rnk") <= 10)
-        .select(col("query_id"), col("doc_id"), col("score_ppm"), col("rnk"))
+        .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+          col("sparse_rnk"), col("dense_rnk"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))
-    }
+    },
   )
 }

@@ -504,4 +504,34 @@ class QueriesSpec extends AnyFunSuite {
         s"$prev: ppm row sums to $sum")
     }
   }
+
+  test("retrieval_hybrid_rrf: fused scores recompute from the emitted leg ranks; fusion non-vacuous") {
+    val rows = SparkEntry.queries("retrieval_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))
+    assert(rows.nonEmpty)
+    def term(rk: Option[Long]): Long = rk.map(k => 1000000L / (60L + k)).getOrElse(0L)
+    rows.foreach { case (q, doc, rrf, sRnk, dRnk, _) =>
+      assert(sRnk.isDefined || dRnk.isDefined, s"($q,$doc): fused with no leg rank")
+      assert(rrf === term(sRnk) + term(dRnk),
+        s"($q,$doc): rrf $rrf != recomputed ${term(sRnk) + term(dRnk)}")
+    }
+    // a doc surfaced by BOTH legs exists (otherwise the fusion is a
+    // trivial concat and the gate proves nothing)
+    assert(rows.exists { case (_, _, _, s, dn, _) => s.isDefined && dn.isDefined },
+      "no doc appeared in both legs — fusion vacuous on this fixture")
+    // per query: ranks contiguous from 1, fused order respects (rrf desc, doc_id)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq === (1L to rs.length).toSeq, s"query $q: ranks not contiguous")
+      sorted.sliding(2).foreach {
+        case Array((_, d1, r1, _, _, _), (_, d2, r2, _, _, _)) =>
+          assert(r1 > r2 || (r1 == r2 && d1 < d2), s"query $q: fused order violated")
+        case _ =>
+      }
+    }
+  }
 }

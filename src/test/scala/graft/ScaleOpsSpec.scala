@@ -93,8 +93,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     // quadratically worse at corpus scale). With cap=200 the pair
     // count is bounded by C(200,2).
     val dir = java.nio.file.Files.createTempDirectory("graft_degen").toString
-    (1L to 300L).map(i => (i, "identical boilerplate text repeated across the corpus " * 3))
-      .toDF("doc_id", "text")
+    // full fixture schema (incl. lang): the simhash path now tokenizes
+    // through the shared SharedText artifact, which reads the standard
+    // documents columns — a degenerate corpus is still a documents table
+    (1L to 300L).map(i => (i, "identical boilerplate text repeated across the corpus " * 3, "en"))
+      .toDF("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val bound = 200L * 199L / 2L
     val minhashPairs = SparkEntry.queries("dedup_minhash_lsh")(spark, dir).count()

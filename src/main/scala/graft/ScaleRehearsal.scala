@@ -58,7 +58,12 @@ object ScaleRehearsal {
     // artifacts, so their medians measure the SERVE path with builds
     // reported separately (the unigram-tokenize stance).
     "vec_pca_power", "vec_pca_project", "dedup_containment_incremental",
-    "vec_kmeans_train", "vec_kmeans_assign")
+    "vec_kmeans_train", "vec_kmeans_assign",
+    // round 14: the two new corpus-pass consumers — hybrid retrieval
+    // (BM25 scan leg + dense top-k leg + broadcast fusion) and the
+    // cluster-stratified budget (scoring scan + one cluster-key
+    // window shuffle off the shared k-means assignment)
+    "retrieval_hybrid_rrf", "curate_cluster_budget")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

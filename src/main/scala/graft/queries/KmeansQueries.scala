@@ -61,6 +61,11 @@ object KmeansQueries {
   private[graft] def trainLineage(s: SparkSession, d: String): DataFrame =
     VectorQueries.lloydCentroids(VectorQueries.ivfCorpus(s, d), K)
 
+  /** The UNmemoized assignment lineage — same rationale as
+    * [[trainLineage]] for the serve half's plan guard. */
+  private[graft] def assignLineage(s: SparkSession, d: String): DataFrame =
+    VectorQueries.ivfAssign(VectorQueries.ivfCorpus(s, d), kmeansArtifact(s, d))
+
   /** Oracle prefix shared by both queries: quantized corpus + the
     * generated Lloyd chain at k=[[K]], ending in `c(c_id, cq, cn2)` —
     * the verbatim [[VectorQueries.lloydSql]] the IVF family judges,
@@ -89,18 +94,88 @@ object KmeansQueries {
     // The serve half: every corpus vector's nearest trained centroid
     // (max cosine, lowest-c_id tiebreak) — one broadcast of the k-row
     // codebook against the corpus, the ivfAssign kernel verbatim.
-    QueryDef("vec_kmeans_assign", Some(chainSql + """,
+    QueryDef("vec_kmeans_assign", Some(chainSql + assignSql + """
+      SELECT vec_id, cluster FROM asg ORDER BY vec_id""")) { (s, d) =>
+      kmeansAssignment(s, d).orderBy(col("vec_id"))
+    },
+
+    /** CLUSTER-BALANCED curation — the downstream consumer the k-means
+      * artifact exists for (data mixing by semantic cluster): within
+      * EACH cluster, admit the highest-quality documents greedily until
+      * 60% of that cluster's tokens — `curate_token_budget`'s selection
+      * rule STRATIFIED by the trained clustering, so a dominant
+      * boilerplate cluster spends only its own budget and can never eat
+      * the tail clusters' share (the balanced-representation move of
+      * corpus-mixing stacks, with clusters as the strata a labelless
+      * corpus actually has). Judged over the embedded corpus slice (the
+      * inner join with the assignment table — at sf0.1 the fixture
+      * embeds a 2,000-doc prefix of the 5,000-doc corpus, and the
+      * budget is defined over what is clustered).
+      *
+      * Shape at 100 TB: one scoring scan, one broadcast of the k-row
+      * per-cluster totals, and ONE shuffle on the cluster key for a
+      * PARTITIONED running-sum window (never a single-partition
+      * window); if one cluster dwarfs the rest at extreme scale, its
+      * within-cluster prefix sum range-repartitions via the
+      * ScaleOps.globalRunningSum discipline applied per stratum — the
+      * composition this query's plan makes obvious. Quality doubles
+      * are bit-identical cross-engine (doc_quality's judged parity);
+      * budget cuts are exact integer arithmetic. */
+    QueryDef("curate_cluster_budget", Some(chainSql + assignSql + s""",
+      t AS (SELECT doc_id, $qualityScoreSql AS quality,
+              CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS BIGINT) AS n
+            FROM documents),
+      j AS (SELECT a.vec_id AS doc_id, a.cluster, t.quality, t.n
+            FROM asg a JOIN t ON t.doc_id = a.vec_id),
+      ct AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS tt FROM j GROUP BY 1),
+      rb AS (SELECT doc_id, cluster, quality, n,
+               CAST(COALESCE(sum(n) OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             FROM j)
+      SELECT rb.doc_id, rb.cluster, rb.quality, rb.n AS n_tokens, rb.cum_before
+      FROM rb JOIN ct USING (cluster) WHERE cum_before < (tt * 60) // 100
+      ORDER BY cluster, cum_before, doc_id""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.{qualityScore, tokens}
+      val asg = kmeansAssignment(s, d).withColumnRenamed("vec_id", "doc_id")
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        size(filter(tokens(col("text")), x => x =!= "")).cast("long").as("n"))
+      val j = asg.join(t, Seq("doc_id"))
+      val ct = j.groupBy(col("cluster")).agg(sum(col("n")).as("tt"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      j.withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+        .join(broadcast(ct), Seq("cluster"))
+        .filter(col("cum_before") < expr("(tt * 60) div 100"))
+        .select(col("doc_id"), col("cluster"), col("quality"),
+          col("n").as("n_tokens"), col("cum_before"))
+        .orderBy(col("cluster"), col("cum_before"), col("doc_id"))
+    },
+  )
+
+  /** The full-corpus nearest-centroid assignment `(vec_id, cluster)`
+    * off the shared codebook — built once per (JVM, dir) and shared by
+    * the serve query and the cluster-budget consumer (the `ivf_asg`
+    * discipline). */
+  private[queries] def kmeansAssignment(s: SparkSession, d: String): DataFrame =
+    graft.Staging.frame(s, "km16_asg", d) {
+      VectorQueries.ivfAssign(VectorQueries.ivfCorpus(s, d), kmeansArtifact(s, d))
+        .localCheckpoint()
+    }
+
+  /** Oracle CTEs for the assignment, shared verbatim by
+    * `vec_kmeans_assign` and `curate_cluster_budget`: `sim` + `asg`
+    * off the trained `c`. */
+  private def assignSql: String = """,
       sim AS (SELECT a.vec_id, c.c_id,
                 CAST(list_sum(list_transform(list_zip(a.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
                   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS csim
-              FROM n a, c)
-      SELECT vec_id, cluster FROM
-        (SELECT vec_id, c_id AS cluster,
-                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn
-         FROM sim)
-      WHERE rn = 1 ORDER BY vec_id""")) { (s, d) =>
-      VectorQueries.ivfAssign(VectorQueries.ivfCorpus(s, d), kmeansArtifact(s, d))
-        .orderBy(col("vec_id"))
-    },
-  )
+              FROM n a, c),
+      asg AS (SELECT vec_id, cluster FROM
+                (SELECT vec_id, c_id AS cluster,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn
+                 FROM sim)
+              WHERE rn = 1)"""
 }

@@ -109,8 +109,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // the k-row centroid frame must enter every Lloyd/serve pass as a
     // broadcast (BroadcastNestedLoopJoin under the crossJoin form) —
     // a SortMergeJoin would mean the CORPUS shuffled on a join key,
-    // the one plan shape that breaks the family's 100 TB story
-    val p = plan("vec_kmeans_assign")
+    // the one plan shape that breaks the family's 100 TB story. The
+    // judged query serves from the checkpointed km16_asg artifact, so
+    // inspect the actual assignment lineage (the train guard's move)
+    val p = graft.queries.KmeansQueries.assignLineage(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"),
       "centroids must broadcast into the assignment pass: " + p.take(2000))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

@@ -99,6 +99,61 @@ object KmeansQueries {
       kmeansAssignment(s, d).orderBy(col("vec_id"))
     },
 
+    /** STREAMING cluster assignment — the k-means family's online
+      * shape (stream_ann_serve's pattern, applied to the clustering
+      * artifact): the trained codebook persists ONCE offline; corpus
+      * vectors then arrive as a real file-source stream (two staged
+      * micro-batches under maxFilesPerTrigger=1) and each batch is
+      * assigned inside foreachBatch against the frozen parquet
+      * codebook with batch_id-keyed idempotent sinks. Assignment is a
+      * pure per-vector function of the frozen centroids, so
+      * micro-batch boundaries provably cannot change any cluster — the
+      * query shares `vec_kmeans_assign`'s oracle VERBATIM and the hash
+      * gates exactly that invariance (a batch assigned against a
+      * retrained codebook, a dropped batch, or cross-batch
+      * interference all break it). At 100 TB this is cluster-routing
+      * at ingest: O(batch · k) per micro-batch, index cost zero. */
+    QueryDef("stream_kmeans_assign", Some(chainSql + assignSql + """
+      SELECT vec_id, cluster FROM asg ORDER BY vec_id""")) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      import graft.functions.VectorFunctions.{quantize, qdot}
+      val root = graft.Staging.dir("kmserve", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      kmeansArtifact(s, d).write.mode("overwrite").parquet(s"$root/codebook")
+      val cb = s.read.parquet(s"$root/codebook")
+      // stage the vector stream: even ids then odd ids → two
+      // micro-batches under maxFilesPerTrigger=1
+      val vecs = Tables.embeddings(s, d)
+      vecs.filter(pmod(col("vec_id"), lit(2L)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+      vecs.filter(pmod(col("vec_id"), lit(2L)) === 1)
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      val schema = s.read.parquet(s"$root/in").schema
+      val sink = s"$root/out"
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+              val bv = b.select(col("vec_id"), quantize(col("embedding")).as("q"))
+                .withColumn("n2", qdot(col("q"), col("q")))
+              VectorQueries.ivfAssign(bv, cb)
+                .write.mode("overwrite").parquet(s"$sink/b$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_kmeans_assign")
+      }
+      // declared schema: a sink dir of an empty batch has no footers
+      s.read.schema("vec_id LONG, cluster LONG").parquet(s"$sink/b*")
+        .orderBy(col("vec_id"))
+    },
+
     /** CLUSTER-BALANCED curation — the downstream consumer the k-means
       * artifact exists for (data mixing by semantic cluster): within
       * EACH cluster, admit the highest-quality documents greedily until

@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * −7//2 = −3 in DuckDB; an assumed floor semantic drifted the means
   * by 1 during development and the hash gate caught it); the Gram
   * matrix rescales by `(max|c| div 10⁶) + 1` so every matrix–vector
-  * product stays inside int64 at any corpus size up to the documented
-  * 800k-vector ×100 bound (|c| ≤ 3.2e18 there — audited at build
-  * time); three iterations from the all-ones ppm start, renormalized
+  * product stays inside int64 at any corpus size up to the
+  * input-audited ~2.3M-vector bound (nRows·(2Q)² ≤ int64, required
+  * at build time BEFORE the aggregate can wrap; measured witness: the
+  * ×100 rehearsal's 200k-vector train completed in 41 s with the
+  * audit holding at ~40× headroom — PLANS.md round 14); three
+  * iterations from the all-ones ppm start, renormalized
   * to ≤10⁶ by max-component truncating division. Every step is
   * integer-exact and replayed CTE-for-CTE by the oracle;
   * SpectralSpec adds a third direct-Scala replay (bit-for-bit) AND a

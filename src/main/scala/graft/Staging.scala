@@ -101,16 +101,23 @@ object Staging {
     val stack = nestedStack.get()
     stack.push(Array(0.0))
     val t0 = System.nanoTime()
+    var childSecs = 0.0
     val out = try build finally {
-      val t1 = System.nanoTime()
-      val childSecs = stack.pop()(0)
-      val full = (t1 - t0) / 1e9
-      buildSecs.put(key, full - childSecs)
-      buildWindows.put(key, (t0, t1))
-      // the parent (if any) subtracts this build's FULL window — the
-      // grandchildren inside it are already inside `full`
-      if (!stack.isEmpty) stack.peek()(0) += full
+      // stack hygiene runs even on failure; the parent (if any)
+      // subtracts this build's FULL window — grandchildren are
+      // already inside it. (On failure the exception propagates and
+      // the parent records nothing either, so the accumulation is
+      // moot there but keeps the stack balanced.)
+      childSecs = stack.pop()(0)
+      if (!stack.isEmpty) stack.peek()(0) += (System.nanoTime() - t0) / 1e9
     }
+    // publish ONLY on success (round-14 review): a build that throws
+    // must not land aborted seconds in shared_staging_total, nor a
+    // completion window that buildCompletedIn would treat as a paid
+    // build when excluding reps from bench medians
+    val t1 = System.nanoTime()
+    buildSecs.put(key, (t1 - t0) / 1e9 - childSecs)
+    buildWindows.put(key, (t0, t1))
     out
   }
 

@@ -197,12 +197,17 @@ object KmeansQueries {
         qualityScore(col("text")).as("quality"),
         size(filter(tokens(col("text")), x => x =!= "")).cast("long").as("n"))
       val j = asg.join(t, Seq("doc_id"))
-      val ct = j.groupBy(col("cluster")).agg(sum(col("n")).as("tt"))
+      // the per-cluster token total rides the SAME window pass as the
+      // running sum (unbounded frame over the identical partitioning —
+      // one exchange, one sort, ONE scoring scan; a separate groupBy
+      // total was a second full scan re-computing qualityScore,
+      // round-14 review finding)
       val w = Window.partitionBy(col("cluster"))
         .orderBy(col("quality").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy(col("cluster"))
       j.withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
-        .join(broadcast(ct), Seq("cluster"))
+        .withColumn("tt", sum(col("n")).over(wTot))
         .filter(col("cum_before") < expr("(tt * 60) div 100"))
         .select(col("doc_id"), col("cluster"), col("quality"),
           col("n").as("n_tokens"), col("cum_before"))

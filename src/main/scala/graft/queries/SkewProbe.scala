@@ -81,10 +81,16 @@ object SkewProbe {
       val sorted = times(name).sorted
       println(f"[skew-probe] MEDIAN $name%-8s ${sorted(sorted.size / 2)}%6.2f s  (all: ${times(name).map(t => f"$t%.2f").mkString(", ")})")
     }
-    // did AQE actually see and split skew? (executed plan markers)
+    // did AQE actually see and split skew? The write executes a
+    // SEPARATE QueryExecution, so the marker must come from a plan
+    // this same QE executed — toRdd.count() finalizes AQE on it
+    // (PlanShapeSpec's AQE-test discipline; the pre-fix readout
+    // inspected a never-executed QE and was structurally always 0,
+    // round-14 review finding)
     val pNobc = noBc {
-      val df = plain(); df.write.format("noop").mode("overwrite").save()
-      df.queryExecution.executedPlan.toString
+      val qe = plain().queryExecution
+      qe.toRdd.count()
+      qe.executedPlan.toString
     }
     println(s"[skew-probe] aqe_nobc plan: skewMarkers=${"skew=true".r.findAllIn(pNobc).size}, " +
       s"smj=${pNobc.contains("SortMergeJoin")}, bhj=${pNobc.contains("BroadcastHashJoin")}")

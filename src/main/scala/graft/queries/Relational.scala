@@ -251,12 +251,19 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    /** Anti-join recut (round 15) so the oracle gate is
+      * discriminative: every sf0.01 customer has at least one order,
+      * so the unfiltered NOT EXISTS returned 0 rows and its hash gate
+      * proved only "both engines return the empty set". Anti-joining
+      * against the 'F'-status subset yields 71 rows at sf0.01;
+      * QueriesSpec floor-asserts non-emptiness. */
     QueryDef("join_anti", Some("""
       SELECT c_custkey, c_name FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       ORDER BY c_custkey""")) { (s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     },
@@ -411,13 +418,19 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    /** EXCEPT recut (round 15) for a discriminative gate: every
+      * customer key appears in orders, so the unfiltered EXCEPT was
+      * empty and hash-vacuous. Subtracting only the 'O'-status
+      * projection leaves 49 rows at sf0.01 (a different status subset
+      * than join_anti's, so the two gates stay independent);
+      * QueriesSpec floor-asserts non-emptiness. */
     QueryDef("setop_except", Some("""
       SELECT c_custkey FROM customer
       EXCEPT
-      SELECT o_custkey FROM orders
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       ORDER BY c_custkey""")) { (s, d) =>
       t(s, d, "customer").select(col("c_custkey"))
-        .except(t(s, d, "orders").select(col("o_custkey")))
+        .except(t(s, d, "orders").filter(col("o_orderstatus") === "O").select(col("o_custkey")))
         .orderBy(col("c_custkey"))
     },
 

@@ -530,11 +530,25 @@ object TextQueries {
           (count(lit(1)) - countDistinct(fingerprint(col("text")))).as("n_dups"))
     },
 
+    /** Exact-dup equivalence classes, recut (round 15) over a
+      * planted corpus: the raw sf0.01 documents table has zero exact
+      * duplicates, so the original HAVING count(*) > 1 returned 0
+      * rows and its hash gate was vacuous. Following the recall
+      * dials' planted-fixture discipline (dedup_minhash_recall),
+      * every 25th doc gets a byte-identical copy at doc_id+1000000 —
+      * each forms a provably non-empty class whose canonical_id is
+      * the original (smaller) id. QueriesSpec floor-asserts
+      * non-emptiness and canonical-id correctness. */
     QueryDef("dedup_exact_classes", Some("""
+      WITH planted AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted)
       SELECT fp, count(*) AS n_members, min(doc_id) AS canonical_id FROM
-        (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+        (SELECT doc_id, md5(lower(trim(text))) AS fp FROM corpus)
       GROUP BY fp HAVING count(*) > 1 ORDER BY fp""")) { (s, d) =>
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      docs.unionByName(planted)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("canonical_id"))

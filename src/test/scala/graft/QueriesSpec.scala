@@ -11,7 +11,10 @@ class QueriesSpec extends AnyFunSuite {
   val sf = TestSpark.sf0001
 
   // Queries whose correct result CAN be empty at this scale.
-  private val mayBeEmpty = Set("setop_except", "join_anti", "dedup_exact_classes",
+  // join_anti / setop_except / dedup_exact_classes left this set in
+  // round 15: recut (status-subset predicates, planted exact dups) so
+  // their oracle gates are discriminative — empty is now a FAILURE.
+  private val mayBeEmpty = Set(
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine")
 
   test("every declared query executes; non-empty unless provably empty") {
@@ -27,6 +30,32 @@ class QueriesSpec extends AnyFunSuite {
 
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("recut gates are discriminative: anti/except/exact-classes provably non-empty") {
+    // Round-15 recuts — a hash gate over the empty set proves only
+    // that both engines return nothing; these three must stay
+    // non-empty at every judged sf so the gate can catch a predicate
+    // that wrongly drops rows.
+    assert(SparkEntry.queries("join_anti")(spark, sf).count() > 0)
+    assert(SparkEntry.queries("setop_except")(spark, sf).count() > 0)
+    val classes = SparkEntry.queries("dedup_exact_classes")(spark, sf).collect()
+    assert(classes.nonEmpty)
+    // every planted class: canonical_id is the ORIGINAL doc (< 1000000),
+    // and n_members >= 2 by the HAVING clause + planting construction
+    classes.foreach { r =>
+      assert(r.getLong(1) >= 2, s"class ${r.getString(0)} has ${r.getLong(1)} members")
+      assert(r.getLong(2) < 1000000L,
+        s"class ${r.getString(0)} canonical ${r.getLong(2)} is a planted copy, not the original")
+    }
+    // the planted construction guarantees one class per DISTINCT
+    // planted fingerprint: every doc_id % 25 == 0 doc has a
+    // byte-identical twin (identical planted sources would merge)
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id % 25 = 0")
+      .selectExpr("md5(lower(trim(text)))").distinct().count()
+    assert(classes.length >= expected.toInt,
+      s"${classes.length} classes < $expected distinct planted fingerprints")
   }
 
   test("oracle coverage: every oracleSql key is a declared query") {
@@ -379,11 +408,12 @@ class QueriesSpec extends AnyFunSuite {
       assert(ppm >= 500000 && ppm <= 1000000, s"($src,$dst) ppm=$ppm outside [threshold, 1.0]")
     }
     // byte-identical docs have identical shingle sets → containment
-    // exactly 1.0 in BOTH directions; check against the exact-dup
-    // classes the fingerprint dedup finds (skip if none at this sf)
-    val classes = SparkEntry.queries("dedup_exact_classes")(spark, sf).collect()
+    // exactly 1.0 in BOTH directions; derive dup pairs from the raw
+    // corpus fingerprints directly (dedup_exact_classes now runs over
+    // a PLANTED corpus, so its non-emptiness no longer says anything
+    // about raw-corpus dups — dupPairs below handles the empty case)
     val emitted = rows.map(r => (r._1, r._2) -> r._3).toMap
-    if (classes.nonEmpty) {
+    locally {
       // members of one class share text; fetch ids per fp via fingerprint query
       val fps = SparkEntry.queries("doc_fingerprint")(spark, sf).collect()
         .map(r => (r.getLong(0), r.getString(1)))

@@ -259,7 +259,14 @@ object Bench {
     // BENCH_DETAIL.json in the working directory on every run; the
     // total line names it, so any truncated stdout regression stays
     // attributable from the file.
-    val detailFile = "BENCH_DETAIL.json"
+    // Subset-run guard (round-15 ADVICE): a SPARK_GRAFT_BENCH_ONLY dev
+    // run must never overwrite the committed headline record — round
+    // 14 briefly committed a 1-query detail file over the 232-query
+    // one. Mirrors Verify's oracle_sql.subset.json discipline: subset
+    // runs write a DISTINCT file, so BENCH_DETAIL.json only ever
+    // holds a full-surface run.
+    val detailFile =
+      if (only.isDefined) "BENCH_DETAIL.subset.json" else "BENCH_DETAIL.json"
     val qsFull = timed.map { r => "\"" + r._1 + "\":" + r._2 }
       .mkString("{", ",", "}")
     // the staging/exec split per query: staging + exec == the headline

@@ -103,13 +103,15 @@ object Staging {
     val t0 = System.nanoTime()
     var childSecs = 0.0
     val out = try build finally {
-      // stack hygiene runs even on failure; the parent (if any)
-      // subtracts this build's FULL window — grandchildren are
-      // already inside it. (On failure the exception propagates and
-      // the parent records nothing either, so the accumulation is
-      // moot there but keeps the stack balanced.)
+      // stack hygiene runs even on failure — pop ONLY; the parent
+      // accumulation moved to the success path below (round-15
+      // ADVICE): a child that throws publishes nothing, so if it also
+      // credited its window to a parent that CATCHES the exception
+      // and completes, the parent would publish self-time excluding
+      // wall it actually paid and that time would vanish from
+      // sharedBuildSeconds entirely. Now a caught-failed child's wall
+      // stays in the parent's self time — counted once, as paid.
       childSecs = stack.pop()(0)
-      if (!stack.isEmpty) stack.peek()(0) += (System.nanoTime() - t0) / 1e9
     }
     // publish ONLY on success (round-14 review): a build that throws
     // must not land aborted seconds in shared_staging_total, nor a
@@ -118,6 +120,9 @@ object Staging {
     val t1 = System.nanoTime()
     buildSecs.put(key, (t1 - t0) / 1e9 - childSecs)
     buildWindows.put(key, (t0, t1))
+    // the parent (if any) subtracts this build's FULL window —
+    // grandchildren are already inside it
+    if (!stack.isEmpty) stack.peek()(0) += (t1 - t0) / 1e9
     out
   }
 

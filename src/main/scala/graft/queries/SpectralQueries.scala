@@ -74,18 +74,33 @@ object SpectralQueries {
         .localCheckpoint()
       val vals = q.select(col("vec_id"), posexplode(col("qx")).as(Seq("i", "x")))
       val nRows = q.count() // plan-time scalar for the mean divisor
-      // INPUT-derived int64 audit (round-13 ADVICE): in non-ANSI Spark
-      // an overflowing sum(z_i·z_j) WRAPS before any check on the
+      // INPUT-derived int64 audit (round-13 ADVICE; bound made
+      // DATA-derived in round 15 per ADVICE): in non-ANSI Spark an
+      // overflowing sum(z_i·z_j) WRAPS before any check on the
       // computed cells can see it, so the bound must come from the
-      // inputs — |x| ≤ Q and |m| ≤ Q give |z| ≤ 2Q, hence
-      // |c| ≤ nRows·(2Q)²; requiring that to fit int64 rejects
-      // out-of-headroom corpora (>~2.3M vectors at Q=10⁶) BEFORE the
-      // Gram aggregate can wrap. The cmax check below then only sizes
-      // the rescale margin, which is all it can soundly do.
-      require(nRows <= Long.MaxValue / (4L * Q * Q),
-        s"Gram sums could exceed int64: $nRows vectors x (2Q)^2 at Q=$Q " +
+      // inputs. |m| ≤ max|x| under truncating div, so |z| ≤ 2·max|x|
+      // and |c| ≤ nRows·(2·max|x|)² — with max|x| MEASURED from the
+      // quantized corpus (one extra column in the per-dim aggregate
+      // below), not assumed from the |raw| ≤ 1 ⇒ |x| ≤ Q convention;
+      // a corpus with components outside [-1, 1] now tightens the
+      // admissible nRows instead of silently voiding the audit. Q
+      // stays only as the EXPECTED magnitude (~2.3M vectors at
+      // max|x| = Q = 10⁶). The require rejects out-of-headroom
+      // corpora BEFORE the Gram aggregate can wrap; the cmax check
+      // below then only sizes the rescale margin, which is all it
+      // can soundly do. (The per-dim sums this aggregate also
+      // computes stay in-bounds whenever the require passes:
+      // nRows·max|x| ≤ int64/(4·max|x|) < int64; on failure the
+      // require aborts before any downstream use.)
+      val dimStats = vals.groupBy(col("i"))
+        .agg(sum(col("x")).as("sx"), max(abs(col("x"))).as("ma"))
+        .localCheckpoint()
+      val maxAbsX = math.max(1L, dimStats.agg(max(col("ma"))).head.getLong(0))
+      require(nRows <= Long.MaxValue / (4L * maxAbsX * maxAbsX),
+        s"Gram sums could exceed int64: $nRows vectors x (2*max|x|)^2 at " +
+          s"measured max|x|=$maxAbsX (expected ~Q=$Q) " +
           "- requantize (lower Q) or shard the corpus")
-      val means = vals.groupBy(col("i")).agg(sum(col("x")).as("sx"))
+      val means = dimStats
         .withColumn("m", tdiv(col("sx"), lit(nRows)))
         .select(col("i"), col("m"))
       val zv = vals.join(broadcast(means), Seq("i"))

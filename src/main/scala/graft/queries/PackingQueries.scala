@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Best-fit sequence packing (round-15 verdict task 4): bin-packing
+  * whole documents into fixed token-budget packs to minimize padding —
+  * the packing real training-data pipelines run when documents must
+  * not be split (contrast `doc_pack_sequences`, the
+  * concatenate-and-chop stance that lets a doc straddle packs).
+  *
+  * Algorithm: exact First-Fit Decreasing per language shard with a
+  * total-order tiebreak (token count DESC, doc_id ASC), computed at
+  * HISTOGRAM granularity — the observation behind production sequence
+  * packers (Krell et al. 2022, "Efficient Sequence Packing without
+  * Cross-contamination", arXiv:2107.02027: pack on the length
+  * histogram, then map docs to slots by rank within their length
+  * class). Docs of equal length are interchangeable under FFD, and
+  * a first-fit bin keeps receiving same-length docs until it no
+  * longer fits (bins before it are untouched, hence still too full),
+  * so the per-class placement is a bulk `k = floor(remaining/n)`
+  * walk over bins in creation order — the solve runs on the
+  * (lang, length) histogram, never the corpus.
+  *
+  * Scale shape: ONE map-side-combined histogram aggregate over the
+  * corpus (the only corpus pass before the final rollup), a
+  * require-guarded bounded collect of that histogram, a driver solve
+  * whose state is the bin-remainder table, and a broadcast slot-range
+  * join against a rank window PARTITIONED by (lang, length) — no
+  * global single partition anywhere. Packing state is per-shard
+  * (lang here): at 100 TB the corpus shards exactly as
+  * doc_pack_sequences documents (shard id as the partition key), each
+  * shard's histogram, solve, and slot table are shard-local and
+  * independent, so shards parallelize embarrassingly and no shard's
+  * slot table outgrows its own pack count — the same order as that
+  * shard's output.
+  *
+  * The DuckDB oracle replays the identical FFD per-doc via a
+  * recursive CTE over the same (n DESC, doc_id) total order, with the
+  * bin list as row state (the dedup_components recursive-CTE
+  * discipline) — an independent second implementation of the greedy,
+  * so the histogram-bulk equivalence argument is itself hash-gated.
+  * PackingSpec adds a third (direct Scala per-doc) replay plus the
+  * padding-dominance assertion against the whole-doc
+  * concatenate-and-chop baseline (measured on the fixture: FFD pads
+  * ~2.6% of pack capacity vs next-fit's ~15%).
+  */
+object PackingQueries {
+
+  private val Budget = 256L
+
+  /** One slot-range emission: docs ranked [lo, hi] (1-based, by
+    * doc_id) within length class (lang, n) land in pack `pack`. */
+  final case class Slot(lang: String, n: Long, lo: Long, hi: Long, pack: Long)
+
+  /** Exact FFD over one shard's length histogram.
+    * `classes`: (token-length, count) — processed in length-DESC
+    * order (the Decreasing in FFD); within a class, rank order is
+    * doc_id ASC via the caller's window. Returns the slot ranges.
+    * State is the bin-remainder array (one cell per created pack). */
+  private[graft] def ffdSolve(lang: String, classes: Seq[(Long, Long)]): Seq[Slot] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Slot]
+    classes.sortBy { case (n, _) => -n }.foreach { case (n, c) =>
+      var placed = 0L
+      var i = 0
+      // walk existing bins in creation order: a bin with remaining >= n
+      // absorbs docs until it can't (floor(rem/n)), exactly per-doc
+      // first-fit because earlier bins stay too full throughout
+      while (placed < c && i < bins.length) {
+        if (bins(i) >= n) {
+          val k = math.min(c - placed, bins(i) / n)
+          out += Slot(lang, n, placed + 1, placed + k, i.toLong)
+          bins(i) -= k * n
+          placed += k
+        }
+        i += 1
+      }
+      // open new bins; each takes floor(Budget/n) docs (min 1 — a doc
+      // longer than the budget gets a singleton overflow pack, same
+      // as per-doc FFD where no bin ever fits it)
+      while (placed < c) {
+        val q = math.max(1L, math.min(c - placed, Budget / n))
+        out += Slot(lang, n, placed + 1, placed + q, bins.length.toLong)
+        bins += Budget - q * n
+        placed += q
+      }
+    }
+    out.toSeq
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("doc_pack_bestfit", Some("""
+      WITH RECURSIVE t0 AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n
+        FROM documents),
+      t AS (
+        SELECT lang, doc_id, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, doc_id) AS rnk
+        FROM t0 WHERE n >= 1),
+      steps AS (
+        SELECT lang, CAST(0 AS BIGINT) AS step,
+               CAST([] AS BIGINT[]) AS rem,
+               CAST([] AS STRUCT(d BIGINT, p BIGINT)[]) AS asg
+        FROM (SELECT DISTINCT lang FROM t)
+        UNION ALL
+        SELECT lang, step,
+               CASE WHEN f = 0 THEN list_append(rem, 256 - n)
+                    ELSE rem[1:f-1] || [rem[f] - n] || rem[f+1:] END AS rem,
+               list_append(asg, {'d': doc_id,
+                                 'p': CASE WHEN f = 0 THEN len(rem) ELSE f - 1 END}) AS asg
+        FROM (
+          SELECT s.lang, s.step + 1 AS step, s.rem, s.asg, d.doc_id, d.n,
+                 list_position(list_transform(s.rem, r -> r >= d.n), true) AS f
+          FROM steps s JOIN t d ON d.lang = s.lang AND d.rnk = s.step + 1)),
+      fin AS (
+        SELECT lang, asg FROM steps s
+        WHERE step = (SELECT count(*) FROM t WHERE t.lang = s.lang)),
+      pairs AS (SELECT lang, unnest(asg, recursive := true) FROM fin),
+      j AS (SELECT p.lang, p.p AS pack_id, t.n, t.doc_id
+            FROM pairs p JOIN t ON t.lang = p.lang AND t.doc_id = p.d)
+      SELECT lang, pack_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(256 - sum(n) AS BIGINT) AS padding, min(doc_id) AS first_doc
+      FROM j GROUP BY 1, 2 ORDER BY lang, pack_id""")) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n"))
+        .filter(col("n") >= 1)
+      // the ONLY corpus-sized state is distributed; this collect is the
+      // (lang, length) histogram, bounded by shard count x distinct
+      // doc lengths — independent of corpus row count
+      val hist = docs.groupBy(col("lang"), col("n"))
+        .agg(count(lit(1)).as("c")).collect()
+      require(hist.length <= 65536,
+        s"histogram has ${hist.length} (lang, length) classes - shard the corpus " +
+          "or bucket lengths before packing")
+      val slots = hist
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+        .toSeq
+        .flatMap { case (lang, rs) =>
+          ffdSolve(lang, rs.map(r => (r._2, r._3)).toSeq)
+        }
+      val slotDf = slots.toDF("lang", "n", "lo", "hi", "pack_id")
+      val rnkW = Window.partitionBy(col("lang"), col("n")).orderBy(col("doc_id"))
+      docs.withColumn("rnk", row_number().over(rnkW).cast("long"))
+        .join(broadcast(slotDf), Seq("lang", "n"))
+        .filter(col("rnk").between(col("lo"), col("hi")))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          (lit(Budget) - sum(col("n"))).as("padding"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("pack_id"))
+    }
+  )
+}

@@ -454,4 +454,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "class counts must aggregate map-side before the cumsum windows: " + p.take(3000))
   }
+
+  test("doc_pack_bestfit: slot table broadcasts; rank window partitioned, never global") {
+    val p = plan("doc_pack_bestfit")
+    // the histogram-FFD slot ranges join the ranked corpus as a
+    // broadcast (corpus never shuffles on the slot side), and no
+    // BNLJ/cartesian sneaks in via the rank range condition
+    assert(p.contains("BroadcastHashJoin"), "slot join must broadcast: " + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "rank-range condition must ride the (lang, n) equi-join: " + p.take(2000))
+    // the rank window is partitioned by (lang, n) — a global
+    // single-partition window would appear as 'Window ... ORDER BY'
+    // with an Exchange SinglePartition below it
+    assert(!p.contains("SinglePartition"), "no global window allowed: " + p.take(3000))
+  }
 }

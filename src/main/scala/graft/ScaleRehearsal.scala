@@ -63,7 +63,12 @@ object ScaleRehearsal {
     // (BM25 scan leg + dense top-k leg + broadcast fusion) and the
     // cluster-stratified budget (scoring scan + one cluster-key
     // window shuffle off the shared k-means assignment)
-    "retrieval_hybrid_rrf", "curate_cluster_budget")
+    "retrieval_hybrid_rrf", "curate_cluster_budget",
+    // round 15: the persisted corpus-LM's serve path — batch bigram
+    // explode + frozen-model join + one doc_id aggregate; the
+    // one-time ×100 model train (two corpus aggregates) lands in the
+    // shared(b/X) column via the lm_model onceDir build
+    "doc_lm_score_persisted")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

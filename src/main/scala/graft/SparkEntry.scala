@@ -21,7 +21,7 @@ object SparkEntry {
       VectorQueries.defs ++ VectorQueries2.defs ++ MaintenanceQueries.defs ++ CurationQueries.defs ++
       RetrievalQueries.defs ++ TokenizerQueries.defs ++ UnigramQueries.defs ++
       WordpieceQueries.defs ++ SpectralQueries.defs ++ KmeansQueries.defs ++
-      AnalyticsQueries.defs ++ PackingQueries.defs
+      AnalyticsQueries.defs ++ PackingQueries.defs ++ LmQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+/** The persisted corpus-LM lifecycle (round-15 task 5). The serve
+  * oracle hash-gates values; this spec covers the contracts the
+  * fixture can't: the OOV miss path and the all-OOV sentinel
+  * (exercised synthetically — at sf0.001 every held-out bigram
+  * happens to be in-vocabulary), plus artifact/lifecycle invariants
+  * and batch≡stream agreement.
+  */
+class LmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  test("score(): OOV bigrams counted but unscored; all-OOV doc gets the -1 sentinel") {
+    import spark.implicits._
+    // model: only ("a","b") -> 500000 and ("b","a") -> 250000
+    val model = Seq(("a", "b", 500000L), ("b", "a", 250000L))
+      .toDF("w1", "w2", "p_ppm")
+    val batch = Seq(
+      (1L, Seq("a", "b", "a", "zz")), // bigrams: ab, ba, a-zz -> 2 scored, 1 OOV
+      (2L, Seq("qq", "rr", "ss")),    // all OOV -> sentinel
+      (3L, Seq("solo"))               // < 2 tokens -> no row at all
+    ).toDF("doc_id", "w")
+    val got = graft.queries.LmQueries.score(batch, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    // doc 1: mean over SCORED only = (500000 + 250000) div 2 = 375000
+    assert(got(1L) === ((3L, 2L, 375000L)))
+    assert(got(2L) === ((2L, 0L, -1L)))
+  }
+
+  test("lifecycle: batch roster complete, scores bounded, model artifact well-formed") {
+    val rows = SparkEntry.queries("doc_lm_score_persisted")(spark, sf).collect()
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .filter("doc_id % 5 = 0 AND n >= 2")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === expected)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"doc ${r.getLong(0)}: n_scored > n_bigrams")
+      val ppm = r.getLong(3)
+      assert(ppm == -1L || (ppm >= 0L && ppm <= 1000000L),
+        s"doc ${r.getLong(0)}: lm_ppm $ppm outside [0, 1e6] and not the sentinel")
+    }
+    // the trained artifact is a real parquet table keyed uniquely by
+    // (w1, w2), every conditional in (0, 1e6]
+    val model = spark.read.parquet(graft.queries.LmQueries.sharedLmModel(spark, sf))
+    assert(model.count() === model.select("w1", "w2").distinct().count())
+    assert(model.filter("p_ppm < 1 OR p_ppm > 1000000").count() === 0L)
+  }
+
+  test("streaming twin reproduces the batch serve row-for-row") {
+    val batch = SparkEntry.queries("doc_lm_score_persisted")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val stream = SparkEntry.queries("stream_lm_score")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stream === batch)
+  }
+}

@@ -102,16 +102,22 @@ object Staging {
     stack.push(Array(0.0))
     val t0 = System.nanoTime()
     var childSecs = 0.0
-    val out = try build finally {
-      // stack hygiene runs even on failure — pop ONLY; the parent
-      // accumulation moved to the success path below (round-15
-      // ADVICE): a child that throws publishes nothing, so if it also
-      // credited its window to a parent that CATCHES the exception
-      // and completes, the parent would publish self-time excluding
-      // wall it actually paid and that time would vanish from
-      // sharedBuildSeconds entirely. Now a caught-failed child's wall
-      // stays in the parent's self time — counted once, as paid.
+    var ok = false
+    val out = try { val r = build; ok = true; r } finally {
+      // stack hygiene runs even on failure. Parent accumulation moved
+      // to the success path below (round-15 ADVICE): a child that
+      // throws publishes nothing, so if it also credited its window
+      // to a parent that CATCHES the exception and completes, the
+      // parent would publish self-time excluding wall it actually
+      // paid and that time would vanish from sharedBuildSeconds
+      // entirely. Now a caught-failed child's wall stays in the
+      // parent's self time — counted once, as paid. Transitivity
+      // (round-15 review): a failed child may contain SUCCESSFUL
+      // grandchildren that published their own seconds and credited
+      // this frame — propagate those on the failure path, or an
+      // outer build that catches would count them twice.
       childSecs = stack.pop()(0)
+      if (!ok && !stack.isEmpty) stack.peek()(0) += childSecs
     }
     // publish ONLY on success (round-14 review): a build that throws
     // must not land aborted seconds in shared_staging_total, nor a

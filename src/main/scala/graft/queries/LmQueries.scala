@@ -43,11 +43,7 @@ object LmQueries {
         .select(col("doc_id"), col("w"))
       val c1 = t.select(explode(col("w")).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("c1"))
-      val c2 = t.filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c2 = bigrams(t).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       c2.join(c1, Seq("w1"))
         .withColumn("p_ppm", expr("(c2 * 1000000) div c1"))
         .select(col("w1"), col("w2"), col("p_ppm"))

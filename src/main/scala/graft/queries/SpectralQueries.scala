@@ -95,8 +95,14 @@ object SpectralQueries {
       val dimStats = vals.groupBy(col("i"))
         .agg(sum(col("x")).as("sx"), max(abs(col("x"))).as("ma"))
         .localCheckpoint()
-      val maxAbsX = math.max(1L, dimStats.agg(max(col("ma"))).head.getLong(0))
-      require(nRows <= Long.MaxValue / (4L * maxAbsX * maxAbsX),
+      // empty corpus → max aggregates to NULL; treat as the 1L floor
+      // (the artifact is then empty downstream, as before)
+      val maRow = dimStats.agg(max(col("ma"))).head
+      val maxAbsX = if (maRow.isNullAt(0)) 1L else math.max(1L, maRow.getLong(0))
+      // divide SEQUENTIALLY: the product 4·max|x|² itself wraps int64
+      // once max|x| ≥ 2^31, which would silently void this audit on
+      // exactly the out-of-headroom corpora it exists to reject
+      require(nRows <= Long.MaxValue / 4L / maxAbsX / maxAbsX,
         s"Gram sums could exceed int64: $nRows vectors x (2*max|x|)^2 at " +
           s"measured max|x|=$maxAbsX (expected ~Q=$Q) " +
           "- requantize (lower Q) or shard the corpus")

@@ -95,7 +95,12 @@ object StreamScaleProbe {
           .filter(_._2 > 0).toSeq
         (runs.map(_._2).sum, runs.map(_._3).sum / 1e3)
       }
-      val med = samples.map(_._2).sorted.apply(samples.size / 2)
+      // true median: average the two middles on even rep counts
+      // (index size/2 alone biases high — the Bench.scala fix)
+      val sortedS = samples.map(_._2).sorted
+      val med =
+        if (sortedS.size % 2 == 1) sortedS(sortedS.size / 2)
+        else (sortedS(sortedS.size / 2 - 1) + sortedS(sortedS.size / 2)) / 2
       medians(factor) = (samples.head._1, med)
       println(f"$factor%8d ${samples.head._1}%8d $med%18.3f  ${samples.map(s => f"${s._2}%.2f").mkString(", ")}")
     }

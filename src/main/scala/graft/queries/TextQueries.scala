@@ -546,6 +546,12 @@ object TextQueries {
         (SELECT doc_id, md5(lower(trim(text))) AS fp FROM corpus)
       GROUP BY fp HAVING count(*) > 1 ORDER BY fp""")) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // the +1e6 planted-id offset must not collide with real ids —
+      // a collision would corrupt class membership IDENTICALLY in
+      // both engines, so the hash gate could not catch it (round-15
+      // review; current fixtures max out at doc_id 4999)
+      require(docs.agg(max(col("doc_id"))).head.getLong(0) < 1000000L,
+        "documents doc_id >= 1e6 collides with the planted-duplicate offset")
       val planted = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       docs.unionByName(planted)

@@ -68,7 +68,12 @@ object ScaleRehearsal {
     // explode + frozen-model join + one doc_id aggregate; the
     // one-time ×100 model train (two corpus aggregates) lands in the
     // shared(b/X) column via the lm_model onceDir build
-    "doc_lm_score_persisted")
+    "doc_lm_score_persisted",
+    // round 15: histogram-FFD packing — the claim that the solve
+    // rides the (lang, length) histogram (corpus-size-independent
+    // classes; driver walk linear only in PACKS) while the corpus
+    // pays one aggregate + one rank window + a broadcast slot join
+    "doc_pack_bestfit")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

@@ -422,5 +422,57 @@ object TextQueries5 {
         .select(col("img_id"), col("w"), col("h"), col("lo"), col("hi"))
         .orderBy(col("img_id"))
     },
+
+    /** Bloom-prefiltered seen-fingerprint test (round 15) — the
+      * "have we crawled this exact document before?" gate every
+      * ingest pipeline runs before anything else, in its production
+      * shape: a Bloom filter over the standing corpus's fingerprints
+      * broadcasts to the batch scan (bits, not strings — at 100 TB
+      * the standing set is billions of fingerprints, ~1.2 GB of bloom
+      * at 1% fpp vs hundreds of GB of raw keys or a full shuffle
+      * join), prunes the overwhelmingly-unseen majority at scan
+      * speed, and only the bloom-POSITIVE survivors pay the exact
+      * fingerprint join that confirms or refutes them. The judged
+      * output is EXACT (the sketch only proposes; the join decides) —
+      * the doc_heavy_hitters discipline, so the oracle is a plain
+      * semi-join and the bloom's false-positive rate can never leak
+      * into a judged value. A Bloom probe has no built-in Column
+      * function, so the probe is the repo's one justified scalar UDF
+      * (Spark itself injects runtime bloom joins through an internal
+      * expression only); no false NEGATIVE is possible by
+      * construction, and the spec asserts the prefilter genuinely
+      * prunes while recomputing the exact answer from scratch.
+      * Non-vacuity: the fixture corpus has zero cross-split exact
+      * dups, so every 25th standing doc (doc_id % 25 == 1, never in
+      * the batch split) re-arrives as a re-crawl at doc_id + 2e6 —
+      * the planted-fixture discipline, with the offset collision
+      * require of dedup_exact_classes. */
+    QueryDef("dedup_bloom_seen", Some("""
+      WITH t AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+      batch AS (SELECT doc_id, fp FROM t WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 2000000, fp FROM t WHERE doc_id % 5 <> 0 AND doc_id % 25 = 1),
+      s AS (SELECT DISTINCT fp FROM t WHERE doc_id % 5 <> 0)
+      SELECT b.doc_id, s.fp IS NOT NULL AS is_seen
+      FROM batch b LEFT JOIN s ON s.fp = b.fp
+      ORDER BY b.doc_id""")) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      require(t.agg(max(col("doc_id"))).head.getLong(0) < 2000000L,
+        "documents doc_id >= 2e6 collides with the re-crawl id offset")
+      val standing = t.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val batch = t.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .unionByName(standing.filter(pmod(col("doc_id"), lit(25L)) === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("fp")))
+      val bloom = standing.stat.bloomFilter("fp", standing.count(), 0.01)
+      val mightContain = udf((fp: String) => bloom.mightContainString(fp))
+      val candidates = batch.filter(mightContain(col("fp")))
+      val confirmed = candidates
+        .join(standing.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id")).withColumn("hit", lit(true))
+      batch.join(confirmed, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_seen"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

@@ -32,6 +32,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("dedup_bloom_seen: prefilter prunes, never drops a true dup; both outcomes non-vacuous") {
+    import org.apache.spark.sql.functions.{col, pmod, lit, max => smax}
+    val rows = SparkEntry.queries("dedup_bloom_seen")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // ground truth from raw fingerprints
+    val t = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val standingFps = t.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select("fp").collect().map(_.getString(0)).toSet
+    val batch = t.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))) ++
+      t.filter(pmod(col("doc_id"), lit(5L)) =!= 0 && pmod(col("doc_id"), lit(25L)) === 1)
+        .collect().map(r => (r.getLong(0) + 2000000L, r.getString(1)))
+    assert(rows.keySet === batch.map(_._1).toSet)
+    batch.foreach { case (id, fp) =>
+      assert(rows(id) === standingFps.contains(fp), s"doc $id wrong is_seen")
+    }
+    // planted re-crawls make true non-vacuous; unseen batch docs false
+    assert(rows.values.exists(identity) && rows.values.exists(!_))
+    // the prefilter genuinely prunes AND proposes a superset of truth:
+    // rebuild the identical bloom (bit-OR construction is insertion-
+    // order independent, seeds fixed) and count candidates
+    val standing = t.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val bloom = standing.stat.bloomFilter("fp", standing.count(), 0.01)
+    val nCand = batch.count { case (_, fp) => bloom.mightContainString(fp) }
+    val nSeen = batch.count { case (_, fp) => standingFps.contains(fp) }
+    assert(nCand < batch.length, s"bloom pruned nothing ($nCand of ${batch.length})")
+    assert(nCand >= nSeen, "bloom dropped a true dup - impossible by construction")
+  }
+
   test("recut gates are discriminative: anti/except/exact-classes provably non-empty") {
     // Round-15 recuts — a hash gate over the empty set proves only
     // that both engines return nothing; these three must stay

@@ -134,6 +134,17 @@ object TextQueries {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Rebuild-from-scratch twin of `dedup_minhash_index_append`'s
+    * appended artifact — test-only (MinHashQualitySpec asserts the
+    * append+recap == rebuild invariant at FRAME level, complementing
+    * the query's probe-path hash gate). */
+  private[graft] def rebuildAppendedIndex(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.capBuckets(
+      bandsOf(fixtureSigs(s, d))
+        .filter(pmod(col("doc_id"), lit(5L)) =!= 0 ||
+          pmod(col("doc_id"), lit(10L)) === 0),
+      Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
+
   private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
     // The self-join's aliased subtrees defeat ReuseExchange, so the
     // build would run twice. Checkpointing the BANDED frame measured
@@ -765,6 +776,58 @@ object TextQueries {
       s.read.schema("doc_id LONG, n_index_dups LONG, first_dup LONG")
         .parquet(s"$sink/b*")
         .join(newDocs.select(col("doc_id")), Seq("doc_id"), "right")
+        .select(col("doc_id"),
+          coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
+          col("first_dup"), col("n_index_dups").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
+    /** Index MAINTENANCE (round 15) — the MinHash index's missing
+      * lifecycle half, the text twin of sim_ann_ivfpq_incremental's
+      * append-equals-rebuild gate: day-2 arrivals (doc_id % 10 = 0)
+      * are banded in one O(batch) pass and APPENDED into the standing
+      * persisted index, the bucket cap re-applied over the union, the
+      * appended artifact written and RE-READ, and day-3 probes
+      * (doc_id % 10 = 5) served from it. The oracle is the
+      * REBUILD-from-scratch form (one QUALIFY cap over
+      * standing ∪ arrivals), so the hash gates the maintenance
+      * invariant itself: recap(cap(A) ∪ B) = cap(A ∪ B) — exact
+      * because the cap keeps the LOWEST 200 doc_ids per bucket, and
+      * A's lowest-200 always contains every A-row the union's
+      * lowest-200 can need (a deterministic, composition-independent
+      * rule; an LRU or insertion-order cap would NOT survive this
+      * gate). At 100 TB the nightly index roll is O(day's docs +
+      * touched buckets), never O(corpus) — and the append path is
+      * bounded by the same cap that bounds the probe fan-out. */
+    QueryDef("dedup_minhash_index_append", Some(s"""
+      WITH ${minhashBandsRawSql("documents")},
+      idx AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 OR doc_id % 10 = 0
+              QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
+      bat AS (SELECT * FROM bands WHERE doc_id % 10 = 5),
+      hits AS (SELECT DISTINCT b.doc_id, i.doc_id AS idx_id,
+                 round(CAST(len(list_filter(range(1, 33), k -> b.sig[k] = i.sig[k])) AS DOUBLE) / 32, 6) AS est
+               FROM bat b JOIN idx i
+                 ON i.band = b.band AND i.bk1 = b.bk1 AND i.bk2 = b.bk2),
+      agg AS (SELECT doc_id, count(*) AS n_index_dups, min(idx_id) AS first_dup
+              FROM hits WHERE est >= 0.5 GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_index_dups, 0) AS n_index_dups, first_dup,
+             n_index_dups IS NOT NULL AS is_dup
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 5) d
+      LEFT JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val appended = graft.Staging.onceDir(s, "mhidx_appended", d) { p =>
+        val idx1 = s.read.parquet(sharedMinhashIndex(s, d))
+        val arrivals = bandsOf(fixtureSigs(s, d))
+          .filter(pmod(col("doc_id"), lit(10L)) === 0)
+        graft.operators.ScaleOps.capBuckets(idx1.unionByName(arrivals),
+            Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
+          .write.mode("overwrite").parquet(p)
+      }
+      val probes = bandsOf(fixtureSigs(s, d))
+        .filter(pmod(col("doc_id"), lit(10L)) === 5)
+      scoreAgainstIndex(s, probes, appended)
+        .join(Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10L)) === 5)
+          .select(col("doc_id")), Seq("doc_id"), "right")
         .select(col("doc_id"),
           coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
           col("first_dup"), col("n_index_dups").isNotNull.as("is_dup"))

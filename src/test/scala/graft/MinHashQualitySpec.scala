@@ -67,4 +67,24 @@ class MinHashQualitySpec extends AnyFunSuite {
       s"pair (1,2) not found in ${out.toSeq}")
     assert(!out.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
+
+  test("index append+recap equals rebuild-from-scratch, row for row") {
+    // the maintenance invariant dedup_minhash_index_append's oracle
+    // hash-gates through the probe path, asserted here directly on the
+    // INDEX frames: recap(cap(standing) ∪ arrivals) == cap(standing ∪
+    // arrivals) — exact because the cap keeps the lowest-200 doc_ids
+    // per bucket (composition-independent), and the probe query runs
+    // first so the appended artifact under test is the judged one
+    val sf = TestSpark.sf0001
+    SparkEntry.queries("dedup_minhash_index_append")(spark, sf).collect()
+    val appended = spark.read
+      .parquet(graft.Staging.dir("mhidx_appended", sf))
+      .select("doc_id", "band", "bk1", "bk2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val rebuilt = graft.queries.TextQueries.rebuildAppendedIndex(spark, sf)
+      .select("doc_id", "band", "bk1", "bk2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(appended.nonEmpty)
+    assert(appended === rebuilt)
+  }
 }

@@ -115,7 +115,7 @@ object PackingQueries {
                                  'p': CASE WHEN f = 0 THEN len(rem) ELSE f - 1 END}) AS asg
         FROM (
           SELECT s.lang, s.step + 1 AS step, s.rem, s.asg, d.doc_id, d.n,
-                 list_position(list_transform(s.rem, r -> r >= d.n), true) AS f
+                 coalesce(list_position(list_transform(s.rem, r -> r >= d.n), true), 0) AS f
           FROM steps s JOIN t d ON d.lang = s.lang AND d.rnk = s.step + 1)),
       fin AS (
         SELECT lang, asg FROM steps s

@@ -91,8 +91,12 @@ object StreamScaleProbe {
         }
         try org.apache.spark.graftbus.ListenerBusDrain.drain(spark.sparkContext)
         catch { case scala.util.control.NonFatal(_) => () }
+        // drop triples whose triggerExecution was absent (-1 sentinel)
+        // the same way zero-input triggers are dropped — summing the
+        // sentinel would silently bias the per-run wall low (round-15
+        // ADVICE)
         val runs = Iterator.continually(trig.poll()).takeWhile(_ != null)
-          .filter(_._2 > 0).toSeq
+          .filter(t => t._2 > 0 && t._3 >= 0).toSeq
         (runs.map(_._2).sum, runs.map(_._3).sum / 1e3)
       }
       // true median: average the two middles on even rep counts

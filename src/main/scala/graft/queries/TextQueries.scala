@@ -560,8 +560,10 @@ object TextQueries {
       // the +1e6 planted-id offset must not collide with real ids —
       // a collision would corrupt class membership IDENTICALLY in
       // both engines, so the hash gate could not catch it (round-15
-      // review; current fixtures max out at doc_id 4999)
-      require(docs.agg(max(col("doc_id"))).head.getLong(0) < 1000000L,
+      // review; current fixtures max out at doc_id 4999). Memoized per
+      // JVM per fixture so the guard costs one aggregate, not one per
+      // bench rep (round-15 ADVICE).
+      require(SharedText.maxDocId(s, d) < 1000000L,
         "documents doc_id >= 1e6 collides with the planted-duplicate offset")
       val planted = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))

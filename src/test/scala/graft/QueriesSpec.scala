@@ -52,10 +52,10 @@ class QueriesSpec extends AnyFunSuite {
     // planted re-crawls make true non-vacuous; unseen batch docs false
     assert(rows.values.exists(identity) && rows.values.exists(!_))
     // the prefilter genuinely prunes AND proposes a superset of truth:
-    // rebuild the identical bloom (bit-OR construction is insertion-
-    // order independent, seeds fixed) and count candidates
-    val standing = t.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
-    val bloom = standing.stat.bloomFilter("fp", standing.count(), 0.01)
+    // probe the PERSISTED artifact the query itself serves from
+    // (round 16 — the bloom now lives on disk, re-read + broadcast)
+    val bloom = graft.queries.TextQueries5.readBloom(
+      graft.queries.TextQueries5.sharedBloomIndex(spark, sf), "full.bloom")
     val nCand = batch.count { case (_, fp) => bloom.mightContainString(fp) }
     val nSeen = batch.count { case (_, fp) => standingFps.contains(fp) }
     assert(nCand < batch.length, s"bloom pruned nothing ($nCand of ${batch.length})")

@@ -73,7 +73,17 @@ object ScaleRehearsal {
     // rides the (lang, length) histogram (corpus-size-independent
     // classes; driver walk linear only in PACKS) while the corpus
     // pays one aggregate + one rank window + a broadcast slot join
-    "doc_pack_bestfit")
+    "doc_pack_bestfit",
+    // round 16 (verdict task 3): the two round-15 production shapes —
+    // the bloom ingest gate (build is the O(corpus) side, landing in
+    // the shared(b/X) column via the bloomidx onceDir; the median
+    // times the probe + exact-confirm join) and the MinHash index
+    // APPEND (both sides scale ×factor: standing index AND arrivals —
+    // the dedup_containment_incremental discipline); plus task 6's
+    // codebook maintenance (day-1 stats build shared, the median
+    // times the day-2 stats pass + merge + full-corpus re-assign)
+    "dedup_bloom_seen", "dedup_bloom_seen_persisted",
+    "dedup_minhash_index_append", "vec_kmeans_update")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

@@ -213,7 +213,116 @@ object KmeansQueries {
           col("n").as("n_tokens"), col("cum_before"))
         .orderBy(col("cluster"), col("cum_before"), col("doc_id"))
     },
+
+    /** Codebook MAINTENANCE (round-16 verdict task 6) — the k-means
+      * family's incremental half, closing the last index family
+      * without one: day-1 vectors (even vec_id) are assigned ONCE to
+      * the frozen trained codebook and reduced to persisted
+      * SUFFICIENT STATISTICS — per-(cluster, dim) coordinate sum +
+      * member count, the k·d-row mergeable artifact (the
+      * agg_regression_stats argument: sums and counts compose under
+      * addition, so folding a new batch needs the old batch's stats,
+      * never its rows). Day-2 vectors (odd vec_id) arrive, compute
+      * their own stats against the SAME frozen codebook in one
+      * O(batch) broadcast pass, merge with the RE-READ day-1 parquet
+      * by plain addition, and one exact integer floor-mean over the
+      * merged sums yields the updated codebook — bit-identical to
+      * running a full Lloyd round over day-1 ∪ day-2, because
+      * assignment against a frozen codebook is per-vector pure and
+      * floor((ΣA + ΣB) / (nA + nB)) has no order or grouping freedom.
+      * The judged output serves the WHOLE corpus's assignments from
+      * the updated artifact; the oracle replays the rebuild form — the
+      * trained chain plus one more full-corpus Lloyd round (kg3/ks3/
+      * kc3) plus assignment — so the hash gates update(stats(A), B) ==
+      * train-round(A ∪ B) end-to-end, and KmeansSpec pins the codebook
+      * frames themselves equal. At 100 TB the nightly codebook roll
+      * reads the day's vectors once and a k·d-row parquet — never the
+      * standing corpus. */
+    QueryDef("vec_kmeans_update", Some(chainSql + updateRoundSql + """
+      SELECT vec_id, cluster FROM asg3 ORDER BY vec_id""")) { (s, d) =>
+      VectorQueries.ivfAssign(VectorQueries.ivfCorpus(s, d),
+          updatedKmeansArtifact(s, d))
+        .orderBy(col("vec_id"))
+    },
   )
+
+  /** Per-(cluster, dim) sufficient statistics `(cluster, pos, sv,
+    * cnt)` of `v` assigned to the frozen `cents` — the mergeable
+    * reduction of one Lloyd round's input (lloydRound's own
+    * assignment + explode + aggregate prefix, stopping BEFORE the
+    * non-mergeable floor-mean). */
+  private def statsOf(v: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{cosineFromQ, qdot}
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineFromQ(qdot(col("q"), col("cq")), col("n2"), col("cn2")))
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("c_id").as("cluster"), posexplode(col("q")).as(Seq("pos", "val")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("val")).as("sv"), count(lit(1)).as("cnt"))
+  }
+
+  /** Finish a Lloyd round from (merged) sufficient statistics: exact
+    * integer floor-mean per (cluster, dim) — the same
+    * `(sv - ((sv % cnt + cnt) % cnt)) div cnt` arithmetic as
+    * lloydRound, so stats-then-finish is bit-identical to the direct
+    * round. */
+  private[queries] def centroidsFromStats(stats: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.qdot
+    stats.groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("sv")).as("sv"), sum(col("cnt")).as("cnt"))
+      .withColumn("cval", expr("(sv - ((sv % cnt + cnt) % cnt)) div cnt"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        x => x.getField("cval")).as("cq"))
+      .select(col("cluster").as("c_id"), col("cq"))
+      .withColumn("cn2", qdot(col("cq"), col("cq")))
+  }
+
+  /** Day-1 sufficient statistics, PERSISTED once per (JVM, dir) — the
+    * artifact the maintenance roll re-reads (the sharedMinhashIndex
+    * lifecycle applied to training state). */
+  private[graft] def kmeansStatsDir(s: SparkSession, d: String): String =
+    graft.Staging.onceDir(s, "km16_stats", d) { p =>
+      statsOf(VectorQueries.ivfCorpus(s, d)
+          .filter(pmod(col("vec_id"), lit(2L)) === 0), kmeansArtifact(s, d))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** The UPDATED codebook: day-2 stats merged into the re-read day-1
+    * artifact, floor-mean applied over the union — shared by the
+    * judged serve and KmeansSpec's merge-equals-rebuild gate. */
+  private[graft] def updatedKmeansArtifact(s: SparkSession, d: String): DataFrame =
+    graft.Staging.frame(s, "km16_upd", d) {
+      val statsA = s.read.parquet(kmeansStatsDir(s, d))
+      val statsB = statsOf(VectorQueries.ivfCorpus(s, d)
+        .filter(pmod(col("vec_id"), lit(2L)) === 1), kmeansArtifact(s, d))
+      centroidsFromStats(statsA.unionByName(statsB)).localCheckpoint()
+    }
+
+  /** Oracle CTEs of the REBUILD form: one more full-corpus Lloyd round
+    * from the trained `c` (the kg/ks/kc template of
+    * VectorQueries.lloydSql, instantiated at round 3), then assignment
+    * against the updated `kc3`. */
+  private def updateRoundSql: String = """,
+      kg3 AS (SELECT vec_id, c_id AS cluster FROM (
+                SELECT n.vec_id, c.c_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                  CAST(list_sum(list_transform(list_zip(n.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
+                    / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.c_id) AS rn
+                FROM n, c) WHERE rn = 1),
+      ks3 AS (SELECT g.cluster, t.i AS pos, sum(n.q[t.i + 1]) AS sv, count(*) AS cnt
+              FROM kg3 g JOIN n ON n.vec_id = g.vec_id CROSS JOIN range(0, 64) AS t(i)
+              GROUP BY 1, 2),
+      kc3 AS (SELECT c_id, cq, list_sum(list_transform(list_zip(cq, cq), s -> s[1] * s[2])) AS cn2
+              FROM (SELECT cluster AS c_id,
+                      list(CAST((sv - ((sv % cnt + cnt) % cnt)) / cnt AS BIGINT) ORDER BY pos) AS cq
+                    FROM ks3 GROUP BY 1)),
+      asg3 AS (SELECT vec_id, cluster FROM (
+                SELECT a.vec_id, c.c_id AS cluster, row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  CAST(list_sum(list_transform(list_zip(a.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
+                    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.c_id) AS rn
+                FROM n a, kc3 c) WHERE rn = 1)"""
 
   /** The full-corpus nearest-centroid assignment `(vec_id, cluster)`
     * off the shared codebook — built once per (JVM, dir) and shared by

@@ -114,6 +114,10 @@ object PackingQueries {
                list_append(asg, {'d': doc_id,
                                  'p': CASE WHEN f = 0 THEN len(rem) ELSE f - 1 END}) AS asg
         FROM (
+          -- coalesce: DuckDB <=1.0 returns 0 from list_position on
+          -- no-match, newer versions return NULL — without it a NULL f
+          -- would take the ELSE branch and corrupt rem/asg on a
+          -- verifier upgrade (round-15 ADVICE)
           SELECT s.lang, s.step + 1 AS step, s.rem, s.asg, d.doc_id, d.n,
                  coalesce(list_position(list_transform(s.rem, r -> r >= d.n), true), 0) AS f
           FROM steps s JOIN t d ON d.lang = s.lang AND d.rnk = s.step + 1)),

@@ -74,6 +74,18 @@ object SharedText {
     * applied to a scalar. */
   def maxDocId(s: SparkSession, d: String): Long =
     maxIds.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|${Staging.suffix(d)}",
+      s"${s.sparkContext.applicationId}|${Staging.suffix(d)}|max",
       _ => Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0))
+
+  /** Memoized documents row count, per (application, input dir) — a
+    * metadata-only parquet job (count-star rides the footer row-group
+    * stats, no data scan), used to SIZE the seen-fingerprint bloom.
+    * maxDocId would also upper-bound the distinct-fingerprint count
+    * but over-sizes badly on sparse id spaces (the ×100 rehearsal
+    * corpus spaces copies 10^7 ids apart: max id ~10^9 for 5×10^6
+    * rows — a 200× oversized, gigabyte-scale bloom). */
+  def docCount(s: SparkSession, d: String): Long =
+    maxIds.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|${Staging.suffix(d)}|cnt",
+      _ => Tables.documents(s, d).count())
 }

@@ -445,7 +445,9 @@ object TextQueries5 {
       * prunes while recomputing the exact answer from scratch.
       * Non-vacuity: the fixture corpus has zero cross-split exact
       * dups, so every 25th standing doc (doc_id % 25 == 1, never in
-      * the batch split) re-arrives as a re-crawl at doc_id + 2e6 —
+      * the batch split) re-arrives as a re-crawl at doc_id + 1e10
+      * (clear of real ids even on the ×100 rehearsal corpus, whose
+      * copies sit 1e7 apart) —
       * the planted-fixture discipline, with the offset collision
       * require of dedup_exact_classes (memoized per fixture).
       *
@@ -495,7 +497,7 @@ object TextQueries5 {
       WITH t AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
       batch AS (SELECT doc_id, fp FROM t WHERE doc_id % 5 = 0
                 UNION ALL
-                SELECT doc_id + 2000000, fp FROM t WHERE doc_id % 5 <> 0 AND doc_id % 25 = 1),
+                SELECT doc_id + 10000000000, fp FROM t WHERE doc_id % 5 <> 0 AND doc_id % 25 = 1),
       s AS (SELECT DISTINCT fp FROM t WHERE doc_id % 5 <> 0)
       SELECT b.doc_id, s.fp IS NOT NULL AS is_seen
       FROM batch b LEFT JOIN s ON s.fp = b.fp
@@ -507,13 +509,16 @@ object TextQueries5 {
     * merge-equals-rebuild gate can compare serialized bytes exactly. */
   private[graft] val BloomFpp = 0.01
 
-  /** Stats-derived expected-items for the bloom: maxDocId + 1 upper-
-    * bounds the distinct-fingerprint count (each doc contributes one
-    * fp), and over-sizing a bloom only LOWERS its fpp — never a
-    * correctness risk. Replaces the per-invocation count() action. */
+  /** Stats-derived expected-items for the bloom: the memoized
+    * documents row count (a metadata-only parquet job) upper-bounds
+    * the standing set's distinct-fingerprint count, and over-sizing a
+    * bloom only LOWERS its fpp — never a correctness risk. Replaces
+    * the per-invocation count() action; preferred over maxDocId,
+    * which over-sizes ~200x on the sparse-id x100 rehearsal corpus
+    * (see SharedText.docCount). */
   private[graft] def bloomExpectedItems(
       s: org.apache.spark.sql.SparkSession, d: String): Long =
-    SharedText.maxDocId(s, d) + 1
+    SharedText.docCount(s, d)
 
   /** Persisted bloom-artifact lifecycle dir (round-16 verdict task 2).
     * Contents, all sized with ([[bloomExpectedItems]], [[BloomFpp]]):
@@ -578,14 +583,14 @@ object TextQueries5 {
       d: String, bloomFile: String): org.apache.spark.sql.DataFrame = {
     // planted re-crawl ids must not collide with real ids (memoized —
     // one aggregate per JVM per fixture, round-15 ADVICE)
-    require(SharedText.maxDocId(s, d) < 2000000L,
-      "documents doc_id >= 2e6 collides with the re-crawl id offset")
+    require(SharedText.maxDocId(s, d) < 10000000000L,
+      "documents doc_id >= 1e10 collides with the re-crawl id offset")
     val t = Tables.documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
     val standing = t.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
     val batch = t.filter(pmod(col("doc_id"), lit(5L)) === 0)
       .unionByName(standing.filter(pmod(col("doc_id"), lit(25L)) === 1)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("fp")))
+        .select((col("doc_id") + 10000000000L).as("doc_id"), col("fp")))
     val bc = s.sparkContext.broadcast(readBloom(sharedBloomIndex(s, d), bloomFile))
     val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
     val candidates = batch.filter(mightContain(col("fp")))

@@ -33,30 +33,28 @@ class KmeansSpec extends AnyFunSuite {
   private def dot(a: Array[Long], b: Array[Long]): Long =
     a.indices.map(i => a(i) * b(i)).sum
 
-  /** Direct spherical Lloyd: returns (centroids sorted by c_id,
-    * assignment vec_id -> c_id). Floor division on possibly-negative
-    * sums via the engine's exact formula. */
-  private def direct(): (Seq[(Long, Array[Long])], Map[Long, Long]) = {
-    def assign(cents: Seq[(Long, Array[Long])]): Map[Long, Long] = {
-      val withN2 = cents.map { case (id, cq) => (id, cq, math.sqrt(dot(cq, cq).toDouble)) }
-      corpus.map { case (vid, q) =>
-        val qn = math.sqrt(dot(q, q).toDouble)
-        // max cosine, ties -> lowest c_id: pick via strict > on the
-        // double, scanning in ascending c_id order
-        var bestId = -1L; var bestSim = Double.NegativeInfinity
-        withN2.sortBy(_._1).foreach { case (cid, cq, cn) =>
-          val sim = dot(q, cq).toDouble / (qn * cn)
-          if (sim > bestSim) { bestSim = sim; bestId = cid }
-        }
-        vid -> bestId
-      }.toMap
-    }
-    var cents: Seq[(Long, Array[Long])] =
-      corpus.filter(_._1 < K).map { case (id, q) => (id, q) }
-    for (_ <- 1 to Iters) {
-      val asg = assign(cents)
-      val byCluster = corpus.groupBy { case (vid, _) => asg(vid) }
-      cents = byCluster.toSeq.sortBy(_._1).map { case (cid, members) =>
+  private def assignDirect(cents: Seq[(Long, Array[Long])]): Map[Long, Long] = {
+    val withN2 = cents.map { case (id, cq) => (id, cq, math.sqrt(dot(cq, cq).toDouble)) }
+    corpus.map { case (vid, q) =>
+      val qn = math.sqrt(dot(q, q).toDouble)
+      // max cosine, ties -> lowest c_id: pick via strict > on the
+      // double, scanning in ascending c_id order
+      var bestId = -1L; var bestSim = Double.NegativeInfinity
+      withN2.sortBy(_._1).foreach { case (cid, cq, cn) =>
+        val sim = dot(q, cq).toDouble / (qn * cn)
+        if (sim > bestSim) { bestSim = sim; bestId = cid }
+      }
+      vid -> bestId
+    }.toMap
+  }
+
+  /** One full-corpus Lloyd update round from `cents` — assignment +
+    * per-dimension integer floor-mean (the engines' exact formula on
+    * possibly-negative sums). */
+  private def oneRound(cents: Seq[(Long, Array[Long])]): Seq[(Long, Array[Long])] = {
+    val asg = assignDirect(cents)
+    corpus.groupBy { case (vid, _) => asg(vid) }.toSeq.sortBy(_._1).map {
+      case (cid, members) =>
         val d = members.head._2.length
         val cq = Array.tabulate(d) { i =>
           val sv = members.map(_._2(i)).sum
@@ -64,9 +62,16 @@ class KmeansSpec extends AnyFunSuite {
           (sv - ((sv % cnt + cnt) % cnt)) / cnt // floor div, both engines' formula
         }
         (cid, cq)
-      }
     }
-    (cents.sortBy(_._1), assign(cents))
+  }
+
+  /** Direct spherical Lloyd: returns (centroids sorted by c_id,
+    * assignment vec_id -> c_id). */
+  private def direct(): (Seq[(Long, Array[Long])], Map[Long, Long]) = {
+    var cents: Seq[(Long, Array[Long])] =
+      corpus.filter(_._1 < K).map { case (id, q) => (id, q) }
+    for (_ <- 1 to Iters) cents = oneRound(cents)
+    (cents.sortBy(_._1), assignDirect(cents))
   }
 
   test("vec_kmeans_train matches the direct spherical-Lloyd replay bit-for-bit") {
@@ -86,5 +91,34 @@ class KmeansSpec extends AnyFunSuite {
     assert(engine === asg)
     val sizes = engine.groupBy(_._2).view.mapValues(_.size).toMap
     info(s"clusters: ${sizes.size} non-empty of $K, sizes ${sizes.toSeq.sortBy(_._1).map(_._2).mkString(",")}")
+  }
+
+  test("vec_kmeans_update: merged stats == full rebuild round, bit-for-bit; day-2 merge load-bearing") {
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    val (cents, _) = direct()
+    // the rebuild form: one more direct Lloyd round over the FULL
+    // corpus, then assignment — what the merged-statistics path must
+    // reproduce exactly
+    val cents3 = oneRound(cents).sortBy(_._1)
+    val wantAsg = assignDirect(cents3)
+    val engineAsg = SparkEntry.queries("vec_kmeans_update")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engineAsg === wantAsg)
+    // the updated CODEBOOK itself (not just its assignments) equals
+    // the rebuild round
+    val upd = graft.queries.KmeansQueries.updatedKmeansArtifact(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    assert(upd.map(_._1).toSeq === cents3.map(_._1))
+    upd.zip(cents3).foreach { case ((ei, ecq), (di, dcq)) =>
+      assert(ei === di); assert(ecq.sameElements(dcq), s"centroid $ei diverges") }
+    // the persisted artifact carries ONLY day-1 (even vec_id) members:
+    // the day-2 fold is what completes the round, so the gate cannot
+    // pass on a stale full-corpus artifact
+    val statCnt = spark.read.parquet(
+        graft.queries.KmeansQueries.kmeansStatsDir(spark, sf))
+      .filter(col("pos") === 0).agg(ssum(col("cnt"))).head.getLong(0)
+    val evens = corpus.count(_._1 % 2 == 0).toLong
+    assert(statCnt === evens)
+    assert(evens < corpus.length, "fixture has no odd vec_ids - merge vacuous")
   }
 }

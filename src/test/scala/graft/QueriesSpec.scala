@@ -44,7 +44,7 @@ class QueriesSpec extends AnyFunSuite {
     val batch = t.filter(pmod(col("doc_id"), lit(5L)) === 0)
       .collect().map(r => (r.getLong(0), r.getString(1))) ++
       t.filter(pmod(col("doc_id"), lit(5L)) =!= 0 && pmod(col("doc_id"), lit(25L)) === 1)
-        .collect().map(r => (r.getLong(0) + 2000000L, r.getString(1)))
+        .collect().map(r => (r.getLong(0) + 10000000000L, r.getString(1)))
     assert(rows.keySet === batch.map(_._1).toSet)
     batch.foreach { case (id, fp) =>
       assert(rows(id) === standingFps.contains(fp), s"doc $id wrong is_seen")

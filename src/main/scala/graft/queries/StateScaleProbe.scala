@@ -103,9 +103,13 @@ object StateScaleProbe {
       s"$root/in"
     }
 
+    // mode selector so long runs can be chunked (diagnostic-only main)
+    val modes = sys.env.getOrElse("SPARK_GRAFT_STATE_MODES", "sessions,rows")
+      .split(",").map(_.trim).toSeq
+    require(modes.forall(Set("sessions", "rows")), s"unknown mode in $modes")
     println(f"${"mode"}%9s ${"factor"}%7s ${"rows/trig"}%10s ${"state_max"}%10s ${"trig_s(mean,med)"}%17s  samples")
     val results = scala.collection.mutable.LinkedHashMap.empty[(String, Int), (Long, Long, Double)]
-    for (mode <- Seq("sessions", "rows"); factor <- Seq(1, 10, 100)) {
+    for (mode <- modes; factor <- Seq(1, 10, 100)) {
       val ev = derived(factor, mode).localCheckpoint()
       val in = stageDays(ev, graft.Staging.dir(s"ssp2_${mode}_f$factor", sfDir))
       val samples = (1 to reps).map { rep =>
@@ -144,7 +148,7 @@ object StateScaleProbe {
       results((mode, factor)) = (samples.head._1, samples.map(_._2).max, med)
       println(f"$mode%9s $factor%7d ${samples.head._1}%10d ${samples.map(_._2).max}%10d $med%17.3f  ${samples.map(s => f"${s._3}%.2f").mkString(", ")}")
     }
-    for (mode <- Seq("sessions", "rows")) {
+    for (mode <- modes) {
       val (r1, s1, t1) = results((mode, 1))
       val (r10, _, t10) = results((mode, 10))
       val (r100, s100, t100) = results((mode, 100))

@@ -486,6 +486,73 @@ object TextQueries5 {
     QueryDef("dedup_bloom_seen_persisted", Some(BloomSeenSql)) { (s, d) =>
       bloomServeSeen(s, d, "current.bloom")
     },
+
+    /** STREAMING seen-fingerprint gate (round 16) — the bloom family's
+      * online shape, completing its lifecycle trio (build+persist /
+      * merge-maintain / stream-serve — the stream_dedup_index /
+      * stream_lm_score pattern): the crawl batch arrives as a real
+      * file-source stream (two staged micro-batches under
+      * maxFilesPerTrigger=1), and each micro-batch probes the FROZEN
+      * re-read merged bloom artifact — one executor-shared broadcast
+      * for the whole run — with bloom-positive survivors paying the
+      * exact fingerprint join inside foreachBatch, batch_id-keyed
+      * idempotent sinks. The answer for each doc is a pure function of
+      * (its fingerprint, the frozen standing set), so micro-batch
+      * boundaries provably cannot change any is_seen — the query
+      * shares the one-shot oracle VERBATIM and the hash gates exactly
+      * that invariance. At 100 TB this is the ingest-time gate as it
+      * actually deploys: O(batch) bloom probes per trigger, the exact
+      * join only on the tiny bloom-positive remainder. */
+    QueryDef("stream_bloom_seen", Some(BloomSeenSql)) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      require(SharedText.maxDocId(s, d) < 10000000000L,
+        "documents doc_id >= 1e10 collides with the re-crawl id offset")
+      val root = graft.Staging.dir("blserve", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val standing = t.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val batch = t.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .unionByName(standing.filter(pmod(col("doc_id"), lit(25L)) === 1)
+          .select((col("doc_id") + 10000000000L).as("doc_id"), col("fp")))
+      // stage the crawl stream: even then odd doc_ids → two
+      // micro-batches (the planted re-crawls are all odd, so batch 2
+      // carries hits batch 1 cannot — boundaries are load-bearing)
+      batch.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+      batch.filter(pmod(col("doc_id"), lit(2L)) === 1)
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      val schema = s.read.parquet(s"$root/in").schema
+      val bc = s.sparkContext.broadcast(readBloom(sharedBloomIndex(s, d), "current.bloom"))
+      val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+      val standingFps = standing.select(col("fp")).distinct().localCheckpoint()
+      val sink = s"$root/out"
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val confirmed = b.filter(mightContain(col("fp")))
+                .join(standingFps, Seq("fp"), "left_semi")
+                .select(col("doc_id")).withColumn("hit", lit(true))
+              b.join(confirmed, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  coalesce(col("hit"), lit(false)).as("is_seen"))
+                .write.mode("overwrite").parquet(s"$sink/b$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_bloom_seen")
+      }
+      // declared schema: an empty batch's sink dir has no footers
+      s.read.schema("doc_id LONG, is_seen BOOLEAN").parquet(s"$sink/b*")
+        .orderBy(col("doc_id"))
+    },
   )
 
   /** Shared oracle of the two seen-fingerprint queries: the answer is

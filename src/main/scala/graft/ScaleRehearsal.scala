@@ -83,7 +83,10 @@ object ScaleRehearsal {
     // codebook maintenance (day-1 stats build shared, the median
     // times the day-2 stats pass + merge + full-corpus re-assign)
     "dedup_bloom_seen", "dedup_bloom_seen_persisted",
-    "dedup_minhash_index_append", "vec_kmeans_update")
+    "dedup_minhash_index_append", "vec_kmeans_update",
+    // round 16: the delete roll — O(tombstones) anti-join on the
+    // persisted index at serve time
+    "dedup_minhash_index_delete")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

@@ -598,6 +598,13 @@ object TextQueries5 {
     *   - `current.bloom` — day1 RE-READ from disk, day2 merged in via
     *     `mergeInPlace` (bit-OR), re-persisted: the maintained serve
     *     artifact.
+    * Honest lifecycle asymmetry: a plain bloom supports APPEND-only
+    * maintenance — bit-OR is irreversible, so fingerprint DELETION
+    * (the dedup_minhash_index_delete story) requires either a
+    * counting bloom (~8× the bits) or a rebuild over the surviving
+    * set; since false positives here only cost an exact-join probe
+    * (never a wrong answer), the production form tolerates stale
+    * positives until the next scheduled rebuild.
     * Built once per JVM per fixture under Staging's shared-build
     * accounting; serialization via the sketch's own
     * writeTo/readFrom. */

@@ -87,4 +87,52 @@ class MinHashQualitySpec extends AnyFunSuite {
     assert(appended.nonEmpty)
     assert(appended === rebuilt)
   }
+
+  test("index delete: tombstones are load-bearing and can only remove hits") {
+    val sf = TestSpark.sf0001
+    def rowsOf(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    val full = rowsOf("dedup_minhash_incremental")
+    val del = rowsOf("dedup_minhash_index_delete")
+    assert(full.keySet === del.keySet)
+    // deletion is monotone: no probe gains hits, and first_dup can
+    // only move up (the min over a subset of live index docs)
+    del.foreach { case (id, (n, fd)) =>
+      assert(n <= full(id)._1, s"probe $id GAINED hits after deletion")
+      assert(fd == -1L || fd % 20 != 3, s"probe $id still hit tombstoned doc $fd")
+    }
+    // load-bearing: the tombstone slice must actually change answers
+    // (some probe's hit was a % 20 == 3 index doc)
+    assert(del.exists { case (id, v) => v != full(id) },
+      "tombstones changed nothing - the delete gate is vacuous at this sf")
+    assert(full.exists { case (_, (_, fd)) => fd >= 0 && fd % 20 == 3 },
+      "no incremental first_dup is a tombstone - weaken of the witness")
+  }
+
+  test("over-cap bucket: tombstone-serve hits are a strict subset of a rebuild's") {
+    // the divergence dedup_minhash_index_delete's scaladoc documents,
+    // demonstrated concretely: a bucket capped at 2 evicts doc 30;
+    // deleting kept doc 10 cannot resurrect it, while a rebuild over
+    // (standing - tombstones) re-admits it — so tombstone-serve hits
+    // form a STRICT subset (under-reporting, never phantom hits)
+    import graft.operators.ScaleOps.capBuckets
+    val standing = Seq((10L, 0, 1L, 1L), (20L, 0, 1L, 1L), (30L, 0, 1L, 1L))
+      .toDF("doc_id", "band", "bk1", "bk2")
+    val capped = capBuckets(standing, Seq("band", "bk1", "bk2"), "doc_id", cap = 2)
+    assert(capped.select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L, 20L))
+    val tombstones = Set(10L)
+    val tombServe = capped.collect().map(_.getLong(0)).filterNot(tombstones).toSet
+    val rebuild = capBuckets(
+        standing.filter(!col("doc_id").isInCollection(tombstones)),
+        Seq("band", "bk1", "bk2"), "doc_id", cap = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(tombServe === Set(20L) && rebuild === Set(20L, 30L))
+    assert(tombServe.subsetOf(rebuild) && tombServe != rebuild)
+    // and the judged fixtures DO exercise the over-cap regime, which
+    // is why the query's oracle gates cap-then-delete, not rebuild
+    val maxBucket = graft.queries.TextQueries.standingMaxBucket(spark, TestSpark.sf0001)
+    info(s"largest standing bucket at sf0.001: $maxBucket (cap 200)")
+    assert(maxBucket > 200)
+  }
 }

@@ -84,9 +84,10 @@ object ScaleRehearsal {
     // times the day-2 stats pass + merge + full-corpus re-assign)
     "dedup_bloom_seen", "dedup_bloom_seen_persisted",
     "dedup_minhash_index_append", "vec_kmeans_update",
-    // round 16: the delete roll — O(tombstones) anti-join on the
-    // persisted index at serve time
-    "dedup_minhash_index_delete")
+    // round 16: the delete rolls — O(tombstones) anti-join on the
+    // persisted index at serve time (minhash: directional under the
+    // cap; ivfpq: exact, lists uncapped)
+    "dedup_minhash_index_delete", "sim_ann_ivfpq_delete")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

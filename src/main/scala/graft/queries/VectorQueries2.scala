@@ -129,7 +129,13 @@ object VectorQueries2 {
     * oracle CTEs; residual/fine stage mirrors `sim_ann_pq`'s with
     * `subs` redefined as RESIDUAL sub-vectors; the LUT is per
     * (query, probed cell) against the query's residual in that cell. */
-  private def ivfpqOracle: String = s"""
+  private def ivfpqOracle: String = ivfpqOracleCodes("")
+
+  /** [[ivfpqOracle]] with an optional predicate on the inverted-list
+    * content (`k` = the per-vector code rows) — the delete twin
+    * filters tombstoned vectors out of `codesc`, mirroring the
+    * artifact-side anti-join exactly (round 16). */
+  private def ivfpqOracleCodes(codesWhere: String): String = s"""
       WITH v AS (SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
                  FROM embeddings),
@@ -159,7 +165,7 @@ object VectorQueries2 {
                   (SELECT vec_id, s, c_id, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_id) AS rn FROM dist)
                 WHERE rn = 1),
       codesc AS (SELECT a.cluster, k.vec_id, k.s, k.code
-                 FROM codes k JOIN asg a ON a.vec_id = k.vec_id),
+                 FROM codes k JOIN asg a ON a.vec_id = k.vec_id $codesWhere),
       qres AS (SELECT p.q_id, p.cluster,
                  list_transform(list_zip(n.q, c.cq), z -> z[1] - z[2]) AS r
                FROM probes p JOIN n ON n.vec_id = p.q_id JOIN c ON c.c_id = p.cluster),
@@ -632,6 +638,52 @@ object VectorQueries2 {
       // serve from the appended table (old + new)
       val codesC = s.read.parquet(s"$root/codes")
         .withColumn("cluster", col("cluster").cast("long"))
+      ivfpqServe(v, coarse, ivfProbes(v, coarse, 2), fine, codesC)
+    },
+
+    /** IVFADC index DELETION (round 16) — the flagship index's
+      * right-to-be-forgotten roll, the vector twin of
+      * `dedup_minhash_index_delete` with one decisive difference: the
+      * inverted lists are UNCAPPED, so tombstone-serve is EXACTLY a
+      * rebuild, and the gate is an equality, not a direction.
+      * Tombstoned vectors (vec_id % 10 = 7) are removed from the
+      * persisted cluster-partitioned code table by one broadcast
+      * anti-join at serve time — O(index ∩ tombstones), the artifact
+      * never rewritten — and queries are served from the filtered
+      * lists. Codebooks stay FROZEN (the append roll's stance: the
+      * per-vector encode is a pure function of the codebooks, and a
+      * delete roll retrains nothing — full retrain is the scheduled
+      * rebuild's job; the centroids' aggregate residue of deleted
+      * vectors is the documented trade every production ANN store
+      * makes until that rebuild). Because encoding is per-vector pure
+      * and lists are complete, filter(codes, ∖D) == re-encode(corpus
+      * ∖ D) row-for-row, so serve-after-delete must equal
+      * rebuild-then-serve EXACTLY — the oracle computes the rebuild
+      * form (the shared IVFADC chain with the tombstone slice
+      * filtered from the inverted-list content) and the hash gates
+      * the equality: a missed tombstone, an over-matched anti-join,
+      * or a deleted vector resurfacing through the shortlist or the
+      * exact re-rank all break it. Deleted vectors can never re-enter
+      * downstream of the filter: the shortlist draws only from the
+      * filtered lists and the re-rank fetches only shortlist ids. */
+    QueryDef("sim_ann_ivfpq_delete",
+        Some(ivfpqOracleCodes("WHERE k.vec_id % 10 <> 7"))) { (s, d) =>
+      val v = ivfCorpus(s, d)
+      val root = graft.Staging.dir("ivfpqdel", d)
+      // persist the standing artifacts (the shared once-per-JVM
+      // training frames — same bytes the persisted twin judges)
+      sharedCoarse(s, d).write.mode("overwrite").parquet(s"$root/coarse")
+      val coarse = s.read.parquet(s"$root/coarse")
+      sharedIvfpqFine(s, d).write.mode("overwrite").parquet(s"$root/fine")
+      val fine = s.read.parquet(s"$root/fine")
+      sharedIvfpqCodes(s, d)
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/codes")
+      val tomb = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10L)) === 7)
+        .select(col("vec_id"))
+      val codesC = s.read.parquet(s"$root/codes")
+        .withColumn("cluster", col("cluster").cast("long"))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
       ivfpqServe(v, coarse, ivfProbes(v, coarse, 2), fine, codesC)
     },
 

@@ -169,6 +169,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.6, f"sim_ann_ivfpq recall@5 $recall%.3f below the 0.6 floor")
   }
 
+  test("sim_ann_ivfpq_delete: tombstones load-bearing, no deleted vector served") {
+    import org.apache.spark.sql.Row
+    val full = SparkEntry.queries("sim_ann_ivfpq")(spark, sf).collect()
+      .map { case Row(q: Long, v: Long, r: Long, c: Double) => (q, v, r, c) }
+    val del = SparkEntry.queries("sim_ann_ivfpq_delete")(spark, sf).collect()
+      .map { case Row(q: Long, v: Long, r: Long, c: Double) => (q, v, r, c) }
+    assert(del.nonEmpty && del.forall { case (_, v, _, _) => v % 10 != 7 },
+      "a tombstoned vector was served")
+    // load-bearing at this sf: the pre-delete answer must contain a
+    // tombstone-slice vector, so deletion genuinely changes the top-5
+    assert(full.exists { case (_, v, _, _) => v % 10 == 7 },
+      "no tombstone-slice vector in the pre-delete top-5 - gate vacuous here")
+    assert(del.toSet != full.toSet)
+  }
+
   test("sim_ann_ivf_recall: nprobe dial is monotone and meets the nprobe=4 floor") {
     import org.apache.spark.sql.Row
     val rows = SparkEntry.queries("sim_ann_ivf_recall")(spark, sf).collect()

@@ -87,7 +87,10 @@ object ScaleRehearsal {
     // round 16: the delete rolls — O(tombstones) anti-join on the
     // persisted index at serve time (minhash: directional under the
     // cap; ivfpq: exact, lists uncapped)
-    "dedup_minhash_index_delete", "sim_ann_ivfpq_delete")
+    "dedup_minhash_index_delete", "sim_ann_ivfpq_delete",
+    // round 16: the counting-bloom forget roll — treeAggregate build
+    // in the shared column, O(deletes) decrement maintenance
+    "dedup_bloom_seen_delete")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

@@ -553,7 +553,89 @@ object TextQueries5 {
       s.read.schema("doc_id LONG, is_seen BOOLEAN").parquet(s"$sink/b*")
         .orderBy(col("doc_id"))
     },
+
+    /** Seen-fingerprint DELETION (round 16) — the bloom family's
+      * right-to-be-forgotten roll, closing the asymmetry
+      * [[sharedBloomIndex]] documents: a plain bloom's bit-OR is
+      * irreversible, so this query serves from a COUNTING bloom
+      * ([[graft.operators.CountingBloom]], Fan et al. ToN 2000 —
+      * cells are counters, ~8× the bits, `remove` decrements), built
+      * distributed (one treeAggregate), persisted, and MAINTAINED by
+      * decrementing the forgotten documents' fingerprints out of the
+      * re-read artifact — O(deletes), never a rebuild, the third
+      * delete mechanism beside the MinHash anti-join (directional
+      * under the cap) and the IVFADC list filter (exact, uncapped).
+      * Tombstones are the doc_id % 50 = 1 standing docs — all of them
+      * planted re-crawl SOURCES (x ≡ 1 mod 50 ⇒ x ≡ 1 mod 25), so
+      * their re-crawls must flip to is_seen = false while the
+      * x ≡ 26 mod 50 sources' re-crawls stay true: deletion is
+      * load-bearing in both directions. The judged answer stays EXACT
+      * at any fpp — the counting sketch only proposes, the exact join
+      * against the LIVE standing set decides (the family's standing
+      * discipline) — and because corpus fingerprints are unique and
+      * removals are of once-added items only, the decrement can never
+      * produce a false negative (CountingBloomSpec proves add/remove
+      * cell-exact inversion and the post-delete no-false-negative
+      * floor). Tombstone fps collect to the driver: a GDPR delete set
+      * is tiny relative to the corpus at any scale, and the decrement
+      * is a driver-side artifact edit, not a data-plane pass. */
+    QueryDef("dedup_bloom_seen_delete", Some("""
+      WITH t AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+      batch AS (SELECT doc_id, fp FROM t WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 10000000000, fp FROM t WHERE doc_id % 5 <> 0 AND doc_id % 25 = 1),
+      s AS (SELECT DISTINCT fp FROM t WHERE doc_id % 5 <> 0 AND doc_id % 50 <> 1)
+      SELECT b.doc_id, s.fp IS NOT NULL AS is_seen
+      FROM batch b LEFT JOIN s ON s.fp = b.fp
+      ORDER BY b.doc_id""")) { (s, d) =>
+      import graft.operators.CountingBloom
+      require(SharedText.maxDocId(s, d) < 10000000000L,
+        "documents doc_id >= 1e10 collides with the re-crawl id offset")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val standing = t.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val live = standing.filter(pmod(col("doc_id"), lit(50L)) =!= 1)
+      val batch = t.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .unionByName(standing.filter(pmod(col("doc_id"), lit(25L)) === 1)
+          .select((col("doc_id") + 10000000000L).as("doc_id"), col("fp")))
+      val bc = s.sparkContext.broadcast(
+        CountingBloom.readFrom(new java.io.FileInputStream(
+          new java.io.File(sharedCountingBloomIndex(s, d), "cb_live.bin"))))
+      val mightContain = udf((fp: String) => fp != null && bc.value.mightContain(fp))
+      val confirmed = batch.filter(mightContain(col("fp")))
+        .join(live.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id")).withColumn("hit", lit(true))
+      batch.join(confirmed, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_seen"))
+        .orderBy(col("doc_id"))
+    },
   )
+
+  /** Persisted counting-bloom lifecycle dir: `cb_full.bin` (the
+    * distributed treeAggregate build over all DISTINCT standing
+    * fingerprints), and `cb_live.bin` — cb_full RE-READ from disk with
+    * the tombstoned (doc_id % 50 = 1) fingerprints decremented out.
+    * Built once per JVM per fixture under Staging's accounting. */
+  private[graft] def sharedCountingBloomIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.Staging.onceDir(s, "cbloomidx", d) { p =>
+      import graft.operators.CountingBloom
+      val standing = bloomStanding(s, d).filter(col("fp").isNotNull)
+      val n = bloomExpectedItems(s, d)
+      new java.io.File(p).mkdirs()
+      val full = CountingBloom.build(
+        standing.select(col("fp")).distinct()
+          .as(org.apache.spark.sql.Encoders.STRING), n, BloomFpp)
+      val out = new java.io.FileOutputStream(new java.io.File(p, "cb_full.bin"))
+      try full.writeTo(out) finally out.close()
+      val live = CountingBloom.readFrom(
+        new java.io.FileInputStream(new java.io.File(p, "cb_full.bin")))
+      standing.filter(pmod(col("doc_id"), lit(50L)) === 1)
+        .select(col("fp")).distinct()
+        .collect().foreach(r => live.remove(r.getString(0)))
+      val out2 = new java.io.FileOutputStream(new java.io.File(p, "cb_live.bin"))
+      try live.writeTo(out2) finally out2.close()
+    }
 
   /** Shared oracle of the two seen-fingerprint queries: the answer is
     * defined by the exact semi-join alone (the bloom variants differ

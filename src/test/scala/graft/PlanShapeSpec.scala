@@ -296,6 +296,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("index delete rolls: tombstones anti-join by BROADCAST, never a shuffle") {
+    // the delete rolls' scale claim (round 16): removing a GDPR-sized
+    // tombstone set from a persisted index costs one broadcast
+    // anti-join on the index scan — the index side must never
+    // shuffle-exchange on the tombstone key
+    for (name <- Seq("dedup_minhash_index_delete", "sim_ann_ivfpq_delete")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"$name: tombstone anti-join is not a broadcast hash join: " + p.take(2000))
+      assert(!p.contains("SortMergeJoin LeftAnti"),
+        s"$name: tombstone anti-join shuffled the index side")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("curate_token_budget: the global prefix sum is partition-keyed, not a single-partition window") {
     // the budget selection's scale claim: every row-level WindowExec is
     // keyed by the range-partition id (globalRunningSum); the only

@@ -89,8 +89,9 @@ object ScaleRehearsal {
     // cap; ivfpq: exact, lists uncapped)
     "dedup_minhash_index_delete", "sim_ann_ivfpq_delete",
     // round 16: the counting-bloom forget roll — treeAggregate build
-    // in the shared column, O(deletes) decrement maintenance
-    "dedup_bloom_seen_delete")
+    // in the shared column, O(deletes) decrement maintenance — and
+    // the containment posting index's anti-join roll
+    "dedup_bloom_seen_delete", "dedup_containment_index_delete")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

@@ -157,6 +157,68 @@ object TextQueries5 {
         .orderBy(col("doc_id"))
     },
 
+    /** Containment-index DELETION (round 16) — the posting index's
+      * right-to-be-forgotten roll, completing the delete story across
+      * all four index families (MinHash anti-join, IVFADC list
+      * filter, counting-bloom decrement, and here the posting-list
+      * anti-join): tombstoned standing docs (doc_id % 20 = 7 — a
+      * residue with confirmed containment hits at both judged scales,
+      * so deletion is load-bearing) are removed from the PERSISTED
+      * df-pruned posting index by one broadcast anti-join at serve
+      * time, O(index ∩ tombstones), the artifact never rewritten. The
+      * oracle models the artifact-true semantics — the df ≤ 10 prune
+      * computed over the FULL standing set (the artifact's build-time
+      * statistics), THEN the tombstone filter — so the hash gates the
+      * tombstone mechanism exactly. Deliberately NOT gated:
+      * delete == full-rebuild, which cannot hold in general here
+      * either, for the df-statistics reason rather than a cap —
+      * removing docs can drop a shingle's df from 11 to ≤ 10, so a
+      * rebuild RE-ADMITS posting lists the build-time prune cut;
+      * tombstone-serve hits ⊆ rebuild hits (the same under-report
+      * direction as the capped MinHash roll), and the scheduled
+      * rebuild re-absorbs both the deletions and the df drift. */
+    QueryDef("dedup_containment_index_delete", Some(raw"""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS g
+             FROM t WHERE len(w) >= 3),
+      idx0 AS (SELECT doc_id AS idx_id, g FROM sh WHERE doc_id % 5 <> 0),
+      keep AS (SELECT g FROM idx0 GROUP BY g HAVING count(*) <= 10),
+      idx AS (SELECT idx0.idx_id, idx0.g FROM idx0 JOIN keep USING (g)
+              WHERE idx0.idx_id % 20 <> 7),
+      bat AS (SELECT doc_id, g FROM sh WHERE doc_id % 5 = 0),
+      sz AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
+      hits AS (SELECT bat.doc_id, idx.idx_id, count(*) AS inter FROM bat JOIN idx USING (g) GROUP BY 1, 2),
+      sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_containers, min(h.idx_id) AS first_container
+             FROM hits h JOIN sz ON sz.doc_id = h.doc_id
+             WHERE h.inter * 2 >= sz.n GROUP BY 1)
+      SELECT b.doc_id, CAST(COALESCE(sc.n_containers, 0) AS BIGINT) AS n_containers,
+             sc.first_container, sc.n_containers IS NOT NULL AS is_contained
+      FROM (SELECT DISTINCT doc_id FROM bat) b
+      LEFT JOIN sc ON sc.doc_id = b.doc_id
+      ORDER BY b.doc_id""")) { (s, d) =>
+      val tomb = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(20L)) === 7)
+        .select(col("doc_id").as("idx_id"))
+      val idx = s.read.parquet(sharedContainmentIndex(s, d))
+        .join(broadcast(tomb), Seq("idx_id"), "left_anti")
+      val batch = SharedText.shingles3(s, d)
+        .filter(pmod(col("doc_id"), lit(5L)) === 0)
+      val sz = batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val hits = batch.join(idx, Seq("g"))
+        .groupBy(col("doc_id"), col("idx_id")).agg(count(lit(1)).as("inter"))
+      val scored = hits.join(sz, Seq("doc_id"))
+        .filter(col("inter") * 2 >= col("n_sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_containers"), min(col("idx_id")).as("first_container"))
+      batch.select(col("doc_id")).distinct()
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+          col("first_container"),
+          col("n_containers").isNotNull.as("is_contained"))
+        .orderBy(col("doc_id"))
+    },
+
     /** BUDGET-CONSTRAINED curation — "keep the highest-quality
       * documents until a token budget is hit" (here 60% of corpus
       * tokens), the selection rule a compute-bounded training run

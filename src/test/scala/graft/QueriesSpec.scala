@@ -169,6 +169,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.6, f"sim_ann_ivfpq recall@5 $recall%.3f below the 0.6 floor")
   }
 
+  test("dedup_containment_index_delete: monotone removal, load-bearing tombstones") {
+    def rowsOf(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    val full = rowsOf("dedup_containment_incremental")
+    val del = rowsOf("dedup_containment_index_delete")
+    assert(full.keySet === del.keySet)
+    del.foreach { case (id, (n, fc)) =>
+      assert(n <= full(id)._1, s"probe $id GAINED containers after deletion")
+      assert(fc == -1L || fc % 20 != 7, s"probe $id still contained by tombstoned doc $fc")
+    }
+    assert(del.exists { case (id, v) => v != full(id) },
+      "tombstones changed nothing - the containment delete gate is vacuous at this sf")
+  }
+
   test("sim_ann_ivfpq_delete: tombstones load-bearing, no deleted vector served") {
     import org.apache.spark.sql.Row
     val full = SparkEntry.queries("sim_ann_ivfpq")(spark, sf).collect()

@@ -91,7 +91,18 @@ object ScaleRehearsal {
     // round 16: the counting-bloom forget roll — treeAggregate build
     // in the shared column, O(deletes) decrement maintenance — and
     // the containment posting index's anti-join roll
-    "dedup_bloom_seen_delete", "dedup_containment_index_delete")
+    "dedup_bloom_seen_delete", "dedup_containment_index_delete",
+    // round 16: the mergeable-statistics maintenance wave — the
+    // k-means forget roll (exact stats subtraction; day-tombstone pass
+    // + k·d-row merge, median times the survivor re-assign), the LM
+    // count-form rolls (update = day-2 fold, forget = tombstone
+    // subtraction; medians time the batch serve off the merged model),
+    // and the BM25 inverted-index lifecycle (persisted serve should be
+    // near corpus-size-INDEPENDENT thanks to the term-pruned postings
+    // scan; append/delete add the merge/anti-join on top)
+    "vec_kmeans_delete", "doc_lm_update", "doc_lm_forget",
+    "retrieval_bm25_persisted", "retrieval_bm25_index_append",
+    "retrieval_bm25_index_delete")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

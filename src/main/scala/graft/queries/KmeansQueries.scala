@@ -244,6 +244,39 @@ object KmeansQueries {
           updatedKmeansArtifact(s, d))
         .orderBy(col("vec_id"))
     },
+
+    /** Codebook DELETION — the k-means family's forget roll, and the
+      * one delete mechanism in the repo that is EXACT BY ALGEBRA
+      * rather than by construction or by contract: the persisted
+      * sufficient statistics form a GROUP under addition, not just a
+      * monoid, so removing tombstoned vectors is plain SUBTRACTION —
+      * stats(survivors) = stats(all) − stats(tombstones), bit-exactly,
+      * because assignment against the frozen trained codebook is
+      * per-vector pure (each vector's (cluster, q) contribution is
+      * independent of every other row's presence). One O(tombstones)
+      * pass computes the leaving vectors' stats against the SAME
+      * frozen codebook, plain integer subtraction from the RE-READ
+      * full-corpus artifact, and the exact floor-mean over the
+      * difference is BIT-identical to a full Lloyd round over the
+      * surviving corpus — so unlike the MinHash roll (directional
+      * under the bucket cap) and the containment roll (directional
+      * under df drift), this gate is an EQUALITY against the rebuild
+      * form with no carve-outs: the oracle replays one more
+      * full-corpus Lloyd round over survivors only (kgd/ksd/kcd) and
+      * assigns survivors against it. A cluster emptied by the delete
+      * vanishes from both forms (the rebuild's GROUP BY drops it; the
+      * subtract side filters cnt = 0 — centroidsFromStats). Tombstones
+      * are vec_id ≡ 7 (mod 10): ~10% of the corpus, slicing every
+      * cluster. At 100 TB the forget roll reads the tombstone vectors
+      * and a k·d-row parquet — never the standing corpus, and never
+      * retrains. */
+    QueryDef("vec_kmeans_delete", Some(chainSql + deleteRoundSql + """
+      SELECT vec_id, cluster FROM asgd ORDER BY vec_id""")) { (s, d) =>
+      VectorQueries.ivfAssign(
+          VectorQueries.ivfCorpus(s, d).filter(pmod(col("vec_id"), lit(10L)) =!= 7),
+          deletedKmeansArtifact(s, d))
+        .orderBy(col("vec_id"))
+    },
   )
 
   /** Per-(cluster, dim) sufficient statistics `(cluster, pos, sv,
@@ -272,6 +305,11 @@ object KmeansQueries {
     import graft.functions.VectorFunctions.qdot
     stats.groupBy(col("cluster"), col("pos"))
       .agg(sum(col("sv")).as("sv"), sum(col("cnt")).as("cnt"))
+      // a cluster whose last member was SUBTRACTED out (the delete
+      // roll) must vanish exactly as the rebuild form's GROUP BY drops
+      // it — and guards the floor-mean's division. No-op for the
+      // update roll, where counts only grow.
+      .filter(col("cnt") > 0)
       .withColumn("cval", expr("(sv - ((sv % cnt + cnt) % cnt)) div cnt"))
       .groupBy(col("cluster"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
@@ -301,6 +339,31 @@ object KmeansQueries {
       centroidsFromStats(statsA.unionByName(statsB)).localCheckpoint()
     }
 
+  /** FULL-corpus sufficient statistics, PERSISTED once per (JVM, dir)
+    * — the standing artifact the delete roll subtracts from (the
+    * production shape: the stats parquet is maintained across rolls;
+    * the corpus is never re-read to forget). */
+  private[graft] def kmeansStatsFullDir(s: SparkSession, d: String): String =
+    graft.Staging.onceDir(s, "km16_statsf", d) { p =>
+      statsOf(VectorQueries.ivfCorpus(s, d), kmeansArtifact(s, d))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** The DELETED codebook: tombstone stats (one O(tombstones) pass
+    * against the frozen codebook) SUBTRACTED from the re-read standing
+    * artifact by negating (sv, cnt) into the same additive merge —
+    * shared by the judged serve and KmeansSpec's
+    * subtract-equals-rebuild gate. */
+  private[graft] def deletedKmeansArtifact(s: SparkSession, d: String): DataFrame =
+    graft.Staging.frame(s, "km16_del", d) {
+      val full = s.read.parquet(kmeansStatsFullDir(s, d))
+      val tomb = statsOf(VectorQueries.ivfCorpus(s, d)
+          .filter(pmod(col("vec_id"), lit(10L)) === 7), kmeansArtifact(s, d))
+        .select(col("cluster"), col("pos"),
+          negate(col("sv")).as("sv"), negate(col("cnt")).as("cnt"))
+      centroidsFromStats(full.unionByName(tomb)).localCheckpoint()
+    }
+
   /** Oracle CTEs of the REBUILD form: one more full-corpus Lloyd round
     * from the trained `c` (the kg/ks/kc template of
     * VectorQueries.lloydSql, instantiated at round 3), then assignment
@@ -323,6 +386,30 @@ object KmeansQueries {
                   CAST(list_sum(list_transform(list_zip(a.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
                     / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.c_id) AS rn
                 FROM n a, kc3 c) WHERE rn = 1)"""
+
+  /** Oracle CTEs of the delete roll's REBUILD form: the survivor slice
+    * `nd`, one full Lloyd round over it from the trained `c`
+    * (kgd/ksd/kcd — the kg/ks/kc template over survivors only), then
+    * survivor assignment against the deleted codebook `kcd`. */
+  private def deleteRoundSql: String = """,
+      nd AS (SELECT * FROM n WHERE vec_id % 10 <> 7),
+      kgd AS (SELECT vec_id, c_id AS cluster FROM (
+                SELECT n.vec_id, c.c_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                  CAST(list_sum(list_transform(list_zip(n.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
+                    / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.c_id) AS rn
+                FROM nd n, c) WHERE rn = 1),
+      ksd AS (SELECT g.cluster, t.i AS pos, sum(n.q[t.i + 1]) AS sv, count(*) AS cnt
+              FROM kgd g JOIN nd n ON n.vec_id = g.vec_id CROSS JOIN range(0, 64) AS t(i)
+              GROUP BY 1, 2),
+      kcd AS (SELECT c_id, cq, list_sum(list_transform(list_zip(cq, cq), s -> s[1] * s[2])) AS cn2
+              FROM (SELECT cluster AS c_id,
+                      list(CAST((sv - ((sv % cnt + cnt) % cnt)) / cnt AS BIGINT) ORDER BY pos) AS cq
+                    FROM ksd GROUP BY 1)),
+      asgd AS (SELECT vec_id, cluster FROM (
+                SELECT a.vec_id, c.c_id AS cluster, row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  CAST(list_sum(list_transform(list_zip(a.q, c.cq), s -> s[1] * s[2])) AS DOUBLE)
+                    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.c_id) AS rn
+                FROM nd a, kcd c) WHERE rn = 1)"""
 
   /** The full-corpus nearest-centroid assignment `(vec_id, cluster)`
     * off the shared codebook — built once per (JVM, dir) and shared by

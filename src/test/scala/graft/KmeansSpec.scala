@@ -33,9 +33,10 @@ class KmeansSpec extends AnyFunSuite {
   private def dot(a: Array[Long], b: Array[Long]): Long =
     a.indices.map(i => a(i) * b(i)).sum
 
-  private def assignDirect(cents: Seq[(Long, Array[Long])]): Map[Long, Long] = {
+  private def assignDirect(cents: Seq[(Long, Array[Long])],
+      over: Array[(Long, Array[Long])] = corpus): Map[Long, Long] = {
     val withN2 = cents.map { case (id, cq) => (id, cq, math.sqrt(dot(cq, cq).toDouble)) }
-    corpus.map { case (vid, q) =>
+    over.map { case (vid, q) =>
       val qn = math.sqrt(dot(q, q).toDouble)
       // max cosine, ties -> lowest c_id: pick via strict > on the
       // double, scanning in ascending c_id order
@@ -48,12 +49,13 @@ class KmeansSpec extends AnyFunSuite {
     }.toMap
   }
 
-  /** One full-corpus Lloyd update round from `cents` — assignment +
+  /** One Lloyd update round from `cents` over `over` — assignment +
     * per-dimension integer floor-mean (the engines' exact formula on
     * possibly-negative sums). */
-  private def oneRound(cents: Seq[(Long, Array[Long])]): Seq[(Long, Array[Long])] = {
-    val asg = assignDirect(cents)
-    corpus.groupBy { case (vid, _) => asg(vid) }.toSeq.sortBy(_._1).map {
+  private def oneRound(cents: Seq[(Long, Array[Long])],
+      over: Array[(Long, Array[Long])] = corpus): Seq[(Long, Array[Long])] = {
+    val asg = assignDirect(cents, over)
+    over.groupBy { case (vid, _) => asg(vid) }.toSeq.sortBy(_._1).map {
       case (cid, members) =>
         val d = members.head._2.length
         val cq = Array.tabulate(d) { i =>
@@ -120,5 +122,40 @@ class KmeansSpec extends AnyFunSuite {
     val evens = corpus.count(_._1 % 2 == 0).toLong
     assert(statCnt === evens)
     assert(evens < corpus.length, "fixture has no odd vec_ids - merge vacuous")
+  }
+
+  test("vec_kmeans_delete: subtracted stats == survivor rebuild round, bit-for-bit; tombstones load-bearing") {
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    val (cents, _) = direct()
+    val survivors = corpus.filter(_._1 % 10 != 7)
+    assert(survivors.length < corpus.length, "fixture has no vec_id % 10 == 7 - delete vacuous")
+    // the rebuild form: one more direct Lloyd round over SURVIVORS
+    // only, then survivor assignment — what the subtraction path must
+    // reproduce exactly (no directional carve-out: sufficient
+    // statistics subtract exactly)
+    val centsD = oneRound(cents, survivors).sortBy(_._1)
+    val wantAsg = assignDirect(centsD, survivors)
+    val engineAsg = SparkEntry.queries("vec_kmeans_delete")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engineAsg === wantAsg)
+    assert(engineAsg.keySet.forall(_ % 10 != 7), "a tombstoned vector was served")
+    // the deleted CODEBOOK itself equals the survivor rebuild round
+    val del = graft.queries.KmeansQueries.deletedKmeansArtifact(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    assert(del.map(_._1).toSeq === centsD.map(_._1))
+    del.zip(centsD).foreach { case ((ei, ecq), (di, dcq)) =>
+      assert(ei === di); assert(ecq.sameElements(dcq), s"centroid $ei diverges") }
+    // load-bearing: the subtraction moved at least one centroid
+    // coordinate vs the no-delete round-3 codebook (a gate that would
+    // also pass on the unsubtracted stats is vacuous)
+    val cents3 = oneRound(cents).sortBy(_._1)
+    assert(!del.zip(cents3).forall { case ((_, ecq), (_, fcq)) => ecq.sameElements(fcq) },
+      "delete left every centroid unchanged - tombstones not load-bearing")
+    // the persisted standing artifact is genuinely FULL-corpus (the
+    // subtraction, not a pre-filtered build, is what does the work)
+    val statCnt = spark.read.parquet(
+        graft.queries.KmeansQueries.kmeansStatsFullDir(spark, sf))
+      .filter(col("pos") === 0).agg(ssum(col("cnt"))).head.getLong(0)
+    assert(statCnt === corpus.length.toLong)
   }
 }

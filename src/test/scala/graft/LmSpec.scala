@@ -61,4 +61,66 @@ class LmSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(stream === batch)
   }
+
+  private def modelMap(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+    df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("doc_lm_update: merged counts == full-standing retrain, bit-for-bit; day-2 fold load-bearing") {
+    import org.apache.spark.sql.functions.{size, sum => ssum}
+    val rebuilt = modelMap(spark.read.parquet(
+      graft.queries.LmQueries.sharedLmModel(spark, sf)))
+    val updated = modelMap(graft.queries.LmQueries.updatedLmModel(spark, sf))
+    assert(updated === rebuilt)
+    // the persisted artifact carries ONLY day-1 (even doc_id) counts:
+    // the day-2 fold completes the model, so the gate cannot pass on
+    // a stale full-standing artifact
+    val root = graft.queries.LmQueries.sharedLmStats(spark, sf, day1Only = true)
+    val c1Tot = spark.read.parquet(s"$root/uni").agg(ssum(col("c1"))).head.getLong(0)
+    def tokTotal(where: String): Long =
+      graft.queries.SharedText.tokenized(spark, sf).filter(where)
+        .agg(ssum(size(col("w")))).head.getLong(0)
+    assert(c1Tot === tokTotal("doc_id % 5 <> 0 AND doc_id % 2 = 0"))
+    assert(c1Tot < tokTotal("doc_id % 5 <> 0"), "fixture has no odd standing docs - merge vacuous")
+  }
+
+  test("doc_lm_forget: subtracted counts == survivor retrain, bit-for-bit; tombstones load-bearing") {
+    import graft.queries.LmQueries.{ForgetMod, ForgetRes}
+    // direct third implementation: survivor counts in plain Scala
+    val surv = graft.queries.SharedText.tokenized(spark, sf)
+      .filter(s"doc_id % 5 <> 0 AND doc_id % $ForgetMod <> $ForgetRes")
+      .select("w").collect().map(_.getSeq[String](0))
+    val c1 = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val c2 = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    surv.foreach { w =>
+      w.foreach(t => c1(t) += 1)
+      w.sliding(2).filter(_.size == 2).foreach(p => c2((p(0), p(1))) += 1)
+    }
+    val want = c2.map { case ((w1, w2), n) => (w1, w2) -> (n * 1000000L) / c1(w1) }.toMap
+    val got = modelMap(graft.queries.LmQueries.forgottenLmModel(spark, sf))
+    assert(got === want)
+    // load-bearing: forgetting moved the model (and not vacuously —
+    // the tombstone slice is non-empty)
+    val full = modelMap(spark.read.parquet(
+      graft.queries.LmQueries.sharedLmModel(spark, sf)))
+    assert(got !== full, "forget left the model unchanged - tombstones not load-bearing")
+    val nTomb = graft.queries.SharedText.tokenized(spark, sf)
+      .filter(s"doc_id % 5 <> 0 AND doc_id % $ForgetMod = $ForgetRes").count()
+    assert(nTomb > 0, "fixture has no tombstone docs - forget vacuous")
+  }
+
+  test("stream_lm_forget: online subtraction reproduces the batch forget row-for-row") {
+    import graft.queries.LmQueries.{ForgetMod, ForgetRes}
+    val batch = SparkEntry.queries("doc_lm_forget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val stream = SparkEntry.queries("stream_lm_forget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stream === batch)
+    // the micro-batch split is load-bearing: BOTH halves of the
+    // tombstone slice are non-empty, so the final version genuinely
+    // composed two subtractions
+    def half(res: Long): Long = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(s"doc_id % 5 <> 0 AND doc_id % ${2 * ForgetMod} = $res").count()
+    assert(half(ForgetRes) > 0 && half(ForgetMod + ForgetRes) > 0,
+      "a tombstone micro-batch is empty - the composition claim is vacuous")
+  }
 }

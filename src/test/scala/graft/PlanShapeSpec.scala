@@ -296,13 +296,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("retrieval_bm25_persisted: probe terms prune the postings scan") {
+    // the inverted index's reason to exist: serve cost is O(matched
+    // postings) because the In(term, …) predicate reaches the
+    // term-sorted artifact scan, not a post-scan join filter
+    val p = plan("retrieval_bm25_persisted")
+    assert(p.contains("PushedFilters: [In(term"),
+      "probe-term In() predicate not pushed to the postings scan: " + p.take(2000))
+  }
+
   test("index delete rolls: tombstones anti-join by BROADCAST, never a shuffle") {
     // the delete rolls' scale claim (round 16): removing a GDPR-sized
     // tombstone set from a persisted index costs one broadcast
     // anti-join on the index scan — the index side must never
     // shuffle-exchange on the tombstone key
     for (name <- Seq("dedup_minhash_index_delete", "sim_ann_ivfpq_delete",
-        "dedup_containment_index_delete")) {
+        "dedup_containment_index_delete", "retrieval_bm25_index_delete")) {
       val p = plan(name)
       assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
         s"$name: tombstone anti-join is not a broadcast hash join: " + p.take(2000))

@@ -184,6 +184,26 @@ class QueriesSpec extends AnyFunSuite {
       "tombstones changed nothing - the containment delete gate is vacuous at this sf")
   }
 
+  test("bm25 index lifecycle: persisted == direct, append == rebuild, delete exact and load-bearing") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val direct = rows("text_bm25_topk")
+    // serving from the re-read artifact, and from the day-1+day-2
+    // merge, must both reproduce corpus-direct scoring to the integer
+    assert(rows("retrieval_bm25_persisted") === direct)
+    assert(rows("retrieval_bm25_index_append") === direct)
+    val del = rows("retrieval_bm25_index_delete")
+    assert(del.nonEmpty && del.forall { case (_, doc, _, _) => doc % 20 != 11 },
+      "a tombstoned doc was served")
+    // the statistics subtraction is load-bearing: idf/length-normalizer
+    // re-derive from the decremented df/n_docs/total_len, so at least
+    // one SURVIVING doc's score must move (not merely tombstoned rows
+    // vanishing from the ranking)
+    val directScore = direct.map { case (q, doc, sc, _) => (q, doc) -> sc }.toMap
+    assert(del.exists { case (q, doc, sc, _) => directScore.get((q, doc)).exists(_ != sc) },
+      "no surviving score moved - the stats subtraction is vacuous at this sf")
+  }
+
   test("sim_ann_ivfpq_delete: tombstones load-bearing, no deleted vector served") {
     import org.apache.spark.sql.Row
     val full = SparkEntry.queries("sim_ann_ivfpq")(spark, sf).collect()

@@ -102,7 +102,14 @@ object ScaleRehearsal {
     // scan; append/delete add the merge/anti-join on top)
     "vec_kmeans_delete", "doc_lm_update", "doc_lm_forget",
     "retrieval_bm25_persisted", "retrieval_bm25_index_append",
-    "retrieval_bm25_index_delete")
+    "retrieval_bm25_index_delete",
+    // round 16: the PCA moment-form rolls (centered Gram re-expanded
+    // exactly from merged uncentered moments; medians time the
+    // O(day/tombstones) moment pass + the d²-row solve, with the
+    // standing moment build in the shared column) and the online LM
+    // forget (a full stream run per rep: v0 artifact write + two
+    // subtract rolls + the held-out serve — the honest nightly cost)
+    "vec_pca_update", "vec_pca_delete", "stream_lm_forget")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

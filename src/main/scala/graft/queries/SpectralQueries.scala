@@ -124,40 +124,184 @@ object SpectralQueries {
         .groupBy(col("t.i").as("i"), col("t.j").as("j"))
         .agg(sum(col("t.p")).as("c"))
         .localCheckpoint()
-      // margin check on the computed cells (|c| ≤ 3.2e18 at the 800k
-      // ×100 bound): NOT an overflow guard — a wrapped sum would pass
-      // it — the input-derived require above is the sound audit; this
-      // read sizes the rescale and keeps a loud secondary tripwire
-      val cmax = cov.agg(max(abs(col("c"))).as("cm")).head.getLong(0)
-      require(cmax < Long.MaxValue / 2,
-        s"Gram cells at int64 risk: $cmax — requantize (lower Q)")
-      val scale = cmax / Q + 1
-      val cRed = cov.select(col("i"), col("j"), tdiv(col("c"), lit(scale)).as("c"))
-      val cFull = cRed.union(
-        cRed.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("c")))
+      solveFromCov(means, cov)
+    }
+
+  /** The spectral solve tail shared by the trained artifact and the
+    * maintenance rolls: rescale the upper-triangle Gram, mirror it,
+    * run the fixed-point power iteration, join the means — everything
+    * downstream of the Gram is a deterministic integer function of
+    * (means, cov), which is what makes the moment-form maintenance
+    * gates exact equalities. */
+  private def solveFromCov(means: DataFrame, cov: DataFrame): DataFrame = {
+    // margin check on the computed cells (|c| ≤ 3.2e18 at the 800k
+    // ×100 bound): NOT an overflow guard — a wrapped sum would pass
+    // it — the input-derived require above is the sound audit; this
+    // read sizes the rescale and keeps a loud secondary tripwire
+    val cmax = cov.agg(max(abs(col("c"))).as("cm")).head.getLong(0)
+    require(cmax < Long.MaxValue / 2,
+      s"Gram cells at int64 risk: $cmax — requantize (lower Q)")
+    val scale = cmax / Q + 1
+    val cRed = cov.select(col("i"), col("j"), tdiv(col("c"), lit(scale)).as("c"))
+    val cFull = cRed.union(
+      cRed.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .localCheckpoint()
+    var v = cFull.select(col("i").as("j")).distinct()
+      .withColumn("v", lit(Q)).localCheckpoint()
+    (1 to Iters).foreach { _ =>
+      val u = cFull.join(broadcast(v), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("c") * col("v")).as("u"))
+      val den = u.agg((tdiv(max(abs(col("u"))), lit(Q)) + 1).as("dn"))
+      v = u.crossJoin(broadcast(den))
+        .select(col("i").as("j"), tdiv(col("u"), col("dn")).as("v"))
         .localCheckpoint()
-      var v = cFull.select(col("i").as("j")).distinct()
-        .withColumn("v", lit(Q)).localCheckpoint()
-      (1 to Iters).foreach { _ =>
-        val u = cFull.join(broadcast(v), Seq("j"))
-          .groupBy(col("i")).agg(sum(col("c") * col("v")).as("u"))
-        val den = u.agg((tdiv(max(abs(col("u"))), lit(Q)) + 1).as("dn"))
-        v = u.crossJoin(broadcast(den))
-          .select(col("i").as("j"), tdiv(col("u"), col("dn")).as("v"))
-          .localCheckpoint()
-      }
-      means.join(v.withColumnRenamed("j", "i"), Seq("i"))
-        .select(col("i").cast("long").as("dim"), col("m").as("mean_q"),
-          col("v").as("v_ppm"))
-        .localCheckpoint()
+    }
+    means.join(v.withColumnRenamed("j", "i"), Seq("i"))
+      .select(col("i").cast("long").as("dim"), col("m").as("mean_q"),
+        col("v").as("v_ppm"))
+      .localCheckpoint()
+  }
+
+  // ---- moment-form maintenance (round 16): the centered Gram is an
+  // exact integer function of the UNcentered moments (n, S1, S2) —
+  // Σ(x_i−m_i)(x_j−m_j) = S2_ij − m_i·S1_j − m_j·S1_i + n·m_i·m_j with
+  // m = S1 div n — and the moments are a GROUP under addition, so the
+  // PCA artifact gets update/delete rolls whose gates are equalities
+  // against the rebuild chain (the k-means/LM/BM25 algebra, lifted to
+  // matrix statistics).
+
+  /** Quantized slice `(vec_id, qx)` — the artifact's own encoding. */
+  private def quantized(s: SparkSession, d: String, where: Column): DataFrame =
+    Tables.embeddings(s, d).filter(where).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
+        .as("qx"))
+
+  /** Per-dim first moments + measured max|x| of a slice. */
+  private def dimMoments(q: DataFrame): DataFrame =
+    q.select(posexplode(col("qx")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("s1"), max(abs(col("x"))).as("ma"))
+
+  /** Upper-triangle UNcentered second moments of a slice. */
+  private def upperMoments(q: DataFrame): DataFrame =
+    q.select(explode(expr(
+        "flatten(transform(sequence(0, size(qx) - 1), i -> " +
+          "transform(sequence(i, size(qx) - 1), j -> " +
+          "struct(i AS i, j AS j, qx[i] * qx[j] AS p))))")).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("s2"))
+
+  /** PERSISTED moment artifact of one slice (`full` — the delete
+    * roll's standing base — or `day1`, even vec_ids, the update
+    * roll's): s1/(i, s1, ma), s2/(i, j, s2), cnt/(n). The input-derived
+    * int64 audit runs BEFORE the product aggregate (uncentered bound
+    * n·max|x|² — wider headroom than the centered path's n·(2max|x|)²;
+    * the derived-Gram bound is re-audited at merge time). */
+  private[graft] def pcaMomentsDir(s: SparkSession, d: String, slice: String): String =
+    Staging.onceDir(s, s"pca_mom_$slice", d) { p =>
+      val q = (slice match {
+        case "full" => quantized(s, d, lit(true))
+        case "day1" => quantized(s, d, pmod(col("vec_id"), lit(2L)) === 0)
+        case other  => throw new IllegalArgumentException(s"unknown moment slice $other")
+      }).localCheckpoint()
+      val s1 = dimMoments(q).localCheckpoint()
+      val n = q.count()
+      val ma = maxAbsOf(s1)
+      require(n <= Long.MaxValue / ma / ma,
+        s"uncentered Gram sums could exceed int64: $n vectors x max|x|^2 at " +
+          s"measured max|x|=$ma - requantize (lower Q) or shard the corpus")
+      s1.write.mode("overwrite").parquet(s"$p/s1")
+      upperMoments(q).write.mode("overwrite").parquet(s"$p/s2")
+      s.range(1).select(lit(n).as("n")).write.mode("overwrite").parquet(s"$p/cnt")
+    }
+
+  /** Measured max|x| off a per-dim moment frame (1L floor on empty). */
+  private def maxAbsOf(s1: DataFrame): Long = {
+    val maRow = s1.agg(max(col("ma"))).head
+    if (maRow.isNullAt(0)) 1L else math.max(1L, maRow.getLong(0))
+  }
+
+  /** Finish the artifact from (merged) moments: re-derive the
+    * truncated means, expand the centered Gram exactly, and run the
+    * shared solve — bit-identical to training on the merged corpus
+    * because every step is the same deterministic integer function. */
+  private def artifactFromMoments(s1: DataFrame, s2: DataFrame, n: Long, ma: Long): DataFrame = {
+    require(n > 0, "maintenance roll left an empty corpus")
+    // the derived centered cells obey the trained path's bound
+    // n·(2·max|x|)², and each expansion term is ≤ n·max|x|² — divide
+    // sequentially exactly as the trained audit does
+    require(n <= Long.MaxValue / 4L / ma / ma,
+      s"Gram sums could exceed int64: $n vectors x (2*max|x|)^2 at " +
+        s"measured max|x|=$ma - requantize (lower Q) or shard the corpus")
+    val dims = s1.select(col("i"), col("s1"), tdiv(col("s1"), lit(n)).as("m"))
+    val means = dims.select(col("i"), col("m"))
+    val cov = s2
+      .join(broadcast(dims.select(col("i"), col("s1").as("s1i"), col("m").as("mi"))), Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"), col("s1").as("s1j"), col("m").as("mj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("s2") - col("mi") * col("s1j") - col("mj") * col("s1i")
+          + lit(n) * col("mi") * col("mj")).as("c"))
+      .localCheckpoint()
+    solveFromCov(means, cov)
+  }
+
+  /** The UPDATED artifact: day-2 (odd vec_id) moments folded into the
+    * re-read day-1 parquet by plain addition, then the shared finish —
+    * gate is vec_pca_power's full-corpus oracle VERBATIM. */
+  private[graft] def updatedPcaArtifact(s: SparkSession, d: String): DataFrame =
+    Staging.frame(s, "pca_upd", d) {
+      val root = pcaMomentsDir(s, d, "day1")
+      val q2 = quantized(s, d, pmod(col("vec_id"), lit(2L)) === 1).localCheckpoint()
+      val s1B = dimMoments(q2).localCheckpoint()
+      val s1A = s.read.parquet(s"$root/s1")
+      val n = s.read.parquet(s"$root/cnt").head.getLong(0) + q2.count()
+      val ma = math.max(maxAbsOf(s1A), maxAbsOf(s1B))
+      require(n <= Long.MaxValue / ma / ma,
+        s"uncentered Gram sums could exceed int64 at merge: $n x max|x|=$ma")
+      val s1 = s1A.select(col("i"), col("s1")).unionByName(s1B.select(col("i"), col("s1")))
+        .groupBy("i").agg(sum("s1").as("s1"))
+      val s2 = s.read.parquet(s"$root/s2").unionByName(upperMoments(q2))
+        .groupBy("i", "j").agg(sum("s2").as("s2"))
+      artifactFromMoments(s1, s2, n, ma)
+    }
+
+  /** Tombstone residue of the PCA forget roll: vec_id ≡ 3 (mod 10). */
+  private[graft] val PcaTombMod = 10L
+  private[graft] val PcaTombRes = 3L
+
+  /** The DELETED artifact: tombstone moments (one O(tombstones) pass)
+    * SUBTRACTED from the re-read full parquet — gate is the rebuild
+    * chain over survivors, an exact equality (survivor max|x| is not
+    * subtractable, so the audit soundly bounds it by the standing
+    * artifact's measured max). */
+  private[graft] def deletedPcaArtifact(s: SparkSession, d: String): DataFrame =
+    Staging.frame(s, "pca_del", d) {
+      val root = pcaMomentsDir(s, d, "full")
+      val qT = quantized(s, d,
+        pmod(col("vec_id"), lit(PcaTombMod)) === PcaTombRes).localCheckpoint()
+      val s1T = dimMoments(qT)
+      val s1F = s.read.parquet(s"$root/s1")
+      val n = s.read.parquet(s"$root/cnt").head.getLong(0) - qT.count()
+      val ma = maxAbsOf(s1F)
+      val s1 = s1F.select(col("i"), col("s1"))
+        .unionByName(s1T.select(col("i"), negate(col("s1")).as("s1")))
+        .groupBy("i").agg(sum("s1").as("s1"))
+      val s2 = s.read.parquet(s"$root/s2")
+        .unionByName(upperMoments(qT).select(col("i"), col("j"), negate(col("s2")).as("s2")))
+        .groupBy("i", "j").agg(sum("s2").as("s2"))
+      artifactFromMoments(s1, s2, n, ma)
     }
 
   // ---- oracle: the identical chain in DuckDB (`//` truncates toward
   // zero exactly like Spark's `div`; iterations unrolled from the same
   // constants — cannot drift)
 
-  private def chainSql: String = {
+  private def chainSql: String = chainSqlWhere("TRUE")
+
+  /** The chain with a parameterized corpus slice — the delete roll's
+    * rebuild oracle trains on survivors only; everything downstream of
+    * `e` is shared verbatim. */
+  private def chainSqlWhere(where: String): String = {
     def iter(k: Int): String = {
       val pv = if (k == 1) "v0" else s"v${k - 1}"
       s"""
@@ -166,7 +310,7 @@ d$k AS (SELECT (max(abs(u)) // $Q) + 1 AS dn FROM u$k),
 v$k AS (SELECT i AS j, CAST(u // dn AS BIGINT) AS v FROM u$k, d$k)"""
     }
     raw"""
-WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS qx FROM embeddings),
+WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS qx FROM embeddings WHERE $where),
 nn AS (SELECT count(*) AS n FROM e),
 exp AS (SELECT vec_id, CAST(unnest(range(0, len(qx))) AS INT) AS i, qx FROM e),
 vals AS (SELECT vec_id, i, qx[i + 1] AS x FROM exp),
@@ -211,6 +355,35 @@ v0 AS (SELECT DISTINCT i AS j, CAST($Q AS BIGINT) AS v FROM cf),${(1 to Iters).m
         .groupBy(col("vec_id"))
         .agg(sum((col("x") - col("mean_q")) * col("v_ppm")).as("proj"))
         .orderBy(col("vec_id"))
+    },
+
+    /** Artifact MAINTENANCE — PCA joins the maintained roster in
+      * MOMENT form (the LM's count-form move, lifted to matrix
+      * statistics): day-1 (even vec_id) uncentered moments persist
+      * once; day-2 folds in by plain integer addition, the centered
+      * Gram re-expands exactly from the merged (n, S1, S2), and the
+      * shared solve runs — BIT-identical to training on the full
+      * corpus, so the gate is vec_pca_power's oracle VERBATIM. The
+      * nightly roll reads the day's vectors and a d + d(d+1)/2-row
+      * parquet — never the standing corpus. */
+    QueryDef("vec_pca_update", Some(chainSql + s"""
+      SELECT CAST(mm.i AS BIGINT) AS dim, mm.m AS mean_q, v$Iters.v AS v_ppm
+      FROM mm JOIN v$Iters ON v$Iters.j = mm.i ORDER BY dim""")) { (s, d) =>
+      updatedPcaArtifact(s, d).orderBy(col("dim"))
+    },
+
+    /** Artifact FORGETTING — tombstoned vectors (vec_id ≡ 3 mod 10)
+      * leave by moment SUBTRACTION (one O(tombstones) pass), the means
+      * and centered Gram re-derive exactly, and the solve reruns: the
+      * principal direction provably retains NOTHING of the forgotten
+      * vectors, because subtract == retrain bit-for-bit — the oracle
+      * replays the rebuild chain over survivors and the gate is an
+      * EQUALITY (the sixth delete mechanism, the third exact one). */
+    QueryDef("vec_pca_delete", Some(
+      chainSqlWhere(s"vec_id % $PcaTombMod <> $PcaTombRes") + s"""
+      SELECT CAST(mm.i AS BIGINT) AS dim, mm.m AS mean_q, v$Iters.v AS v_ppm
+      FROM mm JOIN v$Iters ON v$Iters.j = mm.i ORDER BY dim""")) { (s, d) =>
+      deletedPcaArtifact(s, d).orderBy(col("dim"))
     },
   )
 }

@@ -16,16 +16,21 @@ class SpectralSpec extends AnyFunSuite {
   private val Q = 1000000L
   private val Iters = 3
 
-  private lazy val qx: Array[Array[Long]] = {
+  private lazy val keyed: Array[(Long, Array[Long])] = {
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$sf/embeddings.parquet")
-      .select(expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"))
-      .collect().map(_.getSeq[Long](0).toArray)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
   }
+
+  private lazy val qx: Array[Array[Long]] = keyed.map(_._2)
 
   /** The engine's chain replayed directly: truncating division (Scala
     * `/` on Longs truncates toward zero, same as Spark div / DuckDB //). */
-  private def direct(): (Array[Long], Array[Long]) = {
+  private def direct(): (Array[Long], Array[Long]) = directOver(qx)
+
+  private def directOver(qx: Array[Array[Long]]): (Array[Long], Array[Long]) = {
     val n = qx.length; val d = qx.head.length
     val m = Array.tabulate(d)(i => qx.map(_(i)).sum / n)
     val z = qx.map(r => Array.tabulate(d)(i => r(i) - m(i)))
@@ -96,6 +101,44 @@ class SpectralSpec extends AnyFunSuite {
     info(f"fixture spectrum flatness: rayleigh(3 iters)/rayleigh(converged) = ${rayleigh(twin) / rayleigh(converged)}%.4f, |cos(3 iters, converged)| = ${cos(twin, converged)}%.4f")
     assert(fidelity >= 0.99,
       f"fixed-point iteration drifted from its double twin: |cos| = $fidelity%.5f")
+  }
+
+  private def engineArtifact(name: String): Array[(Int, Long, Long)] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+
+  private def assertMatches(engine: Array[(Int, Long, Long)],
+      m: Array[Long], v: Array[Long]): Unit = {
+    assert(engine.length === m.length)
+    engine.foreach { case (dim, meanQ, vPpm) =>
+      assert(meanQ === m(dim), s"dim $dim mean: engine $meanQ direct ${m(dim)}")
+      assert(vPpm === v(dim), s"dim $dim v: engine $vPpm direct ${v(dim)}")
+    }
+  }
+
+  test("vec_pca_update: merged moments == full retrain, bit-for-bit; day-2 fold load-bearing") {
+    val (m, v) = direct() // the rebuild form IS the full-corpus chain
+    assertMatches(engineArtifact("vec_pca_update"), m, v)
+    // the persisted moment artifact covers ONLY day-1 (even vec_id):
+    // the day-2 fold completes the solve, so the gate cannot pass on
+    // a stale full-corpus artifact
+    val n1 = spark.read.parquet(
+      graft.queries.SpectralQueries.pcaMomentsDir(spark, sf, "day1") + "/cnt")
+      .head.getLong(0)
+    assert(n1 === keyed.count(_._1 % 2 == 0).toLong)
+    assert(n1 < keyed.length, "fixture has no odd vec_ids - merge vacuous")
+  }
+
+  test("vec_pca_delete: subtracted moments == survivor retrain, bit-for-bit; tombstones load-bearing") {
+    import graft.queries.SpectralQueries.{PcaTombMod, PcaTombRes}
+    val surv = keyed.filter { case (id, _) => id % PcaTombMod != PcaTombRes }.map(_._2)
+    assert(surv.length < keyed.length, "fixture has no tombstone vectors - delete vacuous")
+    val (mS, vS) = directOver(surv)
+    assertMatches(engineArtifact("vec_pca_delete"), mS, vS)
+    // load-bearing: the subtraction moved the artifact vs the full train
+    val (mF, vF) = direct()
+    assert(!(mS.sameElements(mF) && vS.sameElements(vF)),
+      "delete left the artifact unchanged - tombstones not load-bearing")
   }
 
   test("vec_pca_project is the exact integer projection onto the trained direction") {

@@ -109,7 +109,15 @@ object ScaleRehearsal {
     // standing moment build in the shared column) and the online LM
     // forget (a full stream run per rep: v0 artifact write + two
     // subtract rolls + the held-out serve — the honest nightly cost)
-    "vec_pca_update", "vec_pca_delete", "stream_lm_forget")
+    "vec_pca_update", "vec_pca_delete", "stream_lm_forget",
+    // round 16: the containment index's EXACT append roll — day-2
+    // shingle pass + vocab-sized df merge + the re-pruned union serve
+    // (day-1 artifact build in the shared column; the median times the
+    // roll + probe, both sides ×100)
+    "dedup_containment_index_append",
+    // round 16: the online BM25 append — a full stream run per rep
+    // (v0 stats write + two batch-keyed posting rolls + the serve)
+    "stream_bm25_index_append")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

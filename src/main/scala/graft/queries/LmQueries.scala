@@ -38,16 +38,13 @@ object LmQueries {
     * the artifact path. */
   private[graft] def sharedLmModel(s: SparkSession, d: String): String =
     graft.Staging.onceDir(s, "lm_model", d) { p =>
-      val t = SharedText.tokenized(s, d)
-        .filter(pmod(col("doc_id"), lit(5L)) =!= 0)
-        .select(col("doc_id"), col("w"))
-      val c1 = t.select(explode(col("w")).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("c1"))
-      val c2 = bigrams(t).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      c2.join(c1, Seq("w1"))
-        .withColumn("p_ppm", expr("(c2 * 1000000) div c1"))
-        .select(col("w1"), col("w2"), col("p_ppm"))
-        .write.mode("overwrite").parquet(p)
+      // ONE arithmetic path with the maintenance rolls (lmCounts →
+      // modelFromCounts): LmSpec gates updatedLmModel == this model
+      // bit-for-bit, so the trained form must be literally the same
+      // code (round-16 review; the merge re-aggregation and zero
+      // filters are no-ops on fresh counts)
+      val (uni, bi) = lmCounts(standing(s, d))
+      modelFromCounts(uni, bi).write.mode("overwrite").parquet(p)
     }
 
   /** Mergeable LM sufficient statistics of one corpus slice — unigram

@@ -88,11 +88,13 @@ object RetrievalQueries {
     * hybrid's sparse leg. */
   private def bm25TopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // ONE derivation path with the index lifecycle (indexComponents):
+    // the persisted/append/delete gates are bit-exact equalities
+    // against this corpus-direct plan, so the statistics must come
+    // from literally the same code. The full-vocab df is unused
+    // lineage here (never evaluated); the direct path restricts df to
+    // query terms BEFORE the aggregate instead.
+    val (tf, dl, _, stats) = indexComponents(Tables.documents(s, d))
     val q = bmQueries.toDF("query_id", "term")
     val dfq = tf.join(broadcast(q.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -133,11 +135,18 @@ object RetrievalQueries {
     * MinHash/containment indexes, this family's whole lifecycle gates
     * as equalities). */
   private def indexComponents(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = tfOf(docs)
     val (dl, df, stats) = componentsFromTf(tf)
     (tf, dl, df, stats)
   }
+
+  /** The one tokenize-and-count derivation of a postings frame —
+    * shared by the corpus-direct path, the persisted builds, and the
+    * roll slices (the gates are bit-exact equalities across them, so
+    * there must be exactly one copy of this expression). */
+  private def tfOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** The derived components off a postings frame — dl is the per-doc
     * tf sum (= token count), df the per-term posting count, stats the
@@ -155,9 +164,7 @@ object RetrievalQueries {
     * docs); dl/df/stats derive from it without re-reading the docs. */
   private def slicedTf(s: SparkSession, d: String, key: String, where: Column): DataFrame =
     graft.Staging.frame(s, key, d) {
-      val tok = Tables.documents(s, d).filter(where)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).localCheckpoint()
+      tfOf(Tables.documents(s, d).filter(where)).localCheckpoint()
     }
 
   /** Index artifact root for a slice, built and PERSISTED once per
@@ -261,6 +268,75 @@ object RetrievalQueries {
       val statsM = stats1.unionByName(stats2)
         .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
       serveFromComponents(s, tf1.unionByName(tf2), dl1.unionByName(dl2), dfM, statsM)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    /** STREAMING index append — the ONLINE half of the append roll
+      * (stream_lm_forget's artifact-mutation shape, with addition in
+      * place of subtraction, and the posting-file layout a real
+      * inverted index rolls with): day-2 documents arrive as a real
+      * file-source stream in two micro-batches; each foreachBatch
+      * writes its batch's postings to a BATCH-KEYED dir (tf_b<id> —
+      * overwrite-mode, so replays are idempotent and the standing
+      * postings are never rewritten, the "append posting FILES" story
+      * made literal) and rolls the vocab-sized df + one-row stats
+      * forward as versions (v_{id+1} = v_id + counts(batch)). Count
+      * addition is associative and commutative, so the final index
+      * provably cannot depend on the micro-batching — and the gate
+      * proves it: the serve off day-1 ∪ all batch dirs with the final
+      * version's df/stats shares `text_bm25_topk`'s full-corpus
+      * oracle VERBATIM. */
+    QueryDef("stream_bm25_index_append", Some(bm25ChainSql + """
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(score_ppm AS BIGINT) AS score_ppm, CAST(rnk AS BIGINT) AS rnk
+      FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""")) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      val day1 = sharedBm25Index(s, d, "day1")
+      val root = graft.Staging.dir("bm25app", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      // v0: the day-1 statistics are this roll's base version
+      s.read.parquet(s"$day1/df").write.parquet(s"$root/v0/df")
+      s.read.parquet(s"$day1/stats").write.parquet(s"$root/v0/stats")
+      // the arrival stream: day-2 (odd doc_id) docs, two files → two
+      // micro-batches under maxFilesPerTrigger=1
+      val arrivals = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(2L)) === 1)
+        .select(col("doc_id"), col("text"))
+      arrivals.filter(pmod(col("doc_id"), lit(4L)) === 1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+      arrivals.filter(pmod(col("doc_id"), lit(4L)) === 3)
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      val schema = s.read.parquet(s"$root/in").schema
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+              val ss = b.sparkSession
+              val tfB = tfOf(b)
+              tfB.write.mode("overwrite").parquet(s"$root/tf_b$id")
+              val (dlB, dfB, statsB) = componentsFromTf(tfB)
+              dlB.write.mode("overwrite").parquet(s"$root/dl_b$id")
+              ss.read.parquet(s"$root/v$id/df").unionByName(dfB)
+                .groupBy("term").agg(sum("df").as("df"))
+                .write.mode("overwrite").parquet(s"$root/v${id + 1}/df")
+              ss.read.parquet(s"$root/v$id/stats").unionByName(statsB)
+                .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+                .write.mode("overwrite").parquet(s"$root/v${id + 1}/stats")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_bm25_index_append")
+      }
+      val tfAll = s.read.parquet(s"$day1/tf").unionByName(s.read.parquet(s"$root/tf_b*"))
+      val dlAll = s.read.parquet(s"$day1/dl").unionByName(s.read.parquet(s"$root/dl_b*"))
+      serveFromComponents(s, tfAll, dlAll,
+        s.read.parquet(s"$root/v2/df"), s.read.parquet(s"$root/v2/stats"))
         .orderBy(col("query_id"), col("rnk"))
     },
 

@@ -68,10 +68,7 @@ object SpectralQueries {
     * (JVM, dir); both queries serve from it (train-once lifecycle). */
   private[graft] def pcaArtifact(s: SparkSession, d: String): DataFrame =
     Staging.frame(s, "pca_v", d) {
-      val q = Tables.embeddings(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
-          .as("qx"))
-        .localCheckpoint()
+      val q = quantized(s, d, lit(true)).localCheckpoint()
       val vals = q.select(col("vec_id"), posexplode(col("qx")).as(Seq("i", "x")))
       val nRows = q.count() // plan-time scalar for the mean divisor
       // INPUT-derived int64 audit (round-13 ADVICE; bound made
@@ -92,13 +89,11 @@ object SpectralQueries {
       // computes stay in-bounds whenever the require passes:
       // nRows·max|x| ≤ int64/(4·max|x|) < int64; on failure the
       // require aborts before any downstream use.)
-      val dimStats = vals.groupBy(col("i"))
-        .agg(sum(col("x")).as("sx"), max(abs(col("x"))).as("ma"))
-        .localCheckpoint()
-      // empty corpus → max aggregates to NULL; treat as the 1L floor
-      // (the artifact is then empty downstream, as before)
-      val maRow = dimStats.agg(max(col("ma"))).head
-      val maxAbsX = if (maRow.isNullAt(0)) 1L else math.max(1L, maRow.getLong(0))
+      // the (s1, ma) per-dim aggregate is dimMoments — the SAME code
+      // the maintenance rolls persist, so the trained path and the
+      // rolls cannot audit or average differently (round-16 review)
+      val dimStats = dimMoments(q).localCheckpoint()
+      val maxAbsX = maxAbsOf(dimStats)
       // divide SEQUENTIALLY: the product 4·max|x|² itself wraps int64
       // once max|x| ≥ 2^31, which would silently void this audit on
       // exactly the out-of-headroom corpora it exists to reject
@@ -107,7 +102,7 @@ object SpectralQueries {
           s"measured max|x|=$maxAbsX (expected ~Q=$Q) " +
           "- requantize (lower Q) or shard the corpus")
       val means = dimStats
-        .withColumn("m", tdiv(col("sx"), lit(nRows)))
+        .withColumn("m", tdiv(col("s1"), lit(nRows)))
         .select(col("i"), col("m"))
       val zv = vals.join(broadcast(means), Seq("i"))
         .select(col("vec_id"), col("i"), (col("x") - col("m")).as("z"))
@@ -347,9 +342,7 @@ v0 AS (SELECT DISTINCT i AS j, CAST($Q AS BIGINT) AS v FROM cf),${(1 to Iters).m
       SELECT vec_id, proj FROM pj ORDER BY vec_id""")) { (s, d) =>
       val art = pcaArtifact(s, d)
         .select(col("dim").cast("int").as("i"), col("mean_q"), col("v_ppm"))
-      Tables.embeddings(s, d).select(col("vec_id"),
-          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
-            .as("qx"))
+      quantized(s, d, lit(true))
         .select(col("vec_id"), posexplode(col("qx")).as(Seq("i", "x")))
         .join(broadcast(art), Seq("i"))
         .groupBy(col("vec_id"))

@@ -30,6 +30,72 @@ object TextQueries5 {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** The DAY-1 index of the append roll: pruned postings PLUS the
+    * full per-shingle df table — the statistic that makes the append
+    * EXACT (the delete roll has no subtractable analog because the
+    * artifact-true contract there is prune-at-build; here df is
+    * stored precisely so the prune can be re-derived over the
+    * merged counts). Day-1 = standing ∧ even doc_id. */
+  private[graft] def sharedContainmentDay1Index(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.Staging.onceDir(s, "ctidx_day1", d) { p =>
+      val day1 = SharedText.shingles3(s, d)
+        .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+          pmod(col("doc_id"), lit(2L)) === 0)
+        .withColumnRenamed("doc_id", "idx_id")
+      val df1 = day1.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      day1.join(df1.filter(col("df") <= 10).select(col("g")), Seq("g"))
+        .write.mode("overwrite").parquet(s"$p/postings")
+      df1.write.mode("overwrite").parquet(s"$p/df")
+    }
+
+  /** The shared batch-probe tail over a containment posting index —
+    * one copy for the incremental serve, the delete roll, and the
+    * append roll (`dedup_containment_incremental`'s judged block). */
+  private def probeContainment(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val batch = SharedText.shingles3(s, d)
+      .filter(pmod(col("doc_id"), lit(5L)) === 0)
+    val sz = batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = batch.join(idx, Seq("g"))
+      .groupBy(col("doc_id"), col("idx_id")).agg(count(lit(1)).as("inter"))
+    val scored = hits.join(sz, Seq("doc_id"))
+      .filter(col("inter") * 2 >= col("n_sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_containers"), min(col("idx_id")).as("first_container"))
+    batch.select(col("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+        col("first_container"),
+        col("n_containers").isNotNull.as("is_contained"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `dedup_containment_incremental`'s oracle — hoisted so the append
+    * roll (whose gate is exactly this rebuild form) shares it
+    * verbatim and the two copies cannot drift. */
+  private val containmentIncrementalOracle: String = raw"""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS g
+             FROM t WHERE len(w) >= 3),
+      idx0 AS (SELECT doc_id AS idx_id, g FROM sh WHERE doc_id % 5 <> 0),
+      keep AS (SELECT g FROM idx0 GROUP BY g HAVING count(*) <= 10),
+      idx AS (SELECT idx0.idx_id, idx0.g FROM idx0 JOIN keep USING (g)),
+      bat AS (SELECT doc_id, g FROM sh WHERE doc_id % 5 = 0),
+      sz AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
+      hits AS (SELECT bat.doc_id, idx.idx_id, count(*) AS inter FROM bat JOIN idx USING (g) GROUP BY 1, 2),
+      sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_containers, min(h.idx_id) AS first_container
+             FROM hits h JOIN sz ON sz.doc_id = h.doc_id
+             WHERE h.inter * 2 >= sz.n GROUP BY 1)
+      SELECT b.doc_id, CAST(COALESCE(sc.n_containers, 0) AS BIGINT) AS n_containers,
+             sc.first_container, sc.n_containers IS NOT NULL AS is_contained
+      FROM (SELECT DISTINCT doc_id FROM bat) b
+      LEFT JOIN sc ON sc.doc_id = b.doc_id
+      ORDER BY b.doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     /** CONTAINMENT near-dup detection (Broder's containment coefficient
@@ -120,41 +186,39 @@ object TextQueries5 {
       * shingles scores low — the conservative direction. Exact
       * integer cross-multiplication at the 50% threshold; the roster
       * left-join keeps every batch doc in the output. */
-    QueryDef("dedup_containment_incremental", Some(raw"""
-      WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w FROM documents),
-      sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS g
-             FROM t WHERE len(w) >= 3),
-      idx0 AS (SELECT doc_id AS idx_id, g FROM sh WHERE doc_id % 5 <> 0),
-      keep AS (SELECT g FROM idx0 GROUP BY g HAVING count(*) <= 10),
-      idx AS (SELECT idx0.idx_id, idx0.g FROM idx0 JOIN keep USING (g)),
-      bat AS (SELECT doc_id, g FROM sh WHERE doc_id % 5 = 0),
-      sz AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
-      hits AS (SELECT bat.doc_id, idx.idx_id, count(*) AS inter FROM bat JOIN idx USING (g) GROUP BY 1, 2),
-      sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_containers, min(h.idx_id) AS first_container
-             FROM hits h JOIN sz ON sz.doc_id = h.doc_id
-             WHERE h.inter * 2 >= sz.n GROUP BY 1)
-      SELECT b.doc_id, CAST(COALESCE(sc.n_containers, 0) AS BIGINT) AS n_containers,
-             sc.first_container, sc.n_containers IS NOT NULL AS is_contained
-      FROM (SELECT DISTINCT doc_id FROM bat) b
-      LEFT JOIN sc ON sc.doc_id = b.doc_id
-      ORDER BY b.doc_id""")) { (s, d) =>
-      val idx = s.read.parquet(sharedContainmentIndex(s, d))
-      val batch = SharedText.shingles3(s, d)
-        .filter(pmod(col("doc_id"), lit(5L)) === 0)
-      val sz = batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val hits = batch.join(idx, Seq("g"))
-        .groupBy(col("doc_id"), col("idx_id")).agg(count(lit(1)).as("inter"))
-      val scored = hits.join(sz, Seq("doc_id"))
-        .filter(col("inter") * 2 >= col("n_sh"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_containers"), min(col("idx_id")).as("first_container"))
-      batch.select(col("doc_id")).distinct()
-        .join(scored, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_containers"), lit(0L)).as("n_containers"),
-          col("first_container"),
-          col("n_containers").isNotNull.as("is_contained"))
-        .orderBy(col("doc_id"))
+    QueryDef("dedup_containment_incremental", Some(containmentIncrementalOracle)) { (s, d) =>
+      probeContainment(s, d, s.read.parquet(sharedContainmentIndex(s, d)))
+    },
+
+    /** Containment-index APPEND (round 16) — the posting index's
+      * nightly roll, and a contract CONTRAST with this family's delete:
+      * the delete roll is directional (removals can drop a shingle's
+      * df back under the prune, re-admitting lists only a rebuild
+      * sees), but the append is EXACT, because df only GROWS under
+      * append — the day-1 prune set is a SUBSET of the merged prune
+      * set, so day-1's kept postings are a superset of what the merged
+      * prune keeps of them, and re-applying the ≤10 prune over the
+      * MERGED df to (day-1 kept ∪ day-2 unpruned) yields the rebuild
+      * index identically. The day-1 artifact therefore stores the df
+      * TABLE alongside the pruned postings (the vocab-sized statistic
+      * that makes maintenance exact — the BM25 df move); the roll
+      * costs one O(day-2) shingle pass + a vocab-sized count merge,
+      * never the standing corpus. Gate: the probe serve shares
+      * `dedup_containment_incremental`'s full-standing-rebuild oracle
+      * VERBATIM — append(index(day1), day2) == index(day1 ∪ day2),
+      * end-to-end through the batch probe. */
+    QueryDef("dedup_containment_index_append", Some(containmentIncrementalOracle)) { (s, d) =>
+      val root = sharedContainmentDay1Index(s, d)
+      val day2 = SharedText.shingles3(s, d)
+        .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+          pmod(col("doc_id"), lit(2L)) === 1)
+        .withColumnRenamed("doc_id", "idx_id")
+      val dfM = s.read.parquet(s"$root/df")
+        .unionByName(day2.groupBy(col("g")).agg(count(lit(1)).as("df")))
+        .groupBy("g").agg(sum("df").as("df"))
+      val idx = s.read.parquet(s"$root/postings").unionByName(day2)
+        .join(dfM.filter(col("df") <= 10).select(col("g")), Seq("g"))
+      probeContainment(s, d, idx)
     },
 
     /** Containment-index DELETION (round 16) — the posting index's
@@ -201,22 +265,7 @@ object TextQueries5 {
         .select(col("doc_id").as("idx_id"))
       val idx = s.read.parquet(sharedContainmentIndex(s, d))
         .join(broadcast(tomb), Seq("idx_id"), "left_anti")
-      val batch = SharedText.shingles3(s, d)
-        .filter(pmod(col("doc_id"), lit(5L)) === 0)
-      val sz = batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val hits = batch.join(idx, Seq("g"))
-        .groupBy(col("doc_id"), col("idx_id")).agg(count(lit(1)).as("inter"))
-      val scored = hits.join(sz, Seq("doc_id"))
-        .filter(col("inter") * 2 >= col("n_sh"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_containers"), min(col("idx_id")).as("first_container"))
-      batch.select(col("doc_id")).distinct()
-        .join(scored, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_containers"), lit(0L)).as("n_containers"),
-          col("first_container"),
-          col("n_containers").isNotNull.as("is_contained"))
-        .orderBy(col("doc_id"))
+      probeContainment(s, d, idx)
     },
 
     /** BUDGET-CONSTRAINED curation — "keep the highest-quality

@@ -204,6 +204,40 @@ class QueriesSpec extends AnyFunSuite {
       "no surviving score moved - the stats subtraction is vacuous at this sf")
   }
 
+  test("stream_bm25_index_append: online roll reproduces the corpus-direct ranking row-for-row") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // the serve off day-1 ∪ batch-keyed posting dirs with the final
+    // version's df/stats must equal corpus-direct scoring exactly
+    assert(rows("stream_bm25_index_append") === rows("text_bm25_topk"))
+    // both arrival micro-batches are non-empty, so the final version
+    // genuinely composed two additions
+    def half(res: Long): Long = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(s"doc_id % 4 = $res").count()
+    assert(half(1) > 0 && half(3) > 0,
+      "an arrival micro-batch is empty - the composition claim is vacuous")
+  }
+
+  test("dedup_containment_index_append: merge == full-standing rebuild; day-1 artifact genuinely partial") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    // the append path must reproduce the full-standing incremental
+    // serve row-for-row (df only grows under append, so re-applying
+    // the prune over merged counts IS the rebuild — the exact gate)
+    assert(rows("dedup_containment_index_append") === rows("dedup_containment_incremental"))
+    // the persisted day-1 artifact covers only even standing docs: the
+    // day-2 fold is load-bearing, the gate can't pass on a stale
+    // full-standing index
+    val root = graft.queries.TextQueries5.sharedContainmentDay1Index(spark, sf)
+    val dfSum = spark.read.parquet(s"$root/df")
+      .agg(org.apache.spark.sql.functions.sum("df")).head.getLong(0)
+    def shingleRows(where: String): Long =
+      graft.queries.SharedText.shingles3(spark, sf).filter(where).count()
+    assert(dfSum === shingleRows("doc_id % 5 <> 0 AND doc_id % 2 = 0"))
+    assert(dfSum < shingleRows("doc_id % 5 <> 0"), "no odd standing docs - merge vacuous")
+  }
+
   test("sim_ann_ivfpq_delete: tombstones load-bearing, no deleted vector served") {
     import org.apache.spark.sql.Row
     val full = SparkEntry.queries("sim_ann_ivfpq")(spark, sf).collect()

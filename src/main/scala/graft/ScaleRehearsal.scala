@@ -117,7 +117,12 @@ object ScaleRehearsal {
     "dedup_containment_index_append",
     // round 16: the online BM25 append — a full stream run per rep
     // (v0 stats write + two batch-keyed posting rolls + the serve)
-    "stream_bm25_index_append")
+    "stream_bm25_index_append",
+    // round 16: the simhash index lifecycle — probe (both sides ×100),
+    // append roll (recap of day-1 ∪ day-2), delete roll (broadcast
+    // anti-join); index builds land in the shared column
+    "dedup_simhash_incremental", "dedup_simhash_index_append",
+    "dedup_simhash_index_delete")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

@@ -291,11 +291,23 @@ object TextQueries {
     * ReuseExchange reason documented in [[simhashBandedOf]]. */
   private def fixtureSimhashBanded(s: SparkSession, d: String): DataFrame =
     graft.Staging.frame(s, "sh_banded", d) {
+      graft.operators.ScaleOps.capBuckets(fixtureSimhashBandedRaw(s, d),
+        Seq("band", "bkey"), "doc_id", cap = 200).localCheckpoint()
+    }
+
+  /** The fixture corpus's UNcapped banded SimHash frame, memoized once
+    * per JVM — the index lifecycle's shared prefix: the full-corpus
+    * capped frame (dedup_simhash), the standing/day-1 index builds
+    * (which must cap over their OWN slice — capping the full corpus
+    * and then filtering would keep the wrong 200), and the batch probe
+    * side (which must NOT cap) all derive from it. */
+  private def fixtureSimhashBandedRaw(s: SparkSession, d: String): DataFrame =
+    graft.Staging.frame(s, "sh_braw", d) {
       // the tokenize prefix rides the JVM-shared SharedText artifact
       // (round 14, staging attribution): `w` IS tokens(text) — the
       // identical expression — so the signature rows are bit-identical
       // while the build skips its own corpus scan + split
-      simhashBandedFromToks(SharedText.tokenized(s, d)
+      simhashBandedRawFromToks(SharedText.tokenized(s, d)
         .select(col("doc_id"), explode(col("w")).as("tok"))).localCheckpoint()
     }
 
@@ -307,7 +319,13 @@ object TextQueries {
 
   /** [[simhashBandedOf]] from an already-exploded `(doc_id, tok)`
     * stream — the shared-prefix entry point. */
-  private def simhashBandedFromToks(toksIn: DataFrame): DataFrame = {
+  private def simhashBandedFromToks(toksIn: DataFrame): DataFrame =
+    graft.operators.ScaleOps.capBuckets(simhashBandedRawFromToks(toksIn),
+      Seq("band", "bkey"), "doc_id", cap = 200)
+
+  /** The UNcapped banded frame from exploded tokens — callers cap
+    * over the slice that is semantically theirs. */
+  private def simhashBandedRawFromToks(toksIn: DataFrame): DataFrame = {
     val toks = toksIn
       .withColumn("h", md5(col("tok")))
     val withV = toks.select(col("doc_id") +: (0 until 16).map(j =>
@@ -332,11 +350,10 @@ object TextQueries {
     // arrays tip the same trade the other way. Materializing the index
     // once is also the production lifecycle (build, then probe — the
     // parquet-persisted variant of exactly this split is
-    // dedup_minhash_incremental's).
-    graft.operators.ScaleOps.capBuckets(
-      sig.select(col("doc_id"), col("sh64"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey"))),
-      Seq("band", "bkey"), "doc_id", cap = 200)
+    // dedup_minhash_incremental's — and since round 16 the simhash
+    // index lifecycle below).
+    sig.select(col("doc_id"), col("sh64"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
 
   /** Banded self-join half of [[simhashPairs]] — callers pass a
@@ -350,8 +367,10 @@ object TextQueries {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** DuckDB twin of [[simhashPairs]]: CTE chain ending in `p`. */
-  private[queries] def simhashPairsSql(docsCte: String): String = s"""
+  /** DuckDB twin of [[simhashBandedRawFromToks]]: CTE chain ending in
+    * the UNcapped `bands(doc_id, bits, band, bkey)` — shared by the
+    * pair oracle and the index-lifecycle oracles. */
+  private[queries] def simhashBandsSql(docsCte: String): String = s"""
       toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
                FROM $docsCte),
       th AS (SELECT doc_id, md5(tok) AS h FROM toks),
@@ -364,7 +383,11 @@ object TextQueries {
       sig AS (SELECT doc_id, list(sbit ORDER BY i) AS bits FROM votes GROUP BY doc_id),
       bands AS (SELECT doc_id, bits, b AS band,
                   CAST(list_sum(list_transform(range(0, 8), i -> bits[8 * b + i + 1] * (1 << i))) AS INT) AS bkey
-                FROM sig CROSS JOIN range(0, 8) AS t(b)),
+                FROM sig CROSS JOIN range(0, 8) AS t(b))"""
+
+  /** DuckDB twin of [[simhashPairs]]: CTE chain ending in `p`. */
+  private[queries] def simhashPairsSql(docsCte: String): String = s"""
+      ${simhashBandsSql(docsCte)},
       capped AS (SELECT * FROM bands
                  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 200),
       p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -372,6 +395,72 @@ object TextQueries {
                 s -> CASE WHEN s[1] <> s[2] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming_dist
             FROM capped a JOIN capped b
               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+
+  /** The persisted capped SimHash band index over a standing slice —
+    * `which` = "shared" (all standing: doc_id % 5 ≠ 0) or "day1"
+    * (standing ∧ even). The cap runs over the slice's OWN docs
+    * (capping the full corpus and then filtering would keep the wrong
+    * 200 — the reason the raw banded frame is the shared prefix). */
+  private[queries] def sharedSimhashIndex(s: SparkSession, d: String, which: String): String =
+    graft.Staging.onceDir(s, s"shidx_$which", d) { p =>
+      val slice = which match {
+        case "shared" => fixtureSimhashBandedRaw(s, d)
+          .filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+        case "day1" => fixtureSimhashBandedRaw(s, d)
+          .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+            pmod(col("doc_id"), lit(2L)) === 0)
+        case other => throw new IllegalArgumentException(s"unknown simhash index slice $other")
+      }
+      graft.operators.ScaleOps.capBuckets(slice, Seq("band", "bkey"), "doc_id", cap = 200)
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Batch probe against a simhash band index: band equi-join, Hamming
+    * ≤ 16 confirm, per-doc rollup, full batch roster via left join —
+    * `dedup_minhash_incremental`'s serve shape on the simhash family. */
+  private def simhashServe(s: SparkSession, d: String, idxRaw: DataFrame): DataFrame = {
+    val batch = fixtureSimhashBandedRaw(s, d)
+      .filter(pmod(col("doc_id"), lit(5L)) === 0)
+    val idx = idxRaw.select(col("band"), col("bkey"),
+      col("doc_id").as("idx_id"), col("sh64").as("idx_sh"))
+    val scored = batch.join(idx, Seq("band", "bkey"))
+      .select(col("doc_id"), col("idx_id"),
+        hamming(col("sh64"), col("idx_sh")).cast("long").as("ham"))
+      .filter(col("ham") <= 16)
+      .dropDuplicates("doc_id", "idx_id")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_index_dups"), min(col("idx_id")).as("first_dup"))
+    Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
+        col("first_dup"),
+        col("n_index_dups").isNotNull.as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle of the simhash probe serves, with a parameterized
+    * post-cap index filter (`TRUE` for the incremental/append gates;
+    * the delete gate filters tombstones AFTER the cap — the
+    * artifact-true semantics). */
+  private[queries] def simhashIncrementalOracle(idxWhere: String): String = s"""
+      WITH ${simhashBandsSql("documents")},
+      idx0 AS (SELECT * FROM bands WHERE doc_id % 5 <> 0
+               QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 200),
+      idx AS (SELECT * FROM idx0 WHERE $idxWhere),
+      bat AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+      hits AS (SELECT DISTINCT b.doc_id, i.doc_id AS idx_id,
+                 CAST(list_sum(list_transform(list_zip(b.bits, i.bits),
+                   s -> CASE WHEN s[1] <> s[2] THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+               FROM bat b JOIN idx i ON i.band = b.band AND i.bkey = b.bkey),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_index_dups, min(idx_id) AS first_dup
+              FROM hits WHERE ham <= 16 GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(n_index_dups, 0) AS BIGINT) AS n_index_dups, first_dup,
+             n_index_dups IS NOT NULL AS is_dup
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      LEFT JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
 
 
   /** Near-dup graph recursive-reachability CTE prefix, shared verbatim
@@ -969,6 +1058,67 @@ object TextQueries {
       simhashPairsFromBanded(fixtureSimhashBanded(s, d))
         .filter(col("hamming_dist") <= 16)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    /** INCREMENTAL simhash — the last candidate-generation family
+      * without a persisted-index lifecycle gets one (round 16): the
+      * standing corpus's capped band table persists ONCE as parquet,
+      * each batch doc computes its own signature and probes with one
+      * band equi-join + Hamming ≤ 16 confirm — the dedup-at-ingest
+      * question on the bit-signature family (MinHash asks it with
+      * Jaccard estimates; SimHash's 64-bit signatures make the
+      * confirm a single XOR+popcount, the cheapest of the family).
+      * The cap is per-(band, bkey) over the STANDING slice (capping
+      * the full corpus then filtering would keep the wrong 200). */
+    QueryDef("dedup_simhash_incremental", Some(simhashIncrementalOracle("TRUE"))) { (s, d) =>
+      simhashServe(s, d, s.read.parquet(sharedSimhashIndex(s, d, "shared")))
+    },
+
+    /** Simhash index APPEND — exact by the cap rule's composition
+      * independence (the dedup_minhash_index_append argument verbatim:
+      * the cap keeps the LOWEST-200 doc_ids per bucket, and any
+      * member of lowest-200(A ∪ B) from the A side is necessarily in
+      * lowest-200(A), so recap(cap(day1) ∪ day2) == cap(day1 ∪ day2)
+      * identically). Day-2 (odd standing) bands are one O(batch)
+      * pass; the roll touches the day's docs + matched buckets, never
+      * the standing corpus. Gate: the probe serve shares the
+      * incremental oracle VERBATIM — append(index(day1), day2) ==
+      * index(standing) end-to-end. */
+    QueryDef("dedup_simhash_index_append", Some(simhashIncrementalOracle("TRUE"))) { (s, d) =>
+      val appended = graft.Staging.onceDir(s, "shidx_appended", d) { p =>
+        val day2 = fixtureSimhashBandedRaw(s, d)
+          .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+            pmod(col("doc_id"), lit(2L)) === 1)
+        graft.operators.ScaleOps.capBuckets(
+            s.read.parquet(sharedSimhashIndex(s, d, "day1")).unionByName(day2),
+            Seq("band", "bkey"), "doc_id", cap = 200)
+          .write.mode("overwrite").parquet(p)
+      }
+      simhashServe(s, d, s.read.parquet(appended))
+    },
+
+    /** Simhash index DELETE — the family's forget roll, with the
+      * MinHash roll's honest DIRECTIONAL contract (both are capped
+      * band indexes, so in an over-cap bucket a rebuild resurrects
+      * cap-evicted members the tombstone path physically cannot —
+      * tombstone-serve hits ⊆ rebuild hits, never phantom dups): one
+      * broadcast anti-join on the persisted index at serve time,
+      * O(tombstones), the artifact never rewritten. The oracle models
+      * the artifact-true semantics (cap FIRST over the full standing
+      * set, THEN the tombstone filter), so the hash gates the
+      * mechanism at any fixture. Tombstones doc_id ≡ 6 (mod 20) — an
+      * EVEN standing residue chosen because the fixture's planted
+      * near-dup sources are even-id (QueriesSpec proves the slice
+      * load-bearing: answers change, and no served first_dup is
+      * tombstoned). */
+    QueryDef("dedup_simhash_index_delete", Some(
+      simhashIncrementalOracle("doc_id % 20 <> 6"))) { (s, d) =>
+      val tomb = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(20L)) === 6)
+        .select(col("doc_id"))
+      val served = s.read.parquet(sharedSimhashIndex(s, d, "shared"))
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      simhashServe(s, d, served)
     },
 
     QueryDef("multimodal_decode", Some("""

@@ -311,7 +311,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // anti-join on the index scan — the index side must never
     // shuffle-exchange on the tombstone key
     for (name <- Seq("dedup_minhash_index_delete", "sim_ann_ivfpq_delete",
-        "dedup_containment_index_delete", "retrieval_bm25_index_delete")) {
+        "dedup_containment_index_delete", "retrieval_bm25_index_delete",
+        "dedup_simhash_index_delete")) {
       val p = plan(name)
       assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
         s"$name: tombstone anti-join is not a broadcast hash join: " + p.take(2000))

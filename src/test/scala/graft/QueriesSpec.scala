@@ -204,6 +204,25 @@ class QueriesSpec extends AnyFunSuite {
       "no surviving score moved - the stats subtraction is vacuous at this sf")
   }
 
+  test("simhash index lifecycle: append == standing rebuild; delete load-bearing, no tombstoned container") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    val inc = rows("dedup_simhash_incremental")
+    // the appended index must serve identically to the full-standing
+    // one (recap(cap(day1) ∪ day2) == cap(standing), the
+    // composition-independent lowest-200 rule)
+    assert(rows("dedup_simhash_index_append") === inc)
+    assert(inc.exists(_._4), "no cross-split simhash dup - the probe gate is vacuous here")
+    val del = rows("dedup_simhash_index_delete")
+    val incMap = inc.map(r => r._1 -> r).toMap
+    del.foreach { case (id, n, fd, _) =>
+      assert(n <= incMap(id)._2, s"probe $id GAINED index dups after deletion")
+      assert(fd == -1L || fd % 20 != 6, s"probe $id still matched tombstoned doc $fd")
+    }
+    assert(del !== inc, "tombstones changed nothing - the simhash delete gate is vacuous here")
+  }
+
   test("stream_bm25_index_append: online roll reproduces the corpus-direct ranking row-for-row") {
     def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

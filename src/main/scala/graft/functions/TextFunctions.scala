@@ -121,4 +121,15 @@ object TextFunctions {
 
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** The ONE bloom-probe definition of the seen-fingerprint family
+    * (round-17 unification): probe a broadcast [[graft.operators.BloomProbe]]
+    * — bit or counting bloom — through the registered native
+    * expression [[graft.expressions.BloomMightContain]]. Null fp →
+    * false (definably unseen), the former UDFs' contract. */
+  def graftMightContain(
+      bc: org.apache.spark.broadcast.Broadcast[graft.operators.BloomProbe],
+      fp: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.BloomMightContain(
+      org.apache.spark.sql.GraftBridge.expression(fp), bc, "broadcast"))
 }

@@ -32,7 +32,12 @@ package graft.operators
   */
 final class CountingBloom private (
     val numCells: Int, val numHashes: Int, val cells: Array[Int])
-    extends Serializable {
+    extends BloomProbe {
+
+  /** The [[BloomProbe]] face — lets the counting bloom serve through
+    * the same registered `graft_might_contain` expression as the bit
+    * bloom (round-17 unification). */
+  override def contains(fp: String): Boolean = mightContain(fp)
 
   def this(numCells: Int, numHashes: Int) =
     this(numCells, numHashes, new Array[Int](numCells))
@@ -90,6 +95,38 @@ final class CountingBloom private (
       s"incompatible counting blooms: ($numCells,$numHashes) vs (${o.numCells},${o.numHashes})")
     var i = 0
     while (i < numCells) { cells(i) += o.cells(i); i += 1 }
+    this
+  }
+
+  /** Element-wise SUBTRACT (the group inverse of [[mergeInPlace]]) —
+    * the forget roll's distributed form: the tombstone set builds its
+    * OWN counting bloom by one treeAggregate (same (n, fpp) sizing, so
+    * cells align by construction) and comes off the standing filter
+    * cell-wise, O(1) driver memory — never a per-item collect. Because
+    * build(A) − build(T) = build(A \ T) cell-for-cell when T ⊆ A
+    * (each cell is a plain sum of per-item increments), the result is
+    * BIT-identical to rebuilding over the survivors, which
+    * CountingBloomSpec gates on serialized bytes.
+    *
+    * The refused-remove contract survives in aggregate form: a
+    * tombstone bloom containing any never-added item can only drive
+    * some cell negative if the standing cells cannot cover it, and the
+    * validation pass runs BEFORE any mutation — a refused subtract
+    * leaves the filter untouched, like [[remove]]. (A never-added item
+    * whose cells all collide with standing items' cells is absorbed —
+    * the same fpp-bounded ambiguity a per-item remove has.) */
+  def subtractInPlace(o: CountingBloom): this.type = {
+    require(o.numCells == numCells && o.numHashes == numHashes,
+      s"incompatible counting blooms: ($numCells,$numHashes) vs (${o.numCells},${o.numHashes})")
+    var i = 0
+    while (i < numCells) {
+      require(cells(i) >= o.cells(i),
+        s"subtract would drive cell $i negative (${cells(i)} - ${o.cells(i)}) - " +
+          "tombstone set contains items the filter cannot contain; refusing to corrupt cells")
+      i += 1
+    }
+    i = 0
+    while (i < numCells) { cells(i) -= o.cells(i); i += 1 }
     this
   }
 

@@ -62,6 +62,11 @@ object MaintScaleProbe {
       .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
         pmod(col("doc_id"), lit(LmQueries.ForgetMod)) === LmQueries.ForgetRes)
       .select(col("doc_id"), col("text"))
+    // replica offset derived from the corpus, not a constant (round-16
+    // ADVICE): a fixed 10M stride collides on any corpus whose doc_ids
+    // reach 10M (e.g. a pre-scaled rehearsal dir), silently shrinking
+    // the effective batch and bending the fitted exponent
+    val replicaOff = baseTomb.agg(max(col("doc_id"))).head.getLong(0) + 1L
 
     println(f"${"factor"}%8s ${"rows"}%8s ${"trigger_s(median)"}%18s  samples")
     val medians = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Double)]
@@ -70,7 +75,7 @@ object MaintScaleProbe {
       val batch =
         if (factor == 1) baseTomb
         else baseTomb.withColumn("k", explode(array(copies: _*)))
-          .withColumn("doc_id", col("doc_id") + col("k") * 10000000L)
+          .withColumn("doc_id", col("doc_id") + col("k") * replicaOff)
           .drop("k")
       val samples = (1 to reps).map { rep =>
         val root = graft.Staging.dir(s"msp_f${factor}_r$rep", sfDir)
@@ -116,7 +121,15 @@ object MaintScaleProbe {
         catch { case scala.util.control.NonFatal(_) => () }
         val runs = Iterator.continually(trig.poll()).takeWhile(_ != null)
           .filter(t => t._2 > 0 && t._3 >= 0).toSeq
-        (runs.map(_._2).sum, runs.map(_._3).sum / 1e3)
+        // a listener miss or all-zero numInputRows must abort loudly
+        // (round-16 ADVICE): a silent (0 rows, 0.0 s) sample makes the
+        // fitted exponent NaN/Infinity instead of failing the probe
+        require(runs.nonEmpty,
+          s"f$factor rep $rep: no qualifying progress samples - listener miss or empty batch")
+        val (rows, t) = (runs.map(_._2).sum, runs.map(_._3).sum / 1e3)
+        require(rows > 0 && t > 0,
+          s"f$factor rep $rep: degenerate sample (rows=$rows, t=$t)")
+        (rows, t)
       }
       val sortedS = samples.map(_._2).sorted
       val med =

@@ -549,11 +549,15 @@ object TextQueries5 {
       * doc_heavy_hitters discipline, so the oracle is a plain
       * semi-join and the bloom's false-positive rate can never leak
       * into a judged value. A Bloom probe has no built-in Column
-      * function, so the probe is the repo's one justified scalar UDF
-      * (Spark itself injects runtime bloom joins through an internal
-      * expression only); no false NEGATIVE is possible by
-      * construction, and the spec asserts the prefilter genuinely
-      * prunes while recomputing the exact answer from scratch.
+      * function (Spark itself injects runtime bloom joins through an
+      * internal expression only), so the probe is the ONE registered
+      * native expression `graft_might_contain`
+      * ([[graft.expressions.BloomMightContain]], round-17 — replacing
+      * the per-QueryDef closure UDFs): codegen'd, broadcast-handle-
+      * carrying, shared by all three serve paths so they cannot
+      * drift. No false NEGATIVE is possible by construction, and the
+      * spec asserts the prefilter genuinely prunes while recomputing
+      * the exact answer from scratch.
       * Non-vacuity: the fixture corpus has zero cross-split exact
       * dups, so every 25th standing doc (doc_id % 25 == 1, never in
       * the batch split) re-arrives as a re-crawl at doc_id + 1e10
@@ -570,7 +574,7 @@ object TextQueries5 {
       * and unpersistable — at artifact size closure capture would
       * ride every task binary). Sizing is stats-derived
       * (maxDocId + 1 ≥ distinct fingerprints) instead of paying an
-      * extra count() job per invocation, and the probe UDF is
+      * extra count() job per invocation, and the probe expression is
       * null-safe: a null text's null fingerprint is a definable
       * answer (unseen), not a task-level NPE (round-15 ADVICE). */
     QueryDef("dedup_bloom_seen", Some(BloomSeenSql)) { (s, d) =>
@@ -637,8 +641,10 @@ object TextQueries5 {
       batch.filter(pmod(col("doc_id"), lit(2L)) === 1)
         .coalesce(1).write.mode("append").parquet(s"$root/in")
       val schema = s.read.parquet(s"$root/in").schema
-      val bc = s.sparkContext.broadcast(readBloom(sharedBloomIndex(s, d), "current.bloom"))
-      val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+      val bc = s.sparkContext.broadcast[graft.operators.BloomProbe](
+        new graft.operators.SparkBloomProbe(
+          readBloom(sharedBloomIndex(s, d), "current.bloom")))
+      def mightContain(c: org.apache.spark.sql.Column) = graftMightContain(bc, c)
       val standingFps = standing.select(col("fp")).distinct().localCheckpoint()
       val sink = s"$root/out"
       EventStreams.withStreamConf(s) {
@@ -687,9 +693,12 @@ object TextQueries5 {
       * removals are of once-added items only, the decrement can never
       * produce a false negative (CountingBloomSpec proves add/remove
       * cell-exact inversion and the post-delete no-false-negative
-      * floor). Tombstone fps collect to the driver: a GDPR delete set
-      * is tiny relative to the corpus at any scale, and the decrement
-      * is a driver-side artifact edit, not a data-plane pass. */
+      * floor). The roll is fully distributed (round-17): tombstone fps
+      * treeAggregate into their OWN counting bloom — same (n, fpp)
+      * sizing, so cells align — and subtract cell-wise from the
+      * re-read standing artifact, bit-identical to a survivor rebuild
+      * (CountingBloomSpec's bytes gate) with O(1) driver memory at
+      * any tombstone-batch size. */
     QueryDef("dedup_bloom_seen_delete", Some("""
       WITH t AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
       batch AS (SELECT doc_id, fp FROM t WHERE doc_id % 5 = 0
@@ -709,10 +718,10 @@ object TextQueries5 {
       val batch = t.filter(pmod(col("doc_id"), lit(5L)) === 0)
         .unionByName(standing.filter(pmod(col("doc_id"), lit(25L)) === 1)
           .select((col("doc_id") + 10000000000L).as("doc_id"), col("fp")))
-      val bc = s.sparkContext.broadcast(
+      val bc = s.sparkContext.broadcast[graft.operators.BloomProbe](
         CountingBloom.readFrom(new java.io.FileInputStream(
           new java.io.File(sharedCountingBloomIndex(s, d), "cb_live.bin"))))
-      val mightContain = udf((fp: String) => fp != null && bc.value.mightContain(fp))
+      def mightContain(c: org.apache.spark.sql.Column) = graftMightContain(bc, c)
       val confirmed = batch.filter(mightContain(col("fp")))
         .join(live.select(col("fp")).distinct(), Seq("fp"), "left_semi")
         .select(col("doc_id")).withColumn("hit", lit(true))
@@ -741,9 +750,20 @@ object TextQueries5 {
       try full.writeTo(out) finally out.close()
       val live = CountingBloom.readFrom(
         new java.io.FileInputStream(new java.io.File(p, "cb_full.bin")))
-      standing.filter(pmod(col("doc_id"), lit(50L)) === 1)
-        .select(col("fp")).distinct()
-        .collect().foreach(r => live.remove(r.getString(0)))
+      // the forget roll, distributed (round-17 verdict task 1): the
+      // tombstone fps build their OWN counting bloom by the same
+      // treeAggregate as the standing build — SAME (n, fpp) sizing, so
+      // cells align by construction — and come off cell-wise. Exact:
+      // build(standing) − build(tombs) == build(survivors) bit-for-bit
+      // (cells are plain sums of per-item increments), which
+      // CountingBloomSpec gates on serialized bytes. O(1) driver
+      // memory at any tombstone-batch size — a 100 TB
+      // right-to-be-forgotten batch never rides the driver.
+      val tomb = CountingBloom.build(
+        standing.filter(pmod(col("doc_id"), lit(50L)) === 1)
+          .select(col("fp")).distinct()
+          .as(org.apache.spark.sql.Encoders.STRING), n, BloomFpp)
+      live.subtractInPlace(tomb)
       val out2 = new java.io.FileOutputStream(new java.io.File(p, "cb_live.bin"))
       try live.writeTo(out2) finally out2.close()
     }
@@ -845,7 +865,8 @@ object TextQueries5 {
 
   /** The serve pass shared by both seen-fingerprint queries: re-read
     * the named persisted bloom, broadcast it explicitly, null-safe
-    * UDF prefilter, exact semi-join confirmation, left-join stamp. */
+    * native-expression prefilter (`graft_might_contain`), exact
+    * semi-join confirmation, left-join stamp. */
   private def bloomServeSeen(s: org.apache.spark.sql.SparkSession,
       d: String, bloomFile: String): org.apache.spark.sql.DataFrame = {
     // planted re-crawl ids must not collide with real ids (memoized —
@@ -858,9 +879,9 @@ object TextQueries5 {
     val batch = t.filter(pmod(col("doc_id"), lit(5L)) === 0)
       .unionByName(standing.filter(pmod(col("doc_id"), lit(25L)) === 1)
         .select((col("doc_id") + 10000000000L).as("doc_id"), col("fp")))
-    val bc = s.sparkContext.broadcast(readBloom(sharedBloomIndex(s, d), bloomFile))
-    val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
-    val candidates = batch.filter(mightContain(col("fp")))
+    val bc = s.sparkContext.broadcast[graft.operators.BloomProbe](
+      new graft.operators.SparkBloomProbe(readBloom(sharedBloomIndex(s, d), bloomFile)))
+    val candidates = batch.filter(graftMightContain(bc, col("fp")))
     val confirmed = candidates
       .join(standing.select(col("fp")).distinct(), Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("hit", lit(true))

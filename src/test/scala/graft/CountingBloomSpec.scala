@@ -46,6 +46,48 @@ class CountingBloomSpec extends AnyFunSuite {
       "partition-local builds + element-wise merge diverged from sequential insertion")
   }
 
+  test("distributed forget roll is exact: subtract(full, tombs) == rebuild(survivors), byte for byte") {
+    // the persisted cb_live.bin IS subtract(full, tomb-bloom) since
+    // round 17 — gate it against a from-scratch distributed rebuild
+    // over the survivor fps under the SAME (n, fpp) sizing
+    val dir = graft.queries.TextQueries5.sharedCountingBloomIndex(spark, sf)
+    val live = CountingBloom.readFrom(
+      new java.io.FileInputStream(new java.io.File(dir, "cb_live.bin")))
+    val standing = graft.queries.TextQueries5.bloomStanding(spark, sf)
+      .filter(col("fp").isNotNull)
+    val n = graft.queries.TextQueries5.bloomExpectedItems(spark, sf)
+    val rebuilt = CountingBloom.build(
+      standing.filter(pmod(col("doc_id"), lit(50L)) =!= 1)
+        .select(col("fp")).distinct()
+        .as(org.apache.spark.sql.Encoders.STRING),
+      n, graft.queries.TextQueries5.BloomFpp)
+    assert(java.util.Arrays.equals(live.serializedBytes, rebuilt.serializedBytes),
+      "cell-wise subtract diverged from the survivor rebuild")
+  }
+
+  test("aggregate refusal: subtracting a bloom containing a never-added item throws and mutates nothing") {
+    val a = CountingBloom.sized(1000, 0.01)
+    Seq("alpha", "beta", "gamma").foreach(a.add)
+    val before = a.serializedBytes
+    val bad = CountingBloom.sized(1000, 0.01)
+    bad.add("alpha"); bad.add("never-added-item-xyz")
+    val err = intercept[IllegalArgumentException](a.subtractInPlace(bad))
+    assert(err.getMessage.contains("refusing"))
+    assert(java.util.Arrays.equals(a.serializedBytes, before),
+      "refused subtract left partial decrements")
+    // sizing mismatch is refused up front, untouched likewise
+    intercept[IllegalArgumentException](
+      a.subtractInPlace(CountingBloom.sized(50, 0.1)))
+    assert(java.util.Arrays.equals(a.serializedBytes, before))
+    // the legitimate half alone subtracts cleanly and exactly
+    val good = CountingBloom.sized(1000, 0.01); good.add("alpha")
+    a.subtractInPlace(good)
+    val survivors = CountingBloom.sized(1000, 0.01)
+    Seq("beta", "gamma").foreach(survivors.add)
+    assert(java.util.Arrays.equals(a.serializedBytes, survivors.serializedBytes),
+      "subtract of a singleton bloom diverged from the survivor build")
+  }
+
   test("persisted lifecycle: live filter forgets tombstones; bit bloom provably cannot") {
     val dir = graft.queries.TextQueries5.sharedCountingBloomIndex(spark, sf)
     def read(name: String) = CountingBloom.readFrom(

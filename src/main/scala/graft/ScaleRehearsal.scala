@@ -122,7 +122,14 @@ object ScaleRehearsal {
     // append roll (recap of day-1 ∪ day-2), delete roll (broadcast
     // anti-join); index builds land in the shared column
     "dedup_simhash_incremental", "dedup_simhash_index_append",
-    "dedup_simhash_index_delete")
+    "dedup_simhash_index_delete",
+    // round 17: the two new lifecycle closers — the MinHash recap
+    // (scheduled compaction that restores exactness after directional
+    // deletes; expect ~the index-build exponent, the honest cost of a
+    // recap window) and the LM log-and-compact roll (4 O(batch)
+    // appends + one vocab-sized compaction; the artifact build lands
+    // in the shared column, the median times the compacted serve)
+    "dedup_minhash_index_recap", "doc_lm_compact")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

@@ -120,6 +120,37 @@ object LmQueries {
         .localCheckpoint()
     }
 
+  /** The compacted-model artifact of the log-and-compact roll: four
+    * tombstone delta batches APPEND negated counts to `log/` (pure
+    * appends — neither the standing artifact nor the log is read),
+    * then one compaction folds base ∪ log through [[modelFromCounts]]
+    * and persists the served model. Built once per (JVM, dir); the
+    * serve re-reads the compacted parquet, so artifact serialization
+    * sits inside the hash gate (the family discipline). */
+  private[graft] def compactedLmModelPath(s: SparkSession, d: String): String =
+    graft.Staging.onceDir(s, "lm_compact", d) { p =>
+      // the log is APPEND-mode by design — wipe any prior JVM's dir
+      // first, or a re-run would double every delta
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      val statsRoot = sharedLmStats(s, d, day1Only = false)
+      // four delta batches: doc_id % 10 = 1 partitioned by % 40
+      Seq(1L, 11L, 21L, 31L).foreach { res =>
+        val (uniT, biT) = lmCounts(
+          standing(s, d).filter(pmod(col("doc_id"), lit(4L * ForgetMod)) === res))
+        uniT.select(col("w1"), negate(col("c1")).as("c1"))
+          .write.mode("append").parquet(s"$p/log/uni")
+        biT.select(col("w1"), col("w2"), negate(col("c2")).as("c2"))
+          .write.mode("append").parquet(s"$p/log/bi")
+      }
+      modelFromCounts(
+        s.read.parquet(s"$statsRoot/uni").unionByName(s.read.parquet(s"$p/log/uni")),
+        s.read.parquet(s"$statsRoot/bi").unionByName(s.read.parquet(s"$p/log/bi")))
+        .write.mode("overwrite").parquet(s"$p/model")
+      ()
+    } + "/model"
+
   /** Per-doc bigram instances of one batch frame `(doc_id, w1, w2)`. */
   private def bigrams(batch: DataFrame): DataFrame =
     batch.filter(size(col("w")) >= 2)
@@ -216,6 +247,34 @@ object LmQueries {
         .filter(pmod(col("doc_id"), lit(5L)) === 0)
         .select(col("doc_id"), col("w"))
       score(batch, forgottenLmModel(s, d)).orderBy(col("doc_id"))
+    },
+
+    /** LOG-AND-COMPACT — the high-cadence deletion path the eager
+      * rolls' cost model argues for (MaintScaleProbe: each eager roll
+      * pays an O(batch) tombstone pass PLUS a vocab-sized artifact
+      * read-modify-write, and at high cadence the vocab floor
+      * dominates), now JUDGED rather than argued: the four tombstone
+      * delta batches (doc_id % 10 = 1 split by % 40 into 1/11/21/31)
+      * append their NEGATED counts to a delta log — each append is
+      * O(batch) only, the standing artifact and the log are never
+      * read — and ONE compaction folds base ∪ log through the same
+      * re-aggregate + drop-zeroed + divide chain every roll uses
+      * (`modelFromCounts`). Because count addition is associative,
+      * commutative, and total, log-then-compact provably equals the
+      * N eager read-modify-write rolls equals one retrain on the
+      * survivors — the gate is `doc_lm_forget`'s retrain oracle
+      * VERBATIM (an exact hash, no directional carve-out), and LmSpec
+      * closes the artifact loop: compact(base ∪ log) == the eager
+      * roll's model, row for row. At 100 TB this is the deletion
+      * cadence dial: eager = one vocab rewrite per batch, log = one
+      * vocab rewrite per COMPACTION WINDOW, same algebra, same
+      * answer. */
+    QueryDef("doc_lm_compact", Some(serveOracleTrainedOn(
+      s"doc_id % 5 <> 0 AND doc_id % $ForgetMod <> $ForgetRes"))) { (s, d) =>
+      val batch = SharedText.tokenized(s, d)
+        .filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id"), col("w"))
+      score(batch, s.read.parquet(compactedLmModelPath(s, d))).orderBy(col("doc_id"))
     },
 
     /** STREAMING maintenance — the repo's first ONLINE artifact-

@@ -108,6 +108,28 @@ class LmSpec extends AnyFunSuite {
     assert(nTomb > 0, "fixture has no tombstone docs - forget vacuous")
   }
 
+  test("doc_lm_compact: log-and-compact == the eager roll's model, row for row; every delta non-empty") {
+    import graft.queries.LmQueries.{ForgetMod, ForgetRes}
+    val compacted = modelMap(spark.read.parquet(
+      graft.queries.LmQueries.compactedLmModelPath(spark, sf)))
+    val eager = modelMap(graft.queries.LmQueries.forgottenLmModel(spark, sf))
+    assert(compacted === eager,
+      "compacting the delta log diverged from the eager read-modify-write roll")
+    // and both moved the model (the forget spec proves eager is
+    // load-bearing; transitively so is the compaction)
+    val full = modelMap(spark.read.parquet(
+      graft.queries.LmQueries.sharedLmModel(spark, sf)))
+    assert(compacted !== full)
+    // non-vacuity of the LOG itself: all four delta batches are
+    // non-empty, so the compaction genuinely folded four appends
+    Seq(1L, 11L, 21L, 31L).foreach { res =>
+      val n = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(s"doc_id % 5 <> 0 AND doc_id % ${4 * ForgetMod} = $res").count()
+      assert(n > 0, s"delta batch %40=$res is empty - the 4-append claim is vacuous")
+    }
+    assert(ForgetRes === 1L, "delta residues assume ForgetRes = 1")
+  }
+
   test("stream_lm_forget: online subtraction reproduces the batch forget row-for-row") {
     import graft.queries.LmQueries.{ForgetMod, ForgetRes}
     val batch = SparkEntry.queries("doc_lm_forget")(spark, sf).collect()

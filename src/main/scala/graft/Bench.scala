@@ -65,16 +65,23 @@ object Bench {
     // identical code, and one query's median 5.5x out of band).
     // Median-of-3 like the queries; start AND end are recorded so
     // intra-run drift is visible too.
-    def calibrate(): Double = {
+    // one single-shot calibration probe — also run per SAMPLE (round-16
+    // verdict task 2): the run-level start/end pair cannot see
+    // intra-run host-speed swings landing on individual samples (the
+    // r16 record carried a 48 s outlier inside one median and a
+    // 0.25→0.10 cal drift), so every sample records the host speed AT
+    // ITS OWN MOMENT and cross-round comparison normalizes sample-wise
+    // (tools/benchnorm.py) instead of by one per-run scalar.
+    def calOnce(): Double = {
       import org.apache.spark.sql.functions._
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0L, 50000000L, 1L, 32)
-          .select(sum(hash(col("id"))).as("h"), count(lit(1)).as("n"))
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val ts = List.fill(3)(once()).sorted
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 32)
+        .select(sum(hash(col("id"))).as("h"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibrate(): Double = {
+      val ts = List.fill(3)(calOnce()).sorted
       ts(1)
     }
     val calStart = calibrate()
@@ -151,7 +158,11 @@ object Bench {
         }
         graft.streaming.StreamMetrics.cumulativeTriggers
       }
-      def once(): (Double, Double, Double, Boolean, Long, Double) = {
+      // 7th component: the sample's own single-shot calibration probe,
+      // run UNTIMED immediately before the sample — the per-sample
+      // host-speed record benchnorm.py divides by (round-17 task 2)
+      def once(): (Double, Double, Double, Boolean, Long, Double, Double) = {
+        val cal = calOnce()
         val (tc0, tm0) = triggerSnapshot()
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
@@ -161,12 +172,12 @@ object Bench {
         val (tc1, tm1) = triggerSnapshot()
         ((t2 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
           graft.Staging.buildCompletedIn(t0, t2),
-          tc1 - tc0, (tm1 - tm0) / 1e3)
+          tc1 - tc0, (tm1 - tm0) / 1e3, cal)
       }
       // a failed query poisons its entry (-1) instead of silently
       // deflating the total with a time-to-failure
       val tStart = (System.nanoTime() - runStart) / 1e9
-      val (med, medStaging, medExec, samples, allSamples, medTrig, medTrigS) =
+      val (med, medStaging, medExec, samples, allSamples, medTrig, medTrigS, allCals) =
         try {
           var all = List.fill(reps)(once())
           def clean = { val c = all.filterNot(_._4); if (c.nonEmpty) c else all }
@@ -190,16 +201,17 @@ object Bench {
           // shows what was dropped.
           if (ts.size % 2 == 1) {
             val t = ts(ts.size / 2)
-            (t._1, t._2, t._3, all.size, all.map(_._1), t._5, t._6)
+            (t._1, t._2, t._3, all.size, all.map(_._1), t._5, t._6, all.map(_._7))
           } else {
             val a = ts(ts.size / 2 - 1); val b = ts(ts.size / 2)
             ((a._1 + b._1) / 2, (a._2 + b._2) / 2, (a._3 + b._3) / 2,
-              all.size, all.map(_._1), (a._5 + b._5) / 2, (a._6 + b._6) / 2)
+              all.size, all.map(_._1), (a._5 + b._5) / 2, (a._6 + b._6) / 2,
+              all.map(_._7))
           }
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
-          (-1.0, 0.0, 0.0, 0, Nil, 0L, 0.0) }
+          (-1.0, 0.0, 0.0, 0, Nil, 0L, 0.0, Nil) }
       // inter-query hygiene (round-10 verdict item 1): the finished
       // query's localCheckpoint blocks, broadcasts, and shuffle files
       // are dead now but only release when the JVM GC feeds the
@@ -209,7 +221,7 @@ object Bench {
       // query keeps each query's measurement starting from a clean
       // block manager; the timed samples never include this.
       System.gc()
-      (name, med, medStaging, medExec, samples, tStart, allSamples, medTrig, medTrigS)
+      (name, med, medStaging, medExec, samples, tStart, allSamples, medTrig, medTrigS, allCals)
     }
     val failed = results.collect { case r if r._2 < 0 => "\"" + r._1 + "\"" }
     // failed queries appear ONLY in failed[] — a -1 sentinel inside the
@@ -288,6 +300,15 @@ object Bench {
       "\"" + r._1 + "\":" + r._7.map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
         .mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // per-sample calibration twin of samples_s (round-17 task 2): the
+    // i-th cal value is the single-shot probe run immediately before
+    // the i-th sample, same list order — so any consumer can normalize
+    // sample-wise (samples_s[i] / cal_s[i]) and a host-speed swing
+    // landing mid-query becomes arithmetic, not a judgment call
+    val calsFull = timed.map { r =>
+      "\"" + r._1 + "\":" + r._10.map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        .mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     // per-query micro-batch trigger meter (streaming queries only —
     // batch queries are omitted rather than zero-padded): the median
     // sample's trigger count and total triggerExecution seconds, the
@@ -299,7 +320,7 @@ object Bench {
       "\"" + r._1 + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(r._9)) }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
-      s"""{"unit":"sec","reps":$reps,"total":$total,"total_exec":$totalExec,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull,"staging":$stagingFull,"exec":$execFull,"t_start":$tStartFull,"samples_s":$samplesFull,"stream_triggers":$trigFull,"stream_trigger_s":$trigSecFull,"shared_staging_total":$sharedTotal,"shared_staging":$sharedJson}""")
+      s"""{"unit":"sec","reps":$reps,"total":$total,"total_exec":$totalExec,$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","samples":$ns,"queries":$qsFull,"staging":$stagingFull,"exec":$execFull,"t_start":$tStartFull,"samples_s":$samplesFull,"cal_s":$calsFull,"stream_triggers":$trigFull,"stream_trigger_s":$trigSecFull,"shared_staging_total":$sharedTotal,"shared_staging":$sharedJson}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $detailFile: $e") }
     println(s"""{"metric":"samples","reps":$reps,"samples":$ns,"sf":"$sfDir"}""")

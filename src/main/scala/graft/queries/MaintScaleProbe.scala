@@ -68,9 +68,15 @@ object MaintScaleProbe {
     // the effective batch and bending the fitted exponent
     val replicaOff = baseTomb.agg(max(col("doc_id"))).head.getLong(0) + 1L
 
+    // section selector so the heavy curve and the cadence comparison
+    // can run separately (diagnostic-only main)
+    val modes = sys.env.getOrElse("SPARK_GRAFT_MAINT_MODES", "curve,compare")
+      .split(",").map(_.trim).toSet
+    require(modes.subsetOf(Set("curve", "compare")), s"unknown mode in $modes")
+
     println(f"${"factor"}%8s ${"rows"}%8s ${"trigger_s(median)"}%18s  samples")
     val medians = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Double)]
-    Seq(1, 10, 100).foreach { factor =>
+    (if (modes("curve")) Seq(1, 10, 100) else Seq.empty[Int]).foreach { factor =>
       val copies = (0 until factor).map(lit(_))
       val batch =
         if (factor == 1) baseTomb
@@ -138,11 +144,88 @@ object MaintScaleProbe {
       medians(factor) = (samples.head._1, med)
       println(f"$factor%8d ${samples.head._1}%8d $med%18.3f  ${samples.map(s => f"${s._2}%.2f").mkString(", ")}")
     }
-    val (r1, t1) = medians(1); val (r100, t100) = medians(100)
-    val (r10, t10) = medians(10)
-    val expFull = math.log10(t100 / t1) / math.log10(r100.toDouble / r1)
-    val expDecade = math.log10(t100 / t10) / math.log10(r100.toDouble / r10)
-    println(f"fitted exponent x1->x100: $expFull%.2f; x10->x100 decade: $expDecade%.2f")
+    if (modes("curve")) {
+      val (r1, t1) = medians(1); val (r100, t100) = medians(100)
+      val (r10, t10) = medians(10)
+      val expFull = math.log10(t100 / t1) / math.log10(r100.toDouble / r1)
+      val expDecade = math.log10(t100 / t10) / math.log10(r100.toDouble / r10)
+      println(f"fitted exponent x1->x100: $expFull%.2f; x10->x100 decade: $expDecade%.2f")
+    }
+
+    if (!modes("compare")) { spark.stop(); return }
+    // N-roll vs log+compact (round-17 task 3, the cadence trade
+    // doc_lm_compact judges for correctness measured for COST): the
+    // four delta batches of the judged compact query, paid two ways —
+    // EAGER: four sequential read-modify-write rolls, roll k re-reads
+    // version k (4 vocab-floor rewrites); LOG: four pure appends (no
+    // artifact read) + ONE compaction over base ∪ log (1 vocab-floor
+    // rewrite). Same algebra, same final counts; the wall ratio is the
+    // per-window saving a high-cadence deletion schedule buys.
+    val deltas = Seq(1L, 11L, 21L, 31L).map { res =>
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+          pmod(col("doc_id"), lit(4L * LmQueries.ForgetMod)) === res)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+    }
+    def countsOf(b: DataFrame): (DataFrame, DataFrame) = {
+      val tok = b.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      (tok.select(explode(col("w")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1")),
+        tok.filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
+    }
+    def timeReps(label: String)(body: String => Unit): Double = {
+      val ts = (1 to reps).map { rep =>
+        val root = graft.Staging.dir(s"mspcmp_${label}_r$rep", sfDir)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val t0 = System.nanoTime()
+        body(root)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val med = if (ts.size % 2 == 1) ts(ts.size / 2)
+                else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
+      println(f"$label%8s rolls: $med%8.3f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
+      med
+    }
+    val tEager = timeReps("eager") { root =>
+      spark.read.parquet(s"$statsRoot/uni").write.parquet(s"$root/v0/uni")
+      spark.read.parquet(s"$statsRoot/bi").write.parquet(s"$root/v0/bi")
+      deltas.zipWithIndex.foreach { case (b, k) =>
+        val (uniT, biT) = countsOf(b)
+        spark.read.parquet(s"$root/v$k/uni")
+          .unionByName(uniT.select(col("w1"), negate(col("c1")).as("c1")))
+          .groupBy("w1").agg(sum("c1").as("c1")).filter(col("c1") > 0)
+          .write.parquet(s"$root/v${k + 1}/uni")
+        spark.read.parquet(s"$root/v$k/bi")
+          .unionByName(biT.select(col("w1"), col("w2"), negate(col("c2")).as("c2")))
+          .groupBy("w1", "w2").agg(sum("c2").as("c2")).filter(col("c2") > 0)
+          .write.parquet(s"$root/v${k + 1}/bi")
+      }
+    }
+    val tLog = timeReps("log") { root =>
+      deltas.foreach { b =>
+        val (uniT, biT) = countsOf(b)
+        uniT.select(col("w1"), negate(col("c1")).as("c1"))
+          .write.mode("append").parquet(s"$root/log/uni")
+        biT.select(col("w1"), col("w2"), negate(col("c2")).as("c2"))
+          .write.mode("append").parquet(s"$root/log/bi")
+      }
+      spark.read.parquet(s"$statsRoot/uni")
+        .unionByName(spark.read.parquet(s"$root/log/uni"))
+        .groupBy("w1").agg(sum("c1").as("c1")).filter(col("c1") > 0)
+        .write.parquet(s"$root/compact/uni")
+      spark.read.parquet(s"$statsRoot/bi")
+        .unionByName(spark.read.parquet(s"$root/log/bi"))
+        .groupBy("w1", "w2").agg(sum("c2").as("c2")).filter(col("c2") > 0)
+        .write.parquet(s"$root/compact/bi")
+    }
+    println(f"log+compact / eager 4-roll wall ratio: ${tLog / tEager}%.2f")
     spark.stop()
   }
 }

@@ -129,7 +129,12 @@ object ScaleRehearsal {
     // recap window) and the LM log-and-compact roll (4 O(batch)
     // appends + one vocab-sized compaction; the artifact build lands
     // in the shared column, the median times the compacted serve)
-    "dedup_minhash_index_recap", "doc_lm_compact")
+    "dedup_minhash_index_recap", "doc_lm_compact",
+    // round 17 over-delivery: the remaining two directional families'
+    // recaps — same scheduled-compaction story (simhash: re-cap over
+    // survivors; containment: survivor-df re-prune), expect ~their
+    // index-build exponents
+    "dedup_simhash_index_recap", "dedup_containment_index_recap")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

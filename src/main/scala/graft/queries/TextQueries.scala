@@ -440,13 +440,15 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Shared oracle of the simhash probe serves, with a parameterized
-    * post-cap index filter (`TRUE` for the incremental/append gates;
-    * the delete gate filters tombstones AFTER the cap — the
-    * artifact-true semantics). */
-  private[queries] def simhashIncrementalOracle(idxWhere: String): String = s"""
+  /** Shared oracle of the simhash probe serves, with parameterized
+    * index filters on BOTH sides of the cap (post-cap `TRUE` for the
+    * incremental/append gates; the delete gate filters tombstones
+    * AFTER the cap — the artifact-true semantics; the recap gate
+    * filters BEFORE the cap — the rebuild-over-survivors semantics). */
+  private[queries] def simhashIncrementalOracle(idxWhere: String,
+      preCapWhere: String = "TRUE"): String = s"""
       WITH ${simhashBandsSql("documents")},
-      idx0 AS (SELECT * FROM bands WHERE doc_id % 5 <> 0
+      idx0 AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 AND $preCapWhere
                QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 200),
       idx AS (SELECT * FROM idx0 WHERE $idxWhere),
       bat AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
@@ -1176,6 +1178,29 @@ object TextQueries {
       val served = s.read.parquet(sharedSimhashIndex(s, d, "shared"))
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
       simhashServe(s, d, served)
+    },
+
+    /** Simhash index RECAP — `dedup_minhash_index_recap`'s scheduled
+      * compaction on the bit-signature family (the same cap rule, so
+      * the same exactness-restoration argument): survivors (standing ∧
+      * doc_id % 20 ≠ 6) re-capped over their OWN slice from the shared
+      * uncapped band frame, persisted, RE-READ, probes served from the
+      * recapped artifact. Oracle filters BEFORE the cap — the rebuild-
+      * over-survivors form, an equality gate; in over-cap buckets it
+      * re-admits members the tombstone anti-join physically cannot
+      * (QueriesSpec proves recap hits dominate the delete serve's per
+      * probe). O(survivor bands) per recap window. */
+    QueryDef("dedup_simhash_index_recap", Some(
+      simhashIncrementalOracle("TRUE", preCapWhere = "doc_id % 20 <> 6"))) { (s, d) =>
+      val recapped = graft.Staging.onceDir(s, "shidx_recap", d) { p =>
+        graft.operators.ScaleOps.capBuckets(
+            fixtureSimhashBandedRaw(s, d)
+              .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+                pmod(col("doc_id"), lit(20L)) =!= 6),
+            Seq("band", "bkey"), "doc_id", cap = 200)
+          .write.mode("overwrite").parquet(p)
+      }
+      simhashServe(s, d, s.read.parquet(recapped))
     },
 
     QueryDef("multimodal_decode", Some("""

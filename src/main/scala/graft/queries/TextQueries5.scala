@@ -268,6 +268,52 @@ object TextQueries5 {
       probeContainment(s, d, idx)
     },
 
+    /** Containment index RECAP — the df-drift compaction the delete
+      * roll's directional contract defers to (the third recap beside
+      * MinHash and SimHash, closing ALL directional-delete contracts):
+      * the delete serve prunes by the FULL standing df (artifact-true
+      * — postings with df > 10 were never written), so a shingle whose
+      * survivor-df drops to ≤ 10 after deletions stays invisible until
+      * a recap. This roll recomputes the df table OVER SURVIVORS
+      * (standing ∧ doc_id % 20 ≠ 7), re-applies the prune, persists,
+      * and serves the batch probes from the RE-READ artifact; the
+      * oracle recomputes the same survivor-df prune — an equality
+      * gate. Because deleting postings only lowers df, the recapped
+      * posting set is a SUPERSET of the delete-served one, so recap
+      * hits dominate per probe (QueriesSpec asserts it) — the recap
+      * can only restore recall the tombstone path lost. O(survivor
+      * shingles) per recap window. */
+    QueryDef("dedup_containment_index_recap", Some(raw"""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS g
+             FROM t WHERE len(w) >= 3),
+      idx0 AS (SELECT doc_id AS idx_id, g FROM sh WHERE doc_id % 5 <> 0 AND doc_id % 20 <> 7),
+      keep AS (SELECT g FROM idx0 GROUP BY g HAVING count(*) <= 10),
+      idx AS (SELECT idx0.idx_id, idx0.g FROM idx0 JOIN keep USING (g)),
+      bat AS (SELECT doc_id, g FROM sh WHERE doc_id % 5 = 0),
+      sz AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
+      hits AS (SELECT bat.doc_id, idx.idx_id, count(*) AS inter FROM bat JOIN idx USING (g) GROUP BY 1, 2),
+      sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_containers, min(h.idx_id) AS first_container
+             FROM hits h JOIN sz ON sz.doc_id = h.doc_id
+             WHERE h.inter * 2 >= sz.n GROUP BY 1)
+      SELECT b.doc_id, CAST(COALESCE(sc.n_containers, 0) AS BIGINT) AS n_containers,
+             sc.first_container, sc.n_containers IS NOT NULL AS is_contained
+      FROM (SELECT DISTINCT doc_id FROM bat) b
+      LEFT JOIN sc ON sc.doc_id = b.doc_id
+      ORDER BY b.doc_id""")) { (s, d) =>
+      val recapped = graft.Staging.onceDir(s, "ctidx_recap", d) { p =>
+        val surv = SharedText.shingles3(s, d)
+          .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+            pmod(col("doc_id"), lit(20L)) =!= 7)
+          .withColumnRenamed("doc_id", "idx_id")
+        val kept = surv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 10).select(col("g"))
+        surv.join(kept, Seq("g"))
+          .write.mode("overwrite").parquet(p)
+      }
+      probeContainment(s, d, s.read.parquet(recapped))
+    },
+
     /** BUDGET-CONSTRAINED curation — "keep the highest-quality
       * documents until a token budget is hit" (here 60% of corpus
       * tokens), the selection rule a compute-bounded training run

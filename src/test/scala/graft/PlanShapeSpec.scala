@@ -386,6 +386,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "signature aggregate lost its map-side partials")
   }
 
+  test("dedup_minhash_index_recap: probes broadcast into the recapped artifact scan") {
+    // the post-compaction serve keeps the incremental contract: the
+    // recapped index streams off its parquet, the batch side
+    // broadcasts — a recap that silently re-derived the index in-plan
+    // would lose the artifact scan and a SortMergeJoin would re-shuffle
+    // the index per serve
+    val p = plan("dedup_minhash_index_recap")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("doc_lm_compact: serve scans the compacted artifact and broadcasts the model") {
+    // the compacted-model serve is the persisted-LM shape verbatim:
+    // bigram explode + broadcast model join + one doc_id aggregate —
+    // never a SortMergeJoin on w1/w2 at the fixture's bounded vocab,
+    // and never a recompaction inside the serve plan (no union of the
+    // base stats with the delta log may appear — the compaction
+    // happened at BUILD time, the plan reads its output)
+    val p = plan("doc_lm_compact")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "model join must broadcast")
+    assert(!p.contains("Union"), "serve plan re-compacts the delta log")
+  }
+
   test("sim_ann_pq_persisted: serve path touches the code table, never re-encodes") {
     // the online plan must read the persisted code/codebook parquet
     // (two extra scans) and shortlist via WindowGroupLimit instead of

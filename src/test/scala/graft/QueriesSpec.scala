@@ -182,6 +182,16 @@ class QueriesSpec extends AnyFunSuite {
     }
     assert(del.exists { case (id, v) => v != full(id) },
       "tombstones changed nothing - the containment delete gate is vacuous at this sf")
+    // the recap re-derives df over SURVIVORS: deleting postings only
+    // lowers df, so the recapped posting set is a superset of the
+    // delete-served one and recap hits dominate per probe — the recap
+    // can only restore recall the tombstone path lost
+    val recap = rowsOf("dedup_containment_index_recap")
+    assert(recap.keySet === del.keySet)
+    recap.foreach { case (id, (n, fc)) =>
+      assert(n >= del(id)._1, s"probe $id LOST a container after the recap")
+      assert(fc == -1L || fc % 20 != 7, s"probe $id contained by tombstoned doc $fc post-recap")
+    }
   }
 
   test("bm25 index lifecycle: persisted == direct, append == rebuild, delete exact and load-bearing") {
@@ -221,6 +231,16 @@ class QueriesSpec extends AnyFunSuite {
       assert(fd == -1L || fd % 20 != 6, s"probe $id still matched tombstoned doc $fd")
     }
     assert(del !== inc, "tombstones changed nothing - the simhash delete gate is vacuous here")
+    // recap dominance (the minhash recap argument on the same cap
+    // rule: cap(A) \ T ⊆ cap(A \ T) per bucket) — the recapped serve
+    // can only re-admit what the tombstone anti-join lost
+    val delMap = del.map(r => r._1 -> r).toMap
+    val recap = rows("dedup_simhash_index_recap")
+    assert(recap.map(_._1) === del.map(_._1))
+    recap.foreach { case (id, n, fd, _) =>
+      assert(n >= delMap(id)._2, s"probe $id LOST an index dup after the recap")
+      assert(fd == -1L || fd % 20 != 6, s"probe $id matched tombstoned doc $fd post-recap")
+    }
   }
 
   test("stream_bm25_index_append: online roll reproduces the corpus-direct ranking row-for-row") {

@@ -24,11 +24,17 @@ import json
 import sys
 
 
-def norm_samples(detail, name):
+def norm_samples(detail, name, per_sample):
+    """per_sample=False forces the run-level scalar for BOTH files:
+    mixing per-sample cals on one side with a run-level scalar on the
+    other is a systematic bias, not a comparison (a run-level cal that
+    over/under-states most sample moments shifts every query by the
+    same factor — the first r16-vs-r17 attempt showed a uniform ~2.7x
+    phantom shift exactly this way)."""
     samples = detail["samples_s"].get(name)
     if not samples:
         return None
-    cals = detail.get("cal_s", {}).get(name)
+    cals = detail.get("cal_s", {}).get(name) if per_sample else None
     if not cals or len(cals) != len(samples) or any(c <= 0 for c in cals):
         run_cal = detail.get("calibration_s")
         if not run_cal or run_cal <= 0:
@@ -46,13 +52,18 @@ def main(old_path, new_path, threshold=1.5):
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     shared = sorted(set(old["samples_s"]) & set(new["samples_s"]))
+    per_sample = bool(old.get("cal_s")) and bool(new.get("cal_s"))
     print(f"common queries: {len(shared)}  "
           f"(old n={len(old['samples_s'])}, new n={len(new['samples_s'])}; "
-          f"old cal_s={'yes' if old.get('cal_s') else 'RUN-LEVEL FALLBACK'}, "
-          f"new cal_s={'yes' if new.get('cal_s') else 'RUN-LEVEL FALLBACK'})")
+          f"mode={'per-sample' if per_sample else 'RUN-LEVEL on both sides'})")
+    if not per_sample:
+        print("WARNING: one file predates cal_s - normalizing both by their")
+        print("run-level calibration_s; intra-run host drift is NOT cancelled,")
+        print("treat flags as candidates for the isolated fresh-JVM A/B only.")
     rows = []
     for name in shared:
-        o, n = norm_samples(old, name), norm_samples(new, name)
+        o = norm_samples(old, name, per_sample)
+        n = norm_samples(new, name, per_sample)
         if not o or not n:
             continue
         rows.append((name, med(o), med(n), o[0], n[0]))

@@ -134,7 +134,14 @@ object ScaleRehearsal {
     // recaps — same scheduled-compaction story (simhash: re-cap over
     // survivors; containment: survivor-df re-prune), expect ~their
     // index-build exponents
-    "dedup_simhash_index_recap", "dedup_containment_index_recap")
+    "dedup_simhash_index_recap", "dedup_containment_index_recap",
+    // round 17: the ONLINE log-and-compact (full stream run per rep:
+    // 4 append triggers + one compaction + the serve — vs
+    // stream_lm_forget's 2 read-modify-write triggers) and the
+    // combined nightly roll (tombstone anti-join + arrival union +
+    // re-cap in one O(index + batch) pass; the standing-index build
+    // lands in the shared column)
+    "stream_lm_compact", "dedup_minhash_index_roll")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

@@ -349,6 +349,73 @@ object LmQueries {
       score(batch, model).orderBy(col("doc_id"))
     },
 
+    /** ONLINE log-and-compact — `doc_lm_compact`'s streaming twin and
+      * `stream_lm_forget`'s high-cadence alternative: the SAME four
+      * tombstone delta batches arrive as a real file-source stream
+      * (four staged files under maxFilesPerTrigger=1 = four
+      * micro-batches), and each foreachBatch APPENDS its batch's
+      * negated counts to a batch-id-keyed log dir (`log/b$id`,
+      * overwrite — replays are idempotent) — O(batch) per trigger,
+      * the standing artifact is NEVER read inside the stream (the
+      * eager twin pays a vocab-floor read-modify-write per trigger;
+      * measured 0.74× at N=4, → ~1/N, PLANS.md Round 17). ONE
+      * compaction after the drain folds base ∪ log through the shared
+      * modelFromCounts chain, and the held-out batch serves from the
+      * compacted model. Because count addition is a total commutative
+      * group, neither the micro-batching of the deltas nor
+      * append-vs-eager order can change the final counts — the gate
+      * is the retrain-on-survivors oracle VERBATIM (shared with
+      * doc_lm_forget / stream_lm_forget / doc_lm_compact: four
+      * mechanically different rolls, one exact answer). */
+    QueryDef("stream_lm_compact", Some(serveOracleTrainedOn(
+      s"doc_id % 5 <> 0 AND doc_id % $ForgetMod <> $ForgetRes"))) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      val statsRoot = sharedLmStats(s, d, day1Only = false)
+      val root = graft.Staging.dir("lmslog", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val tomb = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+          pmod(col("doc_id"), lit(ForgetMod)) === ForgetRes)
+      Seq(1L, 11L, 21L, 31L).zipWithIndex.foreach { case (res, i) =>
+        tomb.filter(pmod(col("doc_id"), lit(4L * ForgetMod)) === res)
+          .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(s"$root/in")
+      }
+      val schema = s.read.parquet(s"$root/in").schema
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+              val (uniT, biT) = lmCounts(b.select(col("doc_id"),
+                graft.functions.TextFunctions.tokens(col("text")).as("w")))
+              uniT.select(col("w1"), negate(col("c1")).as("c1"))
+                .write.mode("overwrite").parquet(s"$root/log/b$id/uni")
+              biT.select(col("w1"), col("w2"), negate(col("c2")).as("c2"))
+                .write.mode("overwrite").parquet(s"$root/log/b$id/bi")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_lm_compact")
+      }
+      // the one compaction: base ∪ every logged delta, re-aggregated
+      modelFromCounts(
+        s.read.parquet(s"$statsRoot/uni")
+          .unionByName(s.read.parquet(s"$root/log/b*/uni")),
+        s.read.parquet(s"$statsRoot/bi")
+          .unionByName(s.read.parquet(s"$root/log/b*/bi")))
+        .write.mode("overwrite").parquet(s"$root/model")
+      val batch = SharedText.tokenized(s, d)
+        .filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id"), col("w"))
+      score(batch, s.read.parquet(s"$root/model")).orderBy(col("doc_id"))
+    },
+
     /** Streaming twin (stream_kmeans_assign's pattern): batch docs
       * arrive as a real file-source stream in two micro-batches, each
       * scored inside foreachBatch against the SAME frozen parquet

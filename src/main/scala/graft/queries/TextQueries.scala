@@ -1009,6 +1009,68 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    /** Combined nightly ROLL (round 17) — the production operation the
+      * delete contract states verbatim ("keep the tombstone table
+      * beside the artifact and fold it in at the next rebuild/append
+      * roll"), judged as ONE composition: the persisted capped index
+      * drops its tombstones (broadcast anti-join), day-2 arrivals
+      * union in, the cap re-applies over the union, the rolled
+      * artifact persists and day-3 probes serve from the RE-READ
+      * parquet. Cost is O(index + tombstones + arrivals) — never the
+      * corpus, the cheap nightly form (the full-recap exactness
+      * restoration is `dedup_minhash_index_recap`'s separate,
+      * costlier window). The oracle models the artifact-true algebra
+      * exactly — recap((cap(standing) \ T) ∪ arrivals), tombstone
+      * filter on the CAPPED set — so the hash gates the composition
+      * itself; equivalence to a from-scratch survivor rebuild is
+      * deliberately not claimed (the delete half's directional gap
+      * persists until a recap window; unlike the plain delete,
+      * though, the re-cap lets arrivals FILL seats tombstones
+      * vacated in full buckets — the composition is more than the
+      * sum of its judged parts, which QueriesSpec pins). */
+    QueryDef("dedup_minhash_index_roll", Some(s"""
+      WITH ${minhashBandsRawSql("documents")},
+      idx0 AS (SELECT * FROM bands WHERE doc_id % 5 <> 0
+               QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
+      un AS (SELECT * FROM idx0 WHERE doc_id % 20 <> 3
+             UNION ALL SELECT * FROM bands WHERE doc_id % 10 = 0),
+      idx AS (SELECT * FROM un
+              QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
+      bat AS (SELECT * FROM bands WHERE doc_id % 10 = 5),
+      hits AS (SELECT DISTINCT b.doc_id, i.doc_id AS idx_id,
+                 round(CAST(len(list_filter(range(1, 33), k -> b.sig[k] = i.sig[k])) AS DOUBLE) / 32, 6) AS est
+               FROM bat b JOIN idx i
+                 ON i.band = b.band AND i.bk1 = b.bk1 AND i.bk2 = b.bk2),
+      agg AS (SELECT doc_id, count(*) AS n_index_dups, min(idx_id) AS first_dup
+              FROM hits WHERE est >= 0.5 GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_index_dups, 0) AS n_index_dups, first_dup,
+             n_index_dups IS NOT NULL AS is_dup
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 5) d
+      LEFT JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val rolled = graft.Staging.onceDir(s, "mhidx_rolled", d) { p =>
+        val tomb = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(20L)) === 3)
+          .select(col("doc_id"))
+        val surv = s.read.parquet(sharedMinhashIndex(s, d))
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        val arrivals = bandsOf(fixtureSigs(s, d))
+          .filter(pmod(col("doc_id"), lit(10L)) === 0)
+        graft.operators.ScaleOps.capBuckets(surv.unionByName(arrivals),
+            Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
+          .write.mode("overwrite").parquet(p)
+      }
+      val probes = bandsOf(fixtureSigs(s, d))
+        .filter(pmod(col("doc_id"), lit(10L)) === 5)
+      scoreAgainstIndex(s, probes, rolled)
+        .join(Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10L)) === 5)
+          .select(col("doc_id")), Seq("doc_id"), "right")
+        .select(col("doc_id"),
+          coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
+          col("first_dup"), col("n_index_dups").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
     /** Index RECAP (round 17) — the compaction that closes the
       * directional-delete story: `dedup_minhash_index_delete`'s
       * tombstone anti-join is honest-but-DIRECTIONAL under the bucket

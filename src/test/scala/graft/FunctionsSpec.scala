@@ -98,6 +98,26 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[Exception](df.selectExpr("graft_might_contain(fp, fp)").collect())
   }
 
+  test("graft_might_contain: interpreted (codegen-off) path agrees with codegen") {
+    // BloomMightContain implements both eval() and doGenCode; the
+    // judged plans run codegen'd, but fallback contexts (e.g. inside
+    // certain interpreted projections) hit eval — pin the two paths
+    // to the same answers
+    GraftExtensions.register(spark)
+    val cb = graft.operators.CountingBloom.sized(100, 0.01)
+    cb.add("present")
+    val bc = spark.sparkContext.broadcast[graft.operators.BloomProbe](cb)
+    val df = Seq(Some("present"), Some("absent-zzz"), None).toDF("fp")
+    def answers() = df.select(T.graftMightContain(bc, col("fp")))
+      .as[Boolean].collect().toSeq
+    val codegen = answers()
+    val interpreted = graft.operators.ConfScope.withConf(spark, Map(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN"))(answers())
+    assert(codegen === Seq(true, false, false))
+    assert(interpreted === codegen)
+  }
+
   test("lshBucket: same vector → same bucket, stable across runs") {
     val df = Seq(Seq(0.5f, -0.25f, 0.125f, 0.9f)).toDF("v")
     val b1 = df.select(V.lshBucket(V.quantize(col("v")), 8)).as[Long].head()

@@ -386,6 +386,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "signature aggregate lost its map-side partials")
   }
 
+  test("dedup_minhash_index_roll: probes broadcast into the rolled artifact, no cartesian") {
+    // the combined nightly roll's SERVE contract matches the family:
+    // rolled artifact streams off parquet, probe side broadcasts
+    val p = plan("dedup_minhash_index_roll")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dedup_minhash_index_recap: probes broadcast into the recapped artifact scan") {
     // the post-compaction serve keeps the incremental contract: the
     // recapped index streams off its parquet, the batch side

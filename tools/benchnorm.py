@@ -21,7 +21,11 @@ the strongest regression signal. Queries above `threshold` (default
 noise-suspect.
 """
 import json
+import signal
 import sys
+
+# piping into `head` must not stack-trace
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 
 def norm_samples(detail, name, per_sample):

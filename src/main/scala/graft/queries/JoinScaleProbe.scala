@@ -80,18 +80,24 @@ object JoinScaleProbe {
       }
     }
 
-    /** Six mtime-ordered day files (the judged stageDayFiles protocol
-      * over a derived frame) under a fresh root; returns the in dir. */
-    def stageDays(ev: DataFrame, root: String): String = {
+    /** Mtime-ordered day-slice files (the judged stageDayFiles
+      * protocol over a derived frame) under a fresh root; `files`
+      * slices of 30/files days each. The `users` mode keeps the
+      * judged 6; the `retention` mode stages 15 two-day slices so the
+      * watermark advances in finer steps and the eviction-lag axis
+      * spans wider (6 five-day slices capped measured state at ×2.6
+      * because retention follows the trigger cadence). */
+    def stageDays(ev: DataFrame, root: String, files: Int): String = {
       import org.apache.hadoop.fs.{FileUtil, Path}
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new Path(root).getFileSystem(conf)
       fs.delete(new Path(root), true)
       fs.mkdirs(new Path(root, "in"))
       val t0 = System.currentTimeMillis()
-      (0 until 6).foreach { i =>
+      val daysPer = 30 / files
+      (0 until files).foreach { i =>
         val tmp = s"$root/stage$i"
-        ev.filter(dayofmonth(col("ts")).between(i * 5 + 1, (i + 1) * 5))
+        ev.filter(dayofmonth(col("ts")).between(i * daysPer + 1, (i + 1) * daysPer))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = fs.globStatus(new Path(s"$tmp/part-*.parquet")).head.getPath
         val dst = new Path(s"$root/in/f$i.parquet")
@@ -134,11 +140,11 @@ object JoinScaleProbe {
     println(f"${"mode"}%10s ${"factor"}%7s ${"rows/trig"}%10s ${"state_max"}%10s ${"trig_s(med)"}%12s  samples")
     val results = scala.collection.mutable.LinkedHashMap.empty[(String, Int), (Long, Long, Double)]
     for (mode <- modes; factor <- Seq(1, 10, 100)) {
-      val (ev, delay) = mode match {
-        case "users" => (derivedUsers(factor).localCheckpoint(), "2 hours")
-        case "retention" => (graft.Tables.events(spark, sfDir), s"${2 * factor} hours")
+      val (ev, delay, nFiles) = mode match {
+        case "users" => (derivedUsers(factor).localCheckpoint(), "2 hours", 6)
+        case "retention" => (graft.Tables.events(spark, sfDir), s"${2 * factor} hours", 15)
       }
-      val in = stageDays(ev, graft.Staging.dir(s"jsp_${mode}_f$factor", sfDir))
+      val in = stageDays(ev, graft.Staging.dir(s"jsp_${mode}_f$factor", sfDir), nFiles)
       val samples = (1 to reps).map { rep =>
         val ck = graft.Staging.dir(s"jspck_${mode}_f${factor}_r$rep", sfDir)
         val fs = new org.apache.hadoop.fs.Path(ck)

@@ -386,6 +386,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "signature aggregate lost its map-side partials")
   }
 
+  test("dedup_bloom_seen: the probe prefilter is the native graft_might_contain, never a UDF") {
+    // round-17 task 6's plan-level closure: all three bloom serves
+    // route through the ONE registered expression — a ScalaUDF
+    // reappearing here means a call site drifted back to a closure
+    val p = plan("dedup_bloom_seen")
+    assert(p.contains("graft_might_contain"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), "bloom probe regressed to a Scala UDF")
+    val pd = plan("dedup_bloom_seen_delete")
+    assert(pd.contains("graft_might_contain") && !pd.contains("ScalaUDF"))
+  }
+
   test("dedup_minhash_index_roll: probes broadcast into the rolled artifact, no cartesian") {
     // the combined nightly roll's SERVE contract matches the family:
     // rolled artifact streams off parquet, probe side broadcasts

@@ -10,14 +10,19 @@ package graft.operators
   * trade the right-to-be-forgotten roll of a seen-fingerprint ingest
   * gate needs between full rebuilds.
   *
-  * Correctness contract: removing an item that was added exactly once
-  * (and whose fingerprint is unique in the standing set — this repo's
-  * corpora carry no duplicate fingerprints, and builders add DISTINCT
-  * fps) can never produce a false negative for any other item, and
-  * drives the removed item's own cells back to their pre-add state —
-  * so add-then-remove is cell-exact inverse, which CountingBloomSpec
-  * asserts byte-for-byte. `remove` of a never-added item is refused
-  * loudly (a zero cell) rather than corrupting neighbors.
+  * Correctness contract: cells are plain sums of per-item increments,
+  * so builds compose as a commutative GROUP over multisets —
+  * build(A ⊎ B) = build(A) + build(B) cell-for-cell, and
+  * build(A) − build(T) = build(A ∖ T) whenever T is a sub-multiset of
+  * A. Builders therefore insert every fingerprint OCCURRENCE (not
+  * distinct fps): a fp shared between a removed doc and a surviving
+  * doc keeps its surviving increments, so deletion can never produce
+  * a false negative for anything still present — for ANY corpus,
+  * duplicates included (round-17 ADVICE closed the distinct-build
+  * fixture dependence). add-then-remove is a cell-exact inverse,
+  * which CountingBloomSpec asserts byte-for-byte; `remove` of a
+  * never-added item is refused loudly (a zero cell) rather than
+  * corrupting neighbors.
   *
   * Hashing: Kirsch–Mitzenmacher double hashing (ESA 2006) — two
   * 64-bit halves of one md5 give h1 + k·h2 mod m for all k probes,
@@ -103,10 +108,12 @@ final class CountingBloom private (
     * OWN counting bloom by one treeAggregate (same (n, fpp) sizing, so
     * cells align by construction) and comes off the standing filter
     * cell-wise, O(1) driver memory — never a per-item collect. Because
-    * build(A) − build(T) = build(A \ T) cell-for-cell when T ⊆ A
-    * (each cell is a plain sum of per-item increments), the result is
-    * BIT-identical to rebuilding over the survivors, which
-    * CountingBloomSpec gates on serialized bytes.
+    * build(A) − build(T) = build(A ∖ T) cell-for-cell when T is a
+    * sub-multiset of A (each cell is a plain sum of per-item
+    * increments, and builders insert every occurrence — see the class
+    * contract), the result is BIT-identical to rebuilding over the
+    * survivors for any corpus, which CountingBloomSpec gates on
+    * serialized bytes.
     *
     * The refused-remove contract survives in aggregate form: a
     * tombstone bloom containing any never-added item can only drive

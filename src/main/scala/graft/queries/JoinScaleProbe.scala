@@ -94,10 +94,20 @@ object JoinScaleProbe {
       fs.delete(new Path(root), true)
       fs.mkdirs(new Path(root, "in"))
       val t0 = System.currentTimeMillis()
-      val daysPer = 30 / files
+      // slice on the ORDINAL day of the fixture's actual ts range, not
+      // dayofmonth: dayofmonth silently drops day-31 rows and folds a
+      // month boundary's two months into the same slice (round-17
+      // ADVICE). Every row lands in exactly one of the `files` slices.
+      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1")).head()
+      val d0 = bounds.getDate(0)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        d0.toLocalDate, bounds.getDate(1).toLocalDate) + 1
+      val daysPer = ((span + files - 1) / files).toInt
+      val ord = datediff(to_date(col("ts")), lit(d0))
       (0 until files).foreach { i =>
         val tmp = s"$root/stage$i"
-        ev.filter(dayofmonth(col("ts")).between(i * daysPer + 1, (i + 1) * daysPer))
+        ev.filter(ord >= i * daysPer && ord < (i + 1) * daysPer)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = fs.globStatus(new Path(s"$tmp/part-*.parquet")).head.getPath
         val dst = new Path(s"$root/in/f$i.parquet")
@@ -154,8 +164,12 @@ object JoinScaleProbe {
         runJoin(in, delay, ck)
         try org.apache.spark.graftbus.ListenerBusDrain.drain(spark.sparkContext)
         catch { case scala.util.control.NonFatal(_) => () }
+        // stateRows >= 0 like rows/wall: a trigger missing its
+        // stateOperators entry records -1, and letting it through
+        // feeds log10 of a negative axis in the retention fit (NaN
+        // instead of a loud failure — round-17 ADVICE)
         val runs = Iterator.continually(trig.poll()).takeWhile(_ != null)
-          .filter(t => t.rows > 0 && t.wallS >= 0).toSeq
+          .filter(t => t.rows > 0 && t.wallS >= 0 && t.stateRows >= 0).toSeq
         require(runs.nonEmpty,
           s"$mode f$factor rep $rep: no qualifying progress samples")
         val sample = (runs.map(_.rows).sum / runs.size,

@@ -778,10 +778,23 @@ object TextQueries5 {
   )
 
   /** Persisted counting-bloom lifecycle dir: `cb_full.bin` (the
-    * distributed treeAggregate build over all DISTINCT standing
-    * fingerprints), and `cb_live.bin` — cb_full RE-READ from disk with
-    * the tombstoned (doc_id % 50 = 1) fingerprints decremented out.
-    * Built once per JVM per fixture under Staging's accounting. */
+    * distributed treeAggregate build over every standing fingerprint
+    * OCCURRENCE — deliberately NOT distinct, see below), and
+    * `cb_live.bin` — cb_full RE-READ from disk with the tombstoned
+    * (doc_id % 50 = 1) docs' fingerprints decremented out.
+    * Built once per JVM per fixture under Staging's accounting.
+    *
+    * Multiset builds make the forget roll fixture-independent
+    * (round-17 ADVICE): with per-slice DISTINCT builds, a fingerprint
+    * shared between a tombstoned doc and a surviving doc would be
+    * counted once in each bloom and subtract to zero — a false
+    * negative for a fp a survivor still holds. Counting every
+    * occurrence makes build(standing) − build(tombstoned docs) ==
+    * build(surviving docs) a multiset GROUP identity for ANY corpus,
+    * duplicates included; probe behavior is unchanged because
+    * duplicate fps hash to the same cells (the nonzero-cell pattern —
+    * all mightContain ever tests — is identical to the distinct
+    * build's). Dropping the two distinct shuffles is free. */
   private[graft] def sharedCountingBloomIndex(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.Staging.onceDir(s, "cbloomidx", d) { p =>
@@ -790,24 +803,26 @@ object TextQueries5 {
       val n = bloomExpectedItems(s, d)
       new java.io.File(p).mkdirs()
       val full = CountingBloom.build(
-        standing.select(col("fp")).distinct()
+        standing.select(col("fp"))
           .as(org.apache.spark.sql.Encoders.STRING), n, BloomFpp)
       val out = new java.io.FileOutputStream(new java.io.File(p, "cb_full.bin"))
       try full.writeTo(out) finally out.close()
       val live = CountingBloom.readFrom(
         new java.io.FileInputStream(new java.io.File(p, "cb_full.bin")))
       // the forget roll, distributed (round-17 verdict task 1): the
-      // tombstone fps build their OWN counting bloom by the same
-      // treeAggregate as the standing build — SAME (n, fpp) sizing, so
-      // cells align by construction — and come off cell-wise. Exact:
-      // build(standing) − build(tombs) == build(survivors) bit-for-bit
-      // (cells are plain sums of per-item increments), which
-      // CountingBloomSpec gates on serialized bytes. O(1) driver
-      // memory at any tombstone-batch size — a 100 TB
-      // right-to-be-forgotten batch never rides the driver.
+      // tombstoned docs' fps build their OWN counting bloom by the
+      // same treeAggregate as the standing build — SAME (n, fpp)
+      // sizing, so cells align by construction — and come off
+      // cell-wise. Exact for ANY fixture because both builds count
+      // fp OCCURRENCES (multisets): build(standing) − build(tombs) ==
+      // build(survivors) bit-for-bit (cells are plain sums of
+      // per-item increments and the tombstoned docs are a sub-multiset
+      // of standing), which CountingBloomSpec gates on serialized
+      // bytes. O(1) driver memory at any tombstone-batch size — a
+      // 100 TB right-to-be-forgotten batch never rides the driver.
       val tomb = CountingBloom.build(
         standing.filter(pmod(col("doc_id"), lit(50L)) === 1)
-          .select(col("fp")).distinct()
+          .select(col("fp"))
           .as(org.apache.spark.sql.Encoders.STRING), n, BloomFpp)
       live.subtractInPlace(tomb)
       val out2 = new java.io.FileOutputStream(new java.io.File(p, "cb_live.bin"))

@@ -56,9 +56,13 @@ class CountingBloomSpec extends AnyFunSuite {
     val standing = graft.queries.TextQueries5.bloomStanding(spark, sf)
       .filter(col("fp").isNotNull)
     val n = graft.queries.TextQueries5.bloomExpectedItems(spark, sf)
+    // multiset rebuild (every survivor occurrence), matching the
+    // builder — the identity build(standing) − build(tombs) ==
+    // build(survivors) is a group fact over multisets, so this gate
+    // holds for ANY corpus, shared fingerprints included
     val rebuilt = CountingBloom.build(
       standing.filter(pmod(col("doc_id"), lit(50L)) =!= 1)
-        .select(col("fp")).distinct()
+        .select(col("fp"))
         .as(org.apache.spark.sql.Encoders.STRING),
       n, graft.queries.TextQueries5.BloomFpp)
     assert(java.util.Arrays.equals(live.serializedBytes, rebuilt.serializedBytes),

@@ -28,18 +28,25 @@ import sys
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 
-def norm_samples(detail, name, per_sample):
+def norm_samples(detail, name, per_sample, fallbacks=None):
     """per_sample=False forces the run-level scalar for BOTH files:
     mixing per-sample cals on one side with a run-level scalar on the
     other is a systematic bias, not a comparison (a run-level cal that
     over/under-states most sample moments shifts every query by the
     same factor — the first r16-vs-r17 attempt showed a uniform ~2.7x
-    phantom shift exactly this way)."""
+    phantom shift exactly this way). The same rule holds PER QUERY: in
+    per-sample mode a query whose cal list is missing/mismatched/
+    non-positive on either side is SKIPPED (recorded in `fallbacks`),
+    never silently normalized run-level on one side only."""
     samples = detail["samples_s"].get(name)
     if not samples:
         return None
     cals = detail.get("cal_s", {}).get(name) if per_sample else None
     if not cals or len(cals) != len(samples) or any(c <= 0 for c in cals):
+        if per_sample:
+            if fallbacks is not None:
+                fallbacks.add(name)
+            return None
         run_cal = detail.get("calibration_s")
         if not run_cal or run_cal <= 0:
             return None
@@ -65,12 +72,17 @@ def main(old_path, new_path, threshold=1.5):
         print("run-level calibration_s; intra-run host drift is NOT cancelled,")
         print("treat flags as candidates for the isolated fresh-JVM A/B only.")
     rows = []
+    fallbacks = set()
     for name in shared:
-        o = norm_samples(old, name, per_sample)
-        n = norm_samples(new, name, per_sample)
+        o = norm_samples(old, name, per_sample, fallbacks)
+        n = norm_samples(new, name, per_sample, fallbacks)
         if not o or not n:
             continue
-        rows.append((name, med(o), med(n), o[0], n[0]))
+        # samples serialize at 3 decimals, so a sub-ms sample reads
+        # 0.000 — floor the OLD side's stats to keep ratios finite
+        rows.append((name, max(med(o), 1e-6), med(n), max(o[0], 1e-6), n[0]))
+    if fallbacks:
+        print(f"skipped (unusable cal_s in per-sample mode): {sorted(fallbacks)}")
     rows.sort(key=lambda r: r[2] / r[1], reverse=True)
     flagged, suspect = [], []
     for name, om, nm, omin, nmin in rows:

@@ -141,7 +141,13 @@ object ScaleRehearsal {
     // combined nightly roll (tombstone anti-join + arrival union +
     // re-cap in one O(index + batch) pass; the standing-index build
     // lands in the shared column)
-    "stream_lm_compact", "dedup_minhash_index_roll")
+    "stream_lm_compact", "dedup_minhash_index_roll",
+    // round 18: the ONLINE nightly roll — a full stream run per rep
+    // (4 O(batch) logging triggers: tombstone ids + arrival
+    // sign-and-band) + the batch roll's fold + the serve; expect the
+    // batch roll's class plus the arrival signature pass (the
+    // standing-index build lands in the shared column)
+    "stream_minhash_index_roll")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

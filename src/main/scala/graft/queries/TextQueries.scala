@@ -229,6 +229,50 @@ object TextQueries {
       LEFT JOIN agg ON agg.doc_id = d.doc_id
       ORDER BY d.doc_id"""
 
+  /** Shared oracle of the combined nightly roll and its streaming
+    * twin (`dedup_minhash_index_roll` / `stream_minhash_index_roll`):
+    * the artifact-true algebra recap((cap(standing) ∖ T) ∪ arrivals)
+    * with the day-3 probe slice served against the rolled index. Both
+    * mechanizations must land on this one answer — the batch roll
+    * folds staged frames directly; the stream roll logs the same
+    * deltas from micro-batches first. */
+  private[queries] def minhashRollOracle: String = s"""
+      WITH ${minhashBandsRawSql("documents")},
+      idx0 AS (SELECT * FROM bands WHERE doc_id % 5 <> 0
+               QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
+      un AS (SELECT * FROM idx0 WHERE doc_id % 20 <> 3
+             UNION ALL SELECT * FROM bands WHERE doc_id % 10 = 0),
+      idx AS (SELECT * FROM un
+              QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
+      bat AS (SELECT * FROM bands WHERE doc_id % 10 = 5),
+      hits AS (SELECT DISTINCT b.doc_id, i.doc_id AS idx_id,
+                 round(CAST(len(list_filter(range(1, 33), k -> b.sig[k] = i.sig[k])) AS DOUBLE) / 32, 6) AS est
+               FROM bat b JOIN idx i
+                 ON i.band = b.band AND i.bk1 = b.bk1 AND i.bk2 = b.bk2),
+      agg AS (SELECT doc_id, count(*) AS n_index_dups, min(idx_id) AS first_dup
+              FROM hits WHERE est >= 0.5 GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_index_dups, 0) AS n_index_dups, first_dup,
+             n_index_dups IS NOT NULL AS is_dup
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 5) d
+      LEFT JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+
+  /** The nightly roll's FOLD, shared by the batch and stream twins
+    * (`dedup_minhash_index_roll` / `stream_minhash_index_roll`):
+    * persisted standing index ∖ tombstone ids (broadcast anti-join —
+    * O(tombstones), the delete roll's guarded shape; the index side
+    * must never shuffle on the tombstone key) ∪ arrival bands,
+    * re-capped over the union. PlanShapeSpec asserts this frame's
+    * physical plan directly, so the guard covers both judged rolls'
+    * fold regardless of where their deltas came from. */
+  private[graft] def minhashRollFold(s: SparkSession,
+      d: String, tomb: DataFrame, arrivals: DataFrame): DataFrame =
+    graft.operators.ScaleOps.capBuckets(
+      s.read.parquet(sharedMinhashIndex(s, d))
+        .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .unionByName(arrivals),
+      Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
+
   /** Score a banded batch side against the persisted index at
     * `indexPath`: band-key equi-join, est-Jaccard confirm at 0.5,
     * per-doc rollup `(doc_id, n_index_dups, first_dup)` — docs with
@@ -1028,41 +1072,111 @@ object TextQueries {
       * though, the re-cap lets arrivals FILL seats tombstones
       * vacated in full buckets — the composition is more than the
       * sum of its judged parts, which QueriesSpec pins). */
-    QueryDef("dedup_minhash_index_roll", Some(s"""
-      WITH ${minhashBandsRawSql("documents")},
-      idx0 AS (SELECT * FROM bands WHERE doc_id % 5 <> 0
-               QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
-      un AS (SELECT * FROM idx0 WHERE doc_id % 20 <> 3
-             UNION ALL SELECT * FROM bands WHERE doc_id % 10 = 0),
-      idx AS (SELECT * FROM un
-              QUALIFY row_number() OVER (PARTITION BY band, bk1, bk2 ORDER BY doc_id) <= 200),
-      bat AS (SELECT * FROM bands WHERE doc_id % 10 = 5),
-      hits AS (SELECT DISTINCT b.doc_id, i.doc_id AS idx_id,
-                 round(CAST(len(list_filter(range(1, 33), k -> b.sig[k] = i.sig[k])) AS DOUBLE) / 32, 6) AS est
-               FROM bat b JOIN idx i
-                 ON i.band = b.band AND i.bk1 = b.bk1 AND i.bk2 = b.bk2),
-      agg AS (SELECT doc_id, count(*) AS n_index_dups, min(idx_id) AS first_dup
-              FROM hits WHERE est >= 0.5 GROUP BY 1)
-      SELECT d.doc_id, coalesce(n_index_dups, 0) AS n_index_dups, first_dup,
-             n_index_dups IS NOT NULL AS is_dup
-      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 5) d
-      LEFT JOIN agg ON agg.doc_id = d.doc_id
-      ORDER BY d.doc_id""")) { (s, d) =>
+    QueryDef("dedup_minhash_index_roll", Some(minhashRollOracle)) { (s, d) =>
       val rolled = graft.Staging.onceDir(s, "mhidx_rolled", d) { p =>
         val tomb = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(20L)) === 3)
           .select(col("doc_id"))
-        val surv = s.read.parquet(sharedMinhashIndex(s, d))
-          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         val arrivals = bandsOf(fixtureSigs(s, d))
           .filter(pmod(col("doc_id"), lit(10L)) === 0)
-        graft.operators.ScaleOps.capBuckets(surv.unionByName(arrivals),
-            Seq("band", "bk1", "bk2"), "doc_id", cap = 200)
+        minhashRollFold(s, d, tomb, arrivals)
           .write.mode("overwrite").parquet(p)
       }
       val probes = bandsOf(fixtureSigs(s, d))
         .filter(pmod(col("doc_id"), lit(10L)) === 5)
       scoreAgainstIndex(s, probes, rolled)
+        .join(Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10L)) === 5)
+          .select(col("doc_id")), Seq("doc_id"), "right")
+        .select(col("doc_id"),
+          coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
+          col("first_dup"), col("n_index_dups").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
+    /** ONLINE nightly roll (round-18 verdict task 1) —
+      * `dedup_minhash_index_roll`'s streaming twin, closing the
+      * streaming-maintenance matrix for the north-star dedup artifact
+      * (BM25 and LM already had judged online appends/compactions;
+      * the MinHash index rolled only in batch): the night's
+      * maintenance traffic arrives as FOUR real micro-batches (two
+      * tombstone deltas, two arrival deltas, one staged file each
+      * under maxFilesPerTrigger=1), and each foreachBatch trigger does
+      * O(batch) work only — tombstone ids log as-is; arrival docs are
+      * signed + banded off their own text (minhash signatures are
+      * per-doc pure, so a micro-batch computes rows identical to a
+      * corpus-wide pass) — into batch-id-keyed log dirs (overwrite =
+      * idempotent under replay). The standing artifact is NEVER read
+      * inside the stream. ONE roll after the drain folds the logs
+      * exactly like the batch twin: persisted index ∖ logged
+      * tombstones (broadcast anti-join) ∪ logged arrival bands,
+      * re-capped, persisted, and day-3 probes serve from the RE-READ
+      * rolled parquet. Because the roll algebra is a pure function of
+      * the delta SETS (anti-join and union don't care how deltas were
+      * micro-batched), stream == batch is exact: the oracle is the
+      * batch roll's VERBATIM, and MinHashQualitySpec additionally
+      * gates the two rolled ARTIFACTS frame-equal. Cost: O(batch) per
+      * trigger + the batch roll's O(index + tombstones + arrivals)
+      * fold — the ×100 row expects the batch roll's 0.66 class plus
+      * the arrival signature pass. */
+    QueryDef("stream_minhash_index_roll", Some(minhashRollOracle)) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      // build the standing artifact BEFORE the stream runs — the roll
+      // reads it only in the post-drain fold, but a production night
+      // starts from a standing index, not a lazy build
+      sharedMinhashIndex(s, d)
+      val root = graft.Staging.dir("mhsroll", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      // the night's traffic: tombstones carry ids only, arrivals carry
+      // their text (the ingest reality — a deletion request has no
+      // payload; a new doc must be signed from its content)
+      val docs = Tables.documents(s, d)
+      val tombIn = docs
+        .filter(pmod(col("doc_id"), lit(20L)) === 3)
+        .select(lit("tomb").as("kind"), col("doc_id"),
+          lit(null).cast("string").as("text"))
+      val arrIn = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(lit("arrival").as("kind"), col("doc_id"), col("text"))
+      Seq(tombIn.filter(pmod(col("doc_id"), lit(40L)) === 3),
+          tombIn.filter(pmod(col("doc_id"), lit(40L)) === 23),
+          arrIn.filter(pmod(col("doc_id"), lit(20L)) === 0),
+          arrIn.filter(pmod(col("doc_id"), lit(20L)) === 10))
+        .zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(s"$root/in")
+        }
+      val schema = s.read.parquet(s"$root/in").schema
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              b.filter(col("kind") === "tomb").select(col("doc_id"))
+                .write.mode("overwrite").parquet(s"$root/log/t$id")
+              minhashBandedRaw(
+                  b.filter(col("kind") === "arrival")
+                    .select(col("doc_id"), col("text")))
+                .write.mode("overwrite").parquet(s"$root/log/a$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_minhash_index_roll")
+      }
+      // the one roll: fold every logged delta into the persisted index
+      // (declared schemas: an empty batch's log dir has no footers)
+      val tomb = s.read.schema("doc_id LONG").parquet(s"$root/log/t*")
+      val arrivals = s.read
+        .schema("doc_id LONG, sig ARRAY<LONG>, band INT, bk1 LONG, bk2 LONG")
+        .parquet(s"$root/log/a*")
+      minhashRollFold(s, d, tomb, arrivals)
+        .write.mode("overwrite").parquet(s"$root/rolled")
+      val probes = bandsOf(fixtureSigs(s, d))
+        .filter(pmod(col("doc_id"), lit(10L)) === 5)
+      scoreAgainstIndex(s, probes, s"$root/rolled")
         .join(Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10L)) === 5)
           .select(col("doc_id")), Seq("doc_id"), "right")
         .select(col("doc_id"),

@@ -22,9 +22,15 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
 object StreamMetrics {
 
   /** One micro-batch observation. `triggerMs` is the full trigger
-    * execution wall time; `inputRows` the batch's source rows. */
+    * execution wall time; `inputRows` the batch's source rows;
+    * `stateRows` the total buffered state rows across the batch's
+    * stateful operators (−1 when the query is stateless) — the
+    * streaming join family's TRUE scaling axis (JoinScaleProbe fitted
+    * per-trigger wall ~linear in state residency at exponent 0.75
+    * once eviction lags), so it is recorded per batch and spec-gated
+    * against the watermark-implied bound (round-18 verdict task 6). */
   final case class BatchMetric(query: String, batchId: Long, inputRows: Long,
-      triggerMs: Long, rowsPerSec: Double)
+      triggerMs: Long, rowsPerSec: Double, stateRows: Long)
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.streaming.metrics")
   private val ring = new java.util.concurrent.ConcurrentLinkedQueue[BatchMetric]()
@@ -55,12 +61,13 @@ object StreamMetrics {
       val m = BatchMetric(
         Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows,
         Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L),
-        p.processedRowsPerSecond)
+        p.processedRowsPerSecond,
+        if (p.stateOperators.isEmpty) -1L else p.stateOperators.map(_.numRowsTotal).sum)
       ring.add(m)
       while (ring.size > RingCap) ring.poll()
       trigCount.incrementAndGet()
       trigMs.addAndGet(math.max(m.triggerMs, 0L))
-      log.info(s"""{"stream":"${m.query}","event":"progress","batch":${m.batchId},"input_rows":${m.inputRows},"trigger_ms":${m.triggerMs},"rows_per_sec":${m.rowsPerSec}}""")
+      log.info(s"""{"stream":"${m.query}","event":"progress","batch":${m.batchId},"input_rows":${m.inputRows},"trigger_ms":${m.triggerMs},"rows_per_sec":${m.rowsPerSec},"state_rows":${m.stateRows}}""")
     }
 
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =

@@ -129,6 +129,27 @@ class MinHashQualitySpec extends AnyFunSuite {
       "the roll's tombstone fold changed nothing - the composition gate is vacuous")
   }
 
+  test("stream roll == batch roll: the two rolled artifacts are frame-equal") {
+    // round-18 verdict task 1's gate: the ONLINE roll (four real
+    // micro-batches logging tombstones + arrivals, one fold after the
+    // drain) must land on the SAME artifact as the batch nightly roll
+    // — not just the same probe answers. Multiset frame equality via
+    // exceptAll both ways (doc_id can legitimately repeat across
+    // bands; sig arrays compare element-wise).
+    val sf = TestSpark.sf0001
+    SparkEntry.queries("dedup_minhash_index_roll")(spark, sf).collect()
+    SparkEntry.queries("stream_minhash_index_roll")(spark, sf).collect()
+    val cols = Seq("doc_id", "sig", "band", "bk1", "bk2").map(col)
+    val batchArt = spark.read.parquet(graft.Staging.dir("mhidx_rolled", sf))
+      .select(cols: _*)
+    val streamArt = spark.read.parquet(graft.Staging.dir("mhsroll", sf) + "/rolled")
+      .select(cols: _*)
+    assert(batchArt.count() > 0, "batch roll artifact is empty - vacuous gate")
+    assert(streamArt.exceptAll(batchArt).count() == 0 &&
+      batchArt.exceptAll(streamArt).count() == 0,
+      "stream-rolled artifact diverged from the batch-rolled artifact")
+  }
+
   test("recap is load-bearing: pre- and post-recap serves differ on a planted over-cap row") {
     // the compaction dedup_minhash_index_recap judges, demonstrated on
     // the planted bucket: pre-recap (cap standing, then filter

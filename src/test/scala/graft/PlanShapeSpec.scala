@@ -405,6 +405,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("stream_minhash_index_roll: serve broadcasts into the rolled artifact; fold anti-join broadcasts") {
+    // the streaming twin's serve keeps the batch roll's contract
+    // (probes broadcast into the rolled parquet scan) ...
+    val p = plan("stream_minhash_index_roll")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // ... and the shared FOLD (minhashRollFold — the exact frame both
+    // rolls persist) anti-joins tombstones by BROADCAST: the index
+    // side must never shuffle-exchange on the tombstone key, the
+    // delete-roll guard applied to the roll composition. Driven over
+    // the stream run's own logged deltas.
+    val root = graft.Staging.dir("mhsroll", sf)
+    val tomb = spark.read.schema("doc_id LONG").parquet(s"$root/log/t*")
+    val arrivals = spark.read
+      .schema("doc_id LONG, sig ARRAY<LONG>, band INT, bk1 LONG, bk2 LONG")
+      .parquet(s"$root/log/a*")
+    val fp = graft.queries.TextQueries.minhashRollFold(spark, sf, tomb, arrivals)
+      .queryExecution.executedPlan.toString
+    assert(fp.contains("BroadcastHashJoin") && fp.contains("LeftAnti"),
+      "roll fold's tombstone anti-join is not a broadcast hash join: " + fp.take(2000))
+    assert(!fp.contains("SortMergeJoin LeftAnti"),
+      "roll fold shuffled the index side on the tombstone key")
+  }
+
   test("dedup_minhash_index_recap: probes broadcast into the recapped artifact scan") {
     // the post-compaction serve keeps the incremental contract: the
     // recapped index streams off its parquet, the batch side

@@ -194,6 +194,40 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("containment df-drift gap CAN bite: planted df-11 shingle crosses the prune only after a recap") {
+    // Round-18: the non-vacuity proof behind the recap-cadence dial
+    // (tools/recap_dial.py measured 0.00% loss on the real fixtures at
+    // 2.5–25% tombstones — this plants the case where the gap exists).
+    // Eleven standing docs share shingle g, so the build-time df=11
+    // prunes its posting list; tombstoning one drops survivor df to
+    // 10 = the threshold, and the recap re-admits the list while the
+    // delete serve (anti-join on an artifact that never stored g)
+    // physically cannot — the df-drift analogue of the MinHash planted
+    // over-cap row.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val idx0 = (1L to 11L).map(i => (i, "g")).toDF("idx_id", "g")
+    val tomb = Seq(3L).toDF("idx_id")
+    val bat = Seq((100L, "g")).toDF("doc_id", "g")
+    def confirmed(idx: org.apache.spark.sql.DataFrame) = {
+      val sz = bat.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      bat.join(idx, Seq("g"))
+        .groupBy(col("doc_id"), col("idx_id")).agg(count(lit(1)).as("inter"))
+        .join(sz, "doc_id").filter(col("inter") * 2 >= col("n"))
+    }
+    val keepFull = idx0.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 10).select("g")
+    val serve = idx0.join(keepFull, Seq("g")).join(tomb, Seq("idx_id"), "left_anti")
+    val surv = idx0.join(tomb, Seq("idx_id"), "left_anti")
+    val keepSurv = surv.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 10).select("g")
+    val recap = surv.join(keepSurv, Seq("g"))
+    assert(confirmed(serve).count() == 0,
+      "planted df-11 shingle leaked through the build-time prune")
+    assert(confirmed(recap).count() == 10,
+      "recap did not re-admit the df-drifted posting list")
+  }
+
   test("bm25 index lifecycle: persisted == direct, append == rebuild, delete exact and load-bearing") {
     def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

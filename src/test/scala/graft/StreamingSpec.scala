@@ -255,4 +255,52 @@ class StreamingSpec extends AnyFunSuite {
       extra = Map("spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
+
+  test("stream-stream joins: final buffered state obeys the watermark-implied bound (residency gate)") {
+    // Round-18 verdict task 6: JoinScaleProbe measured per-trigger wall
+    // ~linear in buffered-state rows (exponent 0.75) once eviction
+    // lags — state RESIDENCY, not row throughput, is the streaming
+    // join's true scaling axis. This gate asserts the three judged
+    // stream-stream joins actually BOUND it: after the final no-data
+    // batch, the symmetric hash join may hold only (a) purchases with
+    // p_ts >= w and (b) clicks with c_ts >= w − 1h, where
+    // w = least(max p_ts, max c_ts) − 2h is the final global watermark
+    // (2h delay on both sides; the 1h interval sets the click side's
+    // extra lifetime). A watermark or interval-condition edit that
+    // silently unbounds a side fails here with the measured rows.
+    // 1s slack absorbs Spark's conservative boundary adjustments.
+    import graft.streaming.StreamMetrics
+    val sf = TestSpark.sf0001
+    val ev = Tables.events(spark, sf).select(col("ts"), col("event_type"))
+    val mx = ev.groupBy(col("event_type")).agg(max(col("ts")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).getTime).toMap
+    val wMs = math.min(mx("purchase"), mx("click")) - 2L * 3600 * 1000
+    def keptAfter(kind: String, cutMs: Long) =
+      ev.filter(col("event_type") === kind &&
+        col("ts") >= lit(new java.sql.Timestamp(cutMs - 1000L))).count()
+    val bound = keptAfter("purchase", wMs) + keptAfter("click", wMs - 3600 * 1000L)
+    val total = ev.filter(col("event_type").isin("purchase", "click")).count()
+    assert(bound < total,
+      s"watermark bound $bound does not bite at $total rows - vacuous gate fixture")
+    for ((name, prefix) <- Seq(
+        "stream_stream_join" -> "graft_q_ssj_",
+        "stream_stream_left_join" -> "graft_q_sslj_",
+        "stream_stream_full_join" -> "graft_q_ssfj_")) {
+      SparkEntry.queries(name)(spark, sf).collect()
+      // the listener bus delivers asynchronously — bounded poll
+      val sink = prefix + graft.Staging.suffix(sf)
+      val deadline = System.currentTimeMillis() + 30000
+      def stateful() = StreamMetrics.forQuery(sink).filter(_.stateRows >= 0)
+      while (stateful().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val got = stateful()
+      assert(got.nonEmpty, s"$name: no stateful batch metrics captured for $sink")
+      val fin = got.maxBy(_.batchId)
+      assert(fin.stateRows > 0,
+        s"$name: zero final state - the residency gate is vacuous at this fixture")
+      assert(fin.stateRows <= bound,
+        s"$name: final state ${fin.stateRows} exceeds the watermark-implied " +
+          s"bound $bound - a watermark/interval edit unbounded state")
+    }
+  }
 }

@@ -147,7 +147,13 @@ object ScaleRehearsal {
     // sign-and-band) + the batch roll's fold + the serve; expect the
     // batch roll's class plus the arrival signature pass (the
     // standing-index build lands in the shared column)
-    "stream_minhash_index_roll")
+    "stream_minhash_index_roll",
+    // round 18 over-delivery: the second capped family's roll pair
+    // (batch fold + the online twin) and the posting index's online
+    // exact append (two O(batch) shingle+df logging triggers + one
+    // vocab-sized df-merge fold + the re-pruned serve)
+    "dedup_simhash_index_roll", "stream_simhash_index_roll",
+    "stream_containment_index_append")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

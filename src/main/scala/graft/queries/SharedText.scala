@@ -46,6 +46,17 @@ object SharedText {
         .localCheckpoint()
     }
 
+  /** The distinct-3-gram explode over a tokenized `(doc_id, w)` frame
+    * — the ONE copy of the shingle expression, shared by the
+    * fixture-memoized [[shingles3]] and the per-batch [[shinglesOf]]
+    * so the streaming index rolls can never drift from the batch
+    * form. */
+  private def shingleExplode(tok: DataFrame): DataFrame =
+    tok.filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => array_join(slice(col("w"), i, lit(3)), " ")))).as("g"))
+
   /** Distinct token-3-gram posting list `(doc_id, g)` over documents
     * with ≥3 tokens — the shared shingle form of `dedup_containment`
     * and `doc_decontaminate` (both prune/probe the SAME per-doc
@@ -53,13 +64,14 @@ object SharedText {
     * Staging.frame build — safe under the holder-based memoizer). */
   def shingles3(s: SparkSession, d: String): DataFrame =
     Staging.frame(s, "shingles3", d) {
-      tokenized(s, d)
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(
-          transform(sequence(lit(1), size(col("w")) - 2),
-            i => array_join(slice(col("w"), i, lit(3)), " ")))).as("g"))
-        .localCheckpoint()
+      shingleExplode(tokenized(s, d)).localCheckpoint()
     }
+
+  /** [[shingles3]] over an arbitrary `(doc_id, text)` frame — per-doc
+    * pure, so a micro-batch computes rows identical to the corpus-wide
+    * pass (the streaming maintenance form). */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    shingleExplode(docs.select(col("doc_id"), tokens(col("text")).as("w")))
 
   private val maxIds = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 

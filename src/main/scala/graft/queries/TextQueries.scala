@@ -461,10 +461,13 @@ object TextQueries {
 
   /** Batch probe against a simhash band index: band equi-join, Hamming
     * ≤ 16 confirm, per-doc rollup, full batch roster via left join —
-    * `dedup_minhash_incremental`'s serve shape on the simhash family. */
-  private def simhashServe(s: SparkSession, d: String, idxRaw: DataFrame): DataFrame = {
+    * `dedup_minhash_incremental`'s serve shape on the simhash family.
+    * The probe slice is `doc_id % mod = res` (the incremental family
+    * probes %5=0; the roll twins probe the day-3 %10=5 slice). */
+  private def simhashServe(s: SparkSession, d: String, idxRaw: DataFrame,
+      mod: Long = 5L, res: Long = 0L): DataFrame = {
     val batch = fixtureSimhashBandedRaw(s, d)
-      .filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .filter(pmod(col("doc_id"), lit(mod)) === res)
     val idx = idxRaw.select(col("band"), col("bkey"),
       col("doc_id").as("idx_id"), col("sh64").as("idx_sh"))
     val scored = batch.join(idx, Seq("band", "bkey"))
@@ -474,7 +477,7 @@ object TextQueries {
       .dropDuplicates("doc_id", "idx_id")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_index_dups"), min(col("idx_id")).as("first_dup"))
-    Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5L)) === 0)
+    Tables.documents(s, d).filter(pmod(col("doc_id"), lit(mod)) === res)
       .select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -483,6 +486,46 @@ object TextQueries {
         col("n_index_dups").isNotNull.as("is_dup"))
       .orderBy(col("doc_id"))
   }
+
+  /** The simhash nightly roll's FOLD, shared by the batch and stream
+    * twins (`dedup_simhash_index_roll` / `stream_simhash_index_roll`)
+    * and PlanShapeSpec's guard — [[minhashRollFold]]'s shape on the
+    * bit-signature family: persisted standing band index ∖ tombstone
+    * ids (broadcast anti-join, O(tombstones)) ∪ arrival bands,
+    * re-capped over the union. */
+  private[graft] def simhashRollFold(s: SparkSession,
+      d: String, tomb: DataFrame, arrivals: DataFrame): DataFrame =
+    graft.operators.ScaleOps.capBuckets(
+      s.read.parquet(sharedSimhashIndex(s, d, "shared"))
+        .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .unionByName(arrivals),
+      Seq("band", "bkey"), "doc_id", cap = 200)
+
+  /** Shared oracle of the simhash combined roll and its streaming twin
+    * — [[minhashRollOracle]]'s algebra on the bit-signature family:
+    * recap((cap(standing) ∖ T) ∪ arrivals) with tombstones doc_id ≡ 6
+    * (mod 20) (the simhash delete's load-bearing residue), arrivals
+    * doc_id % 10 = 0, and the day-3 probe slice doc_id % 10 = 5. */
+  private[queries] def simhashRollOracle: String = s"""
+      WITH ${simhashBandsSql("documents")},
+      idx0 AS (SELECT * FROM bands WHERE doc_id % 5 <> 0
+               QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 200),
+      un AS (SELECT * FROM idx0 WHERE doc_id % 20 <> 6
+             UNION ALL SELECT * FROM bands WHERE doc_id % 10 = 0),
+      idx AS (SELECT * FROM un
+              QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 200),
+      bat AS (SELECT * FROM bands WHERE doc_id % 10 = 5),
+      hits AS (SELECT DISTINCT b.doc_id, i.doc_id AS idx_id,
+                 CAST(list_sum(list_transform(list_zip(b.bits, i.bits),
+                   s -> CASE WHEN s[1] <> s[2] THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+               FROM bat b JOIN idx i ON i.band = b.band AND i.bkey = b.bkey),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_index_dups, min(idx_id) AS first_dup
+              FROM hits WHERE ham <= 16 GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(n_index_dups, 0) AS BIGINT) AS n_index_dups, first_dup,
+             n_index_dups IS NOT NULL AS is_dup
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 5) d
+      LEFT JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
 
   /** Shared oracle of the simhash probe serves, with parameterized
     * index filters on BOTH sides of the cap (post-cap `TRUE` for the
@@ -1377,6 +1420,98 @@ object TextQueries {
           .write.mode("overwrite").parquet(p)
       }
       simhashServe(s, d, s.read.parquet(recapped))
+    },
+
+    /** Simhash combined NIGHTLY roll (round 18) —
+      * `dedup_minhash_index_roll`'s composition on the bit-signature
+      * family, completing the second capped family's roll story
+      * (append, delete, recap existed; the one-pass nightly
+      * tombstones+arrivals fold did not): the persisted standing band
+      * index drops tombstones (broadcast anti-join), day-2 arrivals
+      * union in, the cap re-applies over the union, the rolled
+      * artifact persists, and day-3 probes serve from the RE-READ
+      * parquet. O(index + tombstones + arrivals), never the corpus.
+      * The oracle is the artifact-true composition
+      * recap((cap(standing) ∖ T) ∪ B) — same honest directional
+      * stance as the MinHash roll (the delete half's gap persists
+      * until a recap window; the re-cap lets arrivals fill vacated
+      * seats). */
+    QueryDef("dedup_simhash_index_roll", Some(simhashRollOracle)) { (s, d) =>
+      val rolled = graft.Staging.onceDir(s, "shidx_rolled", d) { p =>
+        val tomb = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(20L)) === 6)
+          .select(col("doc_id"))
+        val arrivals = fixtureSimhashBandedRaw(s, d)
+          .filter(pmod(col("doc_id"), lit(10L)) === 0)
+        simhashRollFold(s, d, tomb, arrivals)
+          .write.mode("overwrite").parquet(p)
+      }
+      simhashServe(s, d, s.read.parquet(rolled), mod = 10L, res = 5L)
+    },
+
+    /** ONLINE simhash nightly roll (round 18) —
+      * `stream_minhash_index_roll`'s pattern on the bit-signature
+      * family: the night's tombstone and arrival deltas arrive as
+      * four real micro-batches, each trigger logs O(batch) rows only
+      * (tombstone ids as-is; arrivals signed + banded off their own
+      * text — per-doc-pure, so a micro-batch computes rows identical
+      * to the corpus pass), the standing artifact is never read
+      * in-stream, and ONE post-drain fold (the shared
+      * [[simhashRollFold]]) persists the rolled artifact for the
+      * day-3 serve. The oracle is the batch roll's VERBATIM, and
+      * MinHashQualitySpec gates the two rolled artifacts frame-equal
+      * — stream == batch exactly, the roll algebra being a pure
+      * function of the delta sets. */
+    QueryDef("stream_simhash_index_roll", Some(simhashRollOracle)) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      sharedSimhashIndex(s, d, "shared")
+      val root = graft.Staging.dir("shsroll", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val docs = Tables.documents(s, d)
+      val tombIn = docs
+        .filter(pmod(col("doc_id"), lit(20L)) === 6)
+        .select(lit("tomb").as("kind"), col("doc_id"),
+          lit(null).cast("string").as("text"))
+      val arrIn = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(lit("arrival").as("kind"), col("doc_id"), col("text"))
+      Seq(tombIn.filter(pmod(col("doc_id"), lit(40L)) === 6),
+          tombIn.filter(pmod(col("doc_id"), lit(40L)) === 26),
+          arrIn.filter(pmod(col("doc_id"), lit(20L)) === 0),
+          arrIn.filter(pmod(col("doc_id"), lit(20L)) === 10))
+        .zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(s"$root/in")
+        }
+      val schema = s.read.parquet(s"$root/in").schema
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              b.filter(col("kind") === "tomb").select(col("doc_id"))
+                .write.mode("overwrite").parquet(s"$root/log/t$id")
+              simhashBandedRawFromToks(
+                  b.filter(col("kind") === "arrival")
+                    .select(col("doc_id"),
+                      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")))
+                .write.mode("overwrite").parquet(s"$root/log/a$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_simhash_index_roll")
+      }
+      val tomb = s.read.schema("doc_id LONG").parquet(s"$root/log/t*")
+      val arrivals = s.read
+        .schema("doc_id LONG, sh64 LONG, band INT, bkey INT")
+        .parquet(s"$root/log/a*")
+      simhashRollFold(s, d, tomb, arrivals)
+        .write.mode("overwrite").parquet(s"$root/rolled")
+      simhashServe(s, d, s.read.parquet(s"$root/rolled"), mod = 10L, res = 5L)
     },
 
     QueryDef("multimodal_decode", Some("""

@@ -50,6 +50,25 @@ object TextQueries5 {
       df1.write.mode("overwrite").parquet(s"$p/df")
     }
 
+  /** The online append's FOLD, shared by the judged query and
+    * QueriesSpec's artifact gate: df(day1) ∪ logged per-batch dfs
+    * merged (one vocab-sized sum — counts are a commutative monoid,
+    * so the micro-batch split provably cannot change the merged
+    * table), and the ≤10 prune re-applied over day-1 postings ∪
+    * logged postings. Because df only GROWS under append, the result
+    * equals the from-scratch standing rebuild row-for-row (the batch
+    * append's exactness argument verbatim). */
+  private[graft] def containmentAppendFold(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      postingsLog: org.apache.spark.sql.DataFrame,
+      dfLog: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val day1Root = sharedContainmentDay1Index(s, d)
+    val dfM = s.read.parquet(s"$day1Root/df").unionByName(dfLog)
+      .groupBy("g").agg(sum("df").as("df"))
+    s.read.parquet(s"$day1Root/postings").unionByName(postingsLog)
+      .join(dfM.filter(col("df") <= 10).select(col("g")), Seq("g"))
+  }
+
   /** The shared batch-probe tail over a containment posting index —
     * one copy for the incremental serve, the delete roll, and the
     * append roll (`dedup_containment_incremental`'s judged block). */
@@ -219,6 +238,70 @@ object TextQueries5 {
       val idx = s.read.parquet(s"$root/postings").unionByName(day2)
         .join(dfM.filter(col("df") <= 10).select(col("g")), Seq("g"))
       probeContainment(s, d, idx)
+    },
+
+    /** ONLINE containment-index append (round 18) —
+      * `dedup_containment_index_append`'s streaming twin on the
+      * `stream_minhash_index_roll` staging (the exact-append family's
+      * online form; BM25 and LM had theirs, the posting index did
+      * not): day-2 arrivals land as TWO real micro-batches
+      * (maxFilesPerTrigger=1), each foreachBatch trigger does O(batch)
+      * work only — the batch's shingles and its per-shingle df
+      * contribution write to batch-id-keyed log dirs (overwrite =
+      * idempotent under replay); the day-1 artifact is NEVER read
+      * in-stream. ONE post-drain fold merges df(day1) ∪ logged dfs
+      * (counts are a commutative monoid, so micro-batch boundaries
+      * provably cannot change the merged table), re-applies the ≤10
+      * prune over (day-1 postings ∪ logged postings), and serves the
+      * batch probes. The append contract is EXACT (df only grows —
+      * the batch twin's argument verbatim), so the gate is the
+      * full-standing-rebuild oracle shared with
+      * `dedup_containment_incremental`/`_index_append`, and
+      * QueriesSpec additionally gates the folded posting set
+      * frame-equal to the from-scratch standing index artifact. */
+    QueryDef("stream_containment_index_append", Some(containmentIncrementalOracle)) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      // build the day-1 artifact BEFORE the stream runs (read only in
+      // the post-drain fold, but the production night starts from it)
+      sharedContainmentDay1Index(s, d)
+      val root = graft.Staging.dir("ctsapp", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val day2 = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+          pmod(col("doc_id"), lit(2L)) === 1)
+        .select(col("doc_id"), col("text"))
+      Seq(day2.filter(pmod(col("doc_id"), lit(4L)) === 1),
+          day2.filter(pmod(col("doc_id"), lit(4L)) === 3))
+        .zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(s"$root/in")
+        }
+      val schema = s.read.parquet(s"$root/in").schema
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val sh = SharedText.shinglesOf(b)
+                .withColumnRenamed("doc_id", "idx_id")
+                .localCheckpoint()   // one shingle pass feeds both logs
+              sh.write.mode("overwrite").parquet(s"$root/log/p$id")
+              sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+                .write.mode("overwrite").parquet(s"$root/log/df$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_containment_index_append")
+      }
+      // the one fold: vocab-sized df merge + re-pruned posting union
+      probeContainment(s, d, containmentAppendFold(s, d,
+        s.read.schema("idx_id LONG, g STRING").parquet(s"$root/log/p*"),
+        s.read.schema("g STRING, df LONG").parquet(s"$root/log/df*")))
     },
 
     /** Containment-index DELETION (round 16) — the posting index's

@@ -429,6 +429,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "roll fold shuffled the index side on the tombstone key")
   }
 
+  test("stream_simhash_index_roll: serve broadcasts into the rolled artifact; fold anti-join broadcasts") {
+    // the bit-signature family's roll twins keep the minhash roll's
+    // guarded shape (stream_minhash_index_roll's test, one family over)
+    val p = plan("stream_simhash_index_roll")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    val root = graft.Staging.dir("shsroll", sf)
+    val tomb = spark.read.schema("doc_id LONG").parquet(s"$root/log/t*")
+    val arrivals = spark.read
+      .schema("doc_id LONG, sh64 LONG, band INT, bkey INT")
+      .parquet(s"$root/log/a*")
+    val fp = graft.queries.TextQueries.simhashRollFold(spark, sf, tomb, arrivals)
+      .queryExecution.executedPlan.toString
+    assert(fp.contains("BroadcastHashJoin") && fp.contains("LeftAnti"),
+      "simhash roll fold's tombstone anti-join is not a broadcast hash join: " + fp.take(2000))
+    assert(!fp.contains("SortMergeJoin LeftAnti"),
+      "simhash roll fold shuffled the index side on the tombstone key")
+  }
+
   test("dedup_minhash_index_recap: probes broadcast into the recapped artifact scan") {
     // the post-compaction serve keeps the incremental contract: the
     // recapped index streams off its parquet, the batch side

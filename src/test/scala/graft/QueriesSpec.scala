@@ -217,6 +217,56 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash stream roll == batch roll: rolled artifacts frame-equal, roll load-bearing") {
+    // Round-18: the simhash nightly roll's stream==batch gate (the
+    // MinHashQualitySpec gate on the bit-signature family) plus the
+    // composition's non-vacuity: no served first_dup may be a
+    // tombstone (doc_id ≡ 6 mod 20), and at least one must be an
+    // arrival (doc_id % 10 = 0 — only arrivals carry that residue, so
+    // the union half of the fold provably changed an answer; measured
+    // 7 arrival witnesses at sf0.001).
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("dedup_simhash_index_roll")(spark, sf).collect()
+    val served = SparkEntry.queries("stream_simhash_index_roll")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(served.forall { case (_, fd) => fd == -1L || fd % 20 != 6 },
+      "a tombstoned index doc survived the roll as a first_dup")
+    assert(served.exists { case (_, fd) => fd >= 0 && fd % 10 == 0 },
+      "no arrival is any probe's first_dup - the union half is vacuous at this sf")
+    val cols = Seq("doc_id", "sh64", "band", "bkey").map(col)
+    val batchArt = spark.read.parquet(graft.Staging.dir("shidx_rolled", sf))
+      .select(cols: _*)
+    val streamArt = spark.read.parquet(graft.Staging.dir("shsroll", sf) + "/rolled")
+      .select(cols: _*)
+    assert(batchArt.count() > 0, "batch roll artifact is empty - vacuous gate")
+    assert(streamArt.exceptAll(batchArt).count() == 0 &&
+      batchArt.exceptAll(streamArt).count() == 0,
+      "stream-rolled simhash artifact diverged from the batch-rolled artifact")
+  }
+
+  test("stream containment append: the folded posting set equals the from-scratch standing index") {
+    // Round-18: the online append's artifact gate (the exact-append
+    // argument made frame-level — stream_minhash_index_roll's
+    // MinHashQualitySpec gate applied to the posting family): after
+    // the stream drains, fold(day1 ∪ logged deltas) must equal the
+    // from-scratch df-pruned index over the FULL standing corpus,
+    // row for row. Multiset equality via exceptAll both ways.
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("stream_containment_index_append")(spark, sf).collect()
+    val root = graft.Staging.dir("ctsapp", sf)
+    val folded = graft.queries.TextQueries5.containmentAppendFold(spark, sf,
+        spark.read.schema("idx_id LONG, g STRING").parquet(s"$root/log/p*"),
+        spark.read.schema("g STRING, df LONG").parquet(s"$root/log/df*"))
+      .select(col("idx_id"), col("g"))
+    SparkEntry.queries("dedup_containment_incremental")(spark, sf).collect()
+    val rebuilt = spark.read.parquet(graft.Staging.dir("ctidx_shared", sf))
+      .select(col("idx_id"), col("g"))
+    assert(rebuilt.count() > 0, "standing index is empty - vacuous gate")
+    assert(folded.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(folded).count() == 0,
+      "stream-folded posting set diverged from the from-scratch standing index")
+  }
+
   test("containment df-drift gap CAN bite: planted df-11 shingle crosses the prune only after a recap") {
     // Round-18: the non-vacuity proof behind the recap-cadence dial
     // (tools/recap_dial.py measured 0.00% loss on the real fixtures at

@@ -153,7 +153,19 @@ object ScaleRehearsal {
     // exact append (two O(batch) shingle+df logging triggers + one
     // vocab-sized df-merge fold + the re-pruned serve)
     "dedup_simhash_index_roll", "stream_simhash_index_roll",
-    "stream_containment_index_append")
+    "stream_containment_index_append",
+    // round 18: the last two streaming-maintenance cells — the
+    // counting-bloom online forget (2 O(batch) treeAggregate triggers
+    // + one cell-wise merge/subtract + the probe serve; artifact build
+    // in the shared column) and the IVFADC online append (per-trigger
+    // frozen-codebook assign+encode, O(batch); the day-1 train runs
+    // in-query per rep, the incremental twin's honest cost)
+    "stream_bloom_forget", "stream_ann_ivfpq_append",
+    // round 18: the k-means online codebook roll (2 O(batch)
+    // stats-reduction triggers + one k·d-row merge + the full-corpus
+    // re-assign serve; day-1 stats/codebook builds in the shared
+    // column)
+    "stream_kmeans_update")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

@@ -245,6 +245,69 @@ object KmeansQueries {
         .orderBy(col("vec_id"))
     },
 
+    /** ONLINE codebook maintenance (round 18) — `vec_kmeans_update`'s
+      * streaming twin, closing the k-means family's
+      * streaming-maintenance cell (stream_kmeans_assign serves off a
+      * frozen codebook; this streams the codebook's own roll): day-2
+      * vectors arrive as TWO real micro-batches, each trigger reduces
+      * its batch to sufficient statistics against the SAME frozen
+      * trained codebook — one O(batch) broadcast pass — into a
+      * batch-id-keyed log dir (overwrite = idempotent under replay);
+      * the standing stats artifact is NEVER read in-stream. ONE
+      * post-drain fold merges day-1 stats ∪ logged stats by plain
+      * addition and floor-means the sums; because (sv, cnt) compose
+      * under a commutative group and assignment against a frozen
+      * codebook is per-vector pure, the micro-batch split provably
+      * cannot change any merged cell — the gate is the batch twin's
+      * rebuild-round oracle VERBATIM, and KmeansSpec pins the
+      * stream-rolled codebook frame-equal to the batch roll's. */
+    QueryDef("stream_kmeans_update", Some(chainSql + updateRoundSql + """
+      SELECT vec_id, cluster FROM asg3 ORDER BY vec_id""")) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      import graft.functions.VectorFunctions.{quantize, qdot}
+      val cents = kmeansArtifact(s, d)
+      val statsDir = kmeansStatsDir(s, d)
+      val root = graft.Staging.dir("kmsupd", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val day2 = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(2L)) === 1)
+      Seq(day2.filter(pmod(col("vec_id"), lit(4L)) === 1),
+          day2.filter(pmod(col("vec_id"), lit(4L)) === 3))
+        .zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(s"$root/in")
+        }
+      val schema = s.read.parquet(s"$root/in").schema
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val bv = b.select(col("vec_id"), quantize(col("embedding")).as("q"))
+                .withColumn("n2", qdot(col("q"), col("q")))
+              statsOf(bv, cents)
+                .write.mode("overwrite").parquet(s"$root/log/b$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_kmeans_update")
+      }
+      // the one fold: day-1 stats ∪ logged per-batch stats, floor-mean
+      val merged = centroidsFromStats(
+        s.read.parquet(statsDir).unionByName(
+          s.read.schema("cluster LONG, pos INT, sv LONG, cnt LONG")
+            .parquet(s"$root/log/b*")))
+      merged.write.mode("overwrite").parquet(s"$root/codebook")
+      VectorQueries.ivfAssign(VectorQueries.ivfCorpus(s, d),
+          s.read.parquet(s"$root/codebook"))
+        .orderBy(col("vec_id"))
+    },
+
     /** Codebook DELETION — the k-means family's forget roll, and the
       * one delete mechanism in the repo that is EXACT BY ALGEBRA
       * rather than by construction or by contract: the persisted

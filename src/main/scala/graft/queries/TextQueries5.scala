@@ -828,15 +828,7 @@ object TextQueries5 {
       * re-read standing artifact, bit-identical to a survivor rebuild
       * (CountingBloomSpec's bytes gate) with O(1) driver memory at
       * any tombstone-batch size. */
-    QueryDef("dedup_bloom_seen_delete", Some("""
-      WITH t AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
-      batch AS (SELECT doc_id, fp FROM t WHERE doc_id % 5 = 0
-                UNION ALL
-                SELECT doc_id + 10000000000, fp FROM t WHERE doc_id % 5 <> 0 AND doc_id % 25 = 1),
-      s AS (SELECT DISTINCT fp FROM t WHERE doc_id % 5 <> 0 AND doc_id % 50 <> 1)
-      SELECT b.doc_id, s.fp IS NOT NULL AS is_seen
-      FROM batch b LEFT JOIN s ON s.fp = b.fp
-      ORDER BY b.doc_id""")) { (s, d) =>
+    QueryDef("dedup_bloom_seen_delete", Some(BloomSeenDeleteSql)) { (s, d) =>
       import graft.operators.CountingBloom
       require(SharedText.maxDocId(s, d) < 10000000000L,
         "documents doc_id >= 1e10 collides with the re-crawl id offset")
@@ -853,6 +845,102 @@ object TextQueries5 {
       def mightContain(c: org.apache.spark.sql.Column) = graftMightContain(bc, c)
       val confirmed = batch.filter(mightContain(col("fp")))
         .join(live.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id")).withColumn("hit", lit(true))
+      batch.join(confirmed, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_seen"))
+        .orderBy(col("doc_id"))
+    },
+
+    /** ONLINE counting-bloom forget roll (round 18) — the bloom
+      * family's streaming-maintenance cell, closing the matrix across
+      * every index family: deletion requests arrive as TWO real
+      * micro-batches (maxFilesPerTrigger=1), and each foreachBatch
+      * trigger treeAggregates its batch's fingerprints into its OWN
+      * counting bloom — O(batch), distributed, same (n, fpp) sizing
+      * so cells align — serialized to a batch-id-keyed log file
+      * (overwrite = idempotent under replay); the standing artifact
+      * is NEVER read in-stream. ONE post-drain roll merges the logged
+      * tombstone blooms (cell-wise group addition — micro-batch
+      * boundaries provably cannot change the sum) and subtracts the
+      * merged bloom from the RE-READ cb_full artifact with the
+      * pre-mutation non-negativity validation; the serve probes the
+      * re-read stream-rolled bloom through the native
+      * `graft_might_contain` + exact semi-join confirm. The oracle is
+      * `dedup_bloom_seen_delete`'s VERBATIM (the exact semi-join over
+      * survivors), and CountingBloomSpec gates the stream-rolled
+      * bloom BYTE-equal to the one-shot cb_live.bin — stream == batch
+      * at the artifact level, by the multiset group identity. */
+    QueryDef("stream_bloom_forget", Some(BloomSeenDeleteSql)) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      import graft.operators.CountingBloom
+      require(SharedText.maxDocId(s, d) < 10000000000L,
+        "documents doc_id >= 1e10 collides with the re-crawl id offset")
+      val idxDir = sharedCountingBloomIndex(s, d)
+      val root = graft.Staging.dir("cbsforget", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val standing = t.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      // the deletion-request stream: the %50==1 tombstones split into
+      // two micro-batches (both halves non-empty at every fixture —
+      // the roll must genuinely cross a batch boundary)
+      val tombIn = standing.filter(pmod(col("doc_id"), lit(50L)) === 1)
+        .select(col("doc_id"), col("fp"))
+      Seq(tombIn.filter(pmod(col("doc_id"), lit(100L)) === 1),
+          tombIn.filter(pmod(col("doc_id"), lit(100L)) === 51))
+        .zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(s"$root/in")
+        }
+      val n = bloomExpectedItems(s, d)
+      new java.io.File(s"$root/log").mkdirs()
+      val schema = s.read.parquet(s"$root/in").schema
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val tb = CountingBloom.build(
+                b.select(col("fp")).as(org.apache.spark.sql.Encoders.STRING),
+                n, BloomFpp)
+              val out = new java.io.FileOutputStream(
+                new java.io.File(s"$root/log", s"b$id.bin"))
+              try tb.writeTo(out) finally out.close()
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_bloom_forget")
+      }
+      // the one roll: merge the logged tombstone blooms, subtract from
+      // the re-read full artifact, persist the stream-rolled live bloom
+      val logs = new java.io.File(s"$root/log").listFiles()
+        .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+      require(logs.length >= 2,
+        s"stream_bloom_forget: expected >= 2 logged tombstone blooms, got ${logs.length}")
+      val tombAll = CountingBloom.readFrom(new java.io.FileInputStream(logs.head))
+      logs.tail.foreach(f =>
+        tombAll.mergeInPlace(CountingBloom.readFrom(new java.io.FileInputStream(f))))
+      val live = CountingBloom.readFrom(new java.io.FileInputStream(
+        new java.io.File(idxDir, "cb_full.bin")))
+      live.subtractInPlace(tombAll)
+      val out = new java.io.FileOutputStream(new java.io.File(root, "cb_live_stream.bin"))
+      try live.writeTo(out) finally out.close()
+      // serve from the RE-READ stream-rolled artifact — the
+      // dedup_bloom_seen_delete probe path verbatim
+      val batch = t.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .unionByName(standing.filter(pmod(col("doc_id"), lit(25L)) === 1)
+          .select((col("doc_id") + 10000000000L).as("doc_id"), col("fp")))
+      val liveFps = standing.filter(pmod(col("doc_id"), lit(50L)) =!= 1)
+      val bc = s.sparkContext.broadcast[graft.operators.BloomProbe](
+        CountingBloom.readFrom(new java.io.FileInputStream(
+          new java.io.File(root, "cb_live_stream.bin"))))
+      val confirmed = batch.filter(graftMightContain(bc, col("fp")))
+        .join(liveFps.select(col("fp")).distinct(), Seq("fp"), "left_semi")
         .select(col("doc_id")).withColumn("hit", lit(true))
       batch.join(confirmed, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_seen"))
@@ -917,6 +1005,24 @@ object TextQueries5 {
     * only in which persisted artifact proposes candidates). A def,
     * not a val: it is referenced from `defs` above, which initializes
     * first — a val here would still be null at that point. */
+  /** Shared oracle of the two forget-roll serves
+    * (`dedup_bloom_seen_delete` and its streaming twin
+    * `stream_bloom_forget`): the exact semi-join over SURVIVOR
+    * fingerprints (tombstones doc_id % 50 = 1 removed) defines the
+    * answer; the bloom variants differ only in HOW the live counting
+    * bloom was rolled (one-shot subtract vs merged per-batch logs —
+    * the same cell sums either way). A def for the same init-order
+    * reason as [[BloomSeenSql]]. */
+  private def BloomSeenDeleteSql = """
+      WITH t AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+      batch AS (SELECT doc_id, fp FROM t WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 10000000000, fp FROM t WHERE doc_id % 5 <> 0 AND doc_id % 25 = 1),
+      s AS (SELECT DISTINCT fp FROM t WHERE doc_id % 5 <> 0 AND doc_id % 50 <> 1)
+      SELECT b.doc_id, s.fp IS NOT NULL AS is_seen
+      FROM batch b LEFT JOIN s ON s.fp = b.fp
+      ORDER BY b.doc_id"""
+
   private def BloomSeenSql = """
       WITH t AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
       batch AS (SELECT doc_id, fp FROM t WHERE doc_id % 5 = 0

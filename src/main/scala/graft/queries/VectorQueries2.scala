@@ -641,6 +641,79 @@ object VectorQueries2 {
       ivfpqServe(v, coarse, ivfProbes(v, coarse, 2), fine, codesC)
     },
 
+    /** ONLINE IVFADC append (round 18) — `sim_ann_ivfpq_incremental`'s
+      * streaming twin, the flagship vector index's
+      * streaming-MAINTENANCE cell (stream_ann_serve streams queries
+      * against a frozen index; this streams the INDEX's own growth):
+      * day-2 arrivals land as TWO real micro-batches
+      * (maxFilesPerTrigger=1), and each foreachBatch trigger assigns +
+      * residual-encodes its batch OFF THE FROZEN day-1 artifacts — two
+      * narrow O(batch) passes, no retrain, no corpus rescan — into a
+      * batch-id-keyed log dir (overwrite = idempotent under replay,
+      * the stream_cdc_apply discipline; the incremental twin's direct
+      * partitioned append would double rows under a trigger replay).
+      * Serving reads base codes ∪ logged appends. Assignment and
+      * encoding are pure per-vector functions of the frozen codebooks,
+      * so neither the micro-batch split nor append order can change
+      * any code row — the gate is the incremental twin's
+      * full-rebuild oracle VERBATIM. */
+    QueryDef("stream_ann_ivfpq_append", Some(ivfpqIncrOracle)) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      val v = ivfCorpus(s, d)
+      val vBase = v.filter(pmod(col("vec_id"), lit(10L)) =!= 9)
+      val root = graft.Staging.dir("ivfpqsapp", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      // day-1 offline build — the incremental twin's build verbatim
+      lloydCentroids(vBase, 8).write.mode("overwrite").parquet(s"$root/coarse")
+      val coarse = s.read.parquet(s"$root/coarse")
+      val asgBase = ivfAssign(vBase, coarse)
+      val fineIn = ivfpqResiduals(vBase, coarse, asgBase)
+      lloydSubCentroids(fineIn, 16).write.mode("overwrite").parquet(s"$root/fine")
+      val fine = s.read.parquet(s"$root/fine")
+      pqEncode(fineIn, fine).join(asgBase, Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/codes")
+      // the arrival stream: raw day-2 embeddings, two micro-batches
+      val arr = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10L)) === 9)
+      Seq(arr.filter(pmod(col("vec_id"), lit(20L)) === 9),
+          arr.filter(pmod(col("vec_id"), lit(20L)) === 19))
+        .zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(s"$root/in")
+        }
+      val schema = s.read.parquet(s"$root/in").schema
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val bv = b.select(col("vec_id"),
+                  graft.functions.VectorFunctions.quantize(col("embedding")).as("q"))
+                .withColumn("n2", graft.functions.VectorFunctions.qdot(col("q"), col("q")))
+              val asg = ivfAssign(bv, coarse)
+              pqEncode(ivfpqResiduals(bv, coarse, asg), fine)
+                .join(asg, Seq("vec_id"))
+                .write.mode("overwrite").parquet(s"$root/log/b$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_ann_ivfpq_append")
+      }
+      // serve from base ∪ logged appends (old + new inverted lists)
+      val codesC = s.read.parquet(s"$root/codes")
+        .withColumn("cluster", col("cluster").cast("long"))
+        .select(col("vec_id"), col("s"), col("code"), col("cluster"))
+        .unionByName(s.read
+          .schema("vec_id LONG, s INT, code LONG, cluster LONG")
+          .parquet(s"$root/log/b*"))
+      ivfpqServe(v, coarse, ivfProbes(v, coarse, 2), fine, codesC)
+    },
+
     /** IVFADC index DELETION (round 16) — the flagship index's
       * right-to-be-forgotten roll, the vector twin of
       * `dedup_minhash_index_delete` with one decisive difference: the

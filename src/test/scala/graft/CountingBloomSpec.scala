@@ -92,6 +92,23 @@ class CountingBloomSpec extends AnyFunSuite {
       "subtract of a singleton bloom diverged from the survivor build")
   }
 
+  test("online forget roll: merged per-batch tombstone blooms subtract to the one-shot cb_live bytes") {
+    // round-18: stream == batch at the artifact level for the bloom
+    // family — the per-batch logged blooms sum (cell-wise group
+    // addition) to the one-shot tombstone bloom, so subtracting the
+    // merge from cb_full must land on cb_live.bin BIT-for-bit; a
+    // dropped batch, a double-merged log, or any sizing drift breaks
+    // the byte equality
+    SparkEntry.queries("stream_bloom_forget")(spark, sf).collect()
+    val streamLive = CountingBloom.readFrom(new java.io.FileInputStream(
+      new java.io.File(graft.Staging.dir("cbsforget", sf), "cb_live_stream.bin")))
+    val dir = graft.queries.TextQueries5.sharedCountingBloomIndex(spark, sf)
+    val oneShot = CountingBloom.readFrom(new java.io.FileInputStream(
+      new java.io.File(dir, "cb_live.bin")))
+    assert(java.util.Arrays.equals(streamLive.serializedBytes, oneShot.serializedBytes),
+      "stream-rolled live bloom diverged from the one-shot subtract artifact")
+  }
+
   test("persisted lifecycle: live filter forgets tombstones; bit bloom provably cannot") {
     val dir = graft.queries.TextQueries5.sharedCountingBloomIndex(spark, sf)
     def read(name: String) = CountingBloom.readFrom(

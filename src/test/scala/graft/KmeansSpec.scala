@@ -124,6 +124,25 @@ class KmeansSpec extends AnyFunSuite {
     assert(evens < corpus.length, "fixture has no odd vec_ids - merge vacuous")
   }
 
+  test("stream_kmeans_update: stream-rolled codebook equals the batch update roll, bit-for-bit") {
+    // round-18: stream == batch for the k-means roll — the per-batch
+    // logged sufficient statistics sum (commutative group) to the
+    // one-shot day-2 stats, so the folded codebook must equal
+    // updatedKmeansArtifact's frame exactly; a dropped batch, a
+    // double-logged trigger, or a stats-schema drift breaks it
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("stream_kmeans_update")(spark, sf).collect()
+    val cols = Seq("c_id", "cq", "cn2").map(col)
+    val streamCb = spark.read.parquet(graft.Staging.dir("kmsupd", sf) + "/codebook")
+      .select(cols: _*)
+    val batchCb = graft.queries.KmeansQueries.updatedKmeansArtifact(spark, sf)
+      .select(cols: _*)
+    assert(batchCb.count() > 0, "batch update codebook is empty - vacuous gate")
+    assert(streamCb.exceptAll(batchCb).count() == 0 &&
+      batchCb.exceptAll(streamCb).count() == 0,
+      "stream-rolled codebook diverged from the batch update roll")
+  }
+
   test("vec_kmeans_delete: subtracted stats == survivor rebuild round, bit-for-bit; tombstones load-bearing") {
     import org.apache.spark.sql.functions.{col, sum => ssum}
     val (cents, _) = direct()

@@ -165,7 +165,12 @@ object ScaleRehearsal {
     // stats-reduction triggers + one k·d-row merge + the full-corpus
     // re-assign serve; day-1 stats/codebook builds in the shared
     // column)
-    "stream_kmeans_update")
+    "stream_kmeans_update",
+    // round 18: the spectral family's online moment roll (2 O(batch)
+    // S1/S2/count reduction triggers + one d + d(d+1)/2-row merge +
+    // the exact centered-Gram re-expansion and solve; day-1 moment
+    // build in the shared column)
+    "stream_pca_update")
 
   /** Families reading the relational fixture (events/orders/customer)
     * rather than documents/embeddings — routed to [[stageScaledRel]]. */

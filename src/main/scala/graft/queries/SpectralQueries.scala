@@ -166,11 +166,16 @@ object SpectralQueries {
   // against the rebuild chain (the k-means/LM/BM25 algebra, lifted to
   // matrix statistics).
 
-  /** Quantized slice `(vec_id, qx)` — the artifact's own encoding. */
-  private def quantized(s: SparkSession, d: String, where: Column): DataFrame =
-    Tables.embeddings(s, d).filter(where).select(col("vec_id"),
+  /** Quantized slice `(vec_id, qx)` — the artifact's own encoding.
+    * [[quantizedOf]] is the per-frame form (the streaming roll's
+    * micro-batches), factored so the two cannot drift. */
+  private def quantizedOf(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
         .as("qx"))
+
+  private def quantized(s: SparkSession, d: String, where: Column): DataFrame =
+    quantizedOf(Tables.embeddings(s, d).filter(where))
 
   /** Per-dim first moments + measured max|x| of a slice. */
   private def dimMoments(q: DataFrame): DataFrame =
@@ -363,6 +368,74 @@ v0 AS (SELECT DISTINCT i AS j, CAST($Q AS BIGINT) AS v FROM cf),${(1 to Iters).m
       SELECT CAST(mm.i AS BIGINT) AS dim, mm.m AS mean_q, v$Iters.v AS v_ppm
       FROM mm JOIN v$Iters ON v$Iters.j = mm.i ORDER BY dim""")) { (s, d) =>
       updatedPcaArtifact(s, d).orderBy(col("dim"))
+    },
+
+    /** ONLINE moment roll (round 18) — `vec_pca_update`'s streaming
+      * twin, extending the streaming-maintenance matrix to the
+      * spectral family: day-2 vectors arrive as TWO real
+      * micro-batches, each trigger reduces its batch to UNcentered
+      * moments (per-dim S1 + upper-triangle S2 + count — one O(batch)
+      * pass) into batch-id-keyed idempotent log dirs; the standing
+      * day-1 moment parquet is NEVER read in-stream. ONE post-drain
+      * fold sums day-1 ∪ logged moments (a commutative GROUP — the
+      * micro-batch split provably cannot change any cell), re-audits
+      * the int64 Gram bound at the merged count, expands the centered
+      * Gram exactly, and re-runs the shared solve. Output IS the
+      * updated artifact, so the batch twin's full-corpus rebuild
+      * oracle (shared VERBATIM) is itself the complete stream==batch
+      * gate — no separate artifact spec is needed. */
+    QueryDef("stream_pca_update", Some(chainSql + s"""
+      SELECT CAST(mm.i AS BIGINT) AS dim, mm.m AS mean_q, v$Iters.v AS v_ppm
+      FROM mm JOIN v$Iters ON v$Iters.j = mm.i ORDER BY dim""")) { (s, d) =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      val day1Root = pcaMomentsDir(s, d, "day1")
+      val root = Staging.dir("pcasupd", d)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val day2 = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(2L)) === 1)
+      Seq(day2.filter(pmod(col("vec_id"), lit(4L)) === 1),
+          day2.filter(pmod(col("vec_id"), lit(4L)) === 3))
+        .zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(s"$root/in")
+        }
+      val schema = s.read.parquet(s"$root/in").schema
+      EventStreams.withStreamConf(s) {
+        EventStreams.awaitOrKill(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in")
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val q = quantizedOf(b).localCheckpoint()
+              dimMoments(q).write.mode("overwrite").parquet(s"$root/log/s1_b$id")
+              upperMoments(q).write.mode("overwrite").parquet(s"$root/log/s2_b$id")
+              s.range(1).select(lit(q.count()).as("n"))
+                .write.mode("overwrite").parquet(s"$root/log/cnt_b$id")
+              ()
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(),
+          "stream_pca_update")
+      }
+      // the one fold: moment addition + the shared exact finish
+      val s1A = s.read.parquet(s"$day1Root/s1")
+      val s1B = s.read.schema("i INT, s1 LONG, ma LONG").parquet(s"$root/log/s1_b*")
+      val n = s.read.parquet(s"$day1Root/cnt").head.getLong(0) +
+        s.read.schema("n LONG").parquet(s"$root/log/cnt_b*")
+          .agg(sum(col("n"))).head.getLong(0)
+      val ma = math.max(maxAbsOf(s1A), maxAbsOf(s1B))
+      require(n <= Long.MaxValue / ma / ma,
+        s"uncentered Gram sums could exceed int64 at merge: $n x max|x|=$ma")
+      val s1 = s1A.select(col("i"), col("s1"))
+        .unionByName(s1B.select(col("i"), col("s1")))
+        .groupBy("i").agg(sum("s1").as("s1"))
+      val s2 = s.read.parquet(s"$day1Root/s2")
+        .unionByName(s.read.schema("i INT, j INT, s2 LONG").parquet(s"$root/log/s2_b*"))
+        .groupBy("i", "j").agg(sum("s2").as("s2"))
+      artifactFromMoments(s1, s2, n, ma).orderBy(col("dim"))
     },
 
     /** Artifact FORGETTING — tombstoned vectors (vec_id ≡ 3 mod 10)
